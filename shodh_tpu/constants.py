@@ -1,0 +1,416 @@
+"""Centralized scoring/behavior tunables.
+
+The reference keeps every cognitive-dynamics parameter in one file
+(``src/constants.rs``, 3.4k lines) so behavior parity is auditable; this module
+plays the same role. Each value mirrors the reference's published parameter
+(cited by ``constants.rs`` line where it came from). Env overrides use the same
+``SHODH_*`` names the reference reads so harness/ablation workflows carry over.
+
+Only parameters actually consumed by this build are included; new ones are
+added as the corresponding subsystem lands.
+"""
+
+from __future__ import annotations
+
+import os
+
+# ---------------------------------------------------------------------------
+# env helpers (reference: scattered std::env::var reads, e.g. mod.rs:49-105)
+# ---------------------------------------------------------------------------
+
+
+def env_flag(name: str, default: bool = False) -> bool:
+    v = os.environ.get(name)
+    if v is None:
+        return default
+    return v.strip().lower() in ("1", "true", "yes", "on")
+
+
+def env_float(name: str, default: float) -> float:
+    v = os.environ.get(name)
+    if v is None:
+        return default
+    try:
+        return float(v)
+    except ValueError:
+        return default
+
+
+def env_int(name: str, default: int) -> int:
+    v = os.environ.get(name)
+    if v is None:
+        return default
+    try:
+        return int(v)
+    except ValueError:
+        return default
+
+
+# ---------------------------------------------------------------------------
+# Embedding / vector space (reference: src/embeddings/minilm.rs)
+# ---------------------------------------------------------------------------
+
+EMBED_DIM = 384  # MiniLM-L6-v2 output dimension
+MAX_TOKENS = 256  # encoder sequence cap (minilm.rs)
+CHUNK_TOKENS = 200  # fixed chunk size for long content (chunking.rs:1-23)
+CHUNK_OVERLAP = 50  # overlap between consecutive chunks
+
+# Embedding caches (reference: moka LRU, 10k entries, mod.rs:216-232)
+EMBED_CACHE_MAX = 10_000
+
+# ---------------------------------------------------------------------------
+# Importance model (constants.rs:548-593, mod.rs:6033-6140)
+# ---------------------------------------------------------------------------
+
+IMPORTANCE_TYPE_BASE = {
+    "decision": 0.30,
+    "error": 0.25,
+    "learning": 0.25,
+    "discovery": 0.20,
+    "pattern": 0.20,
+    "task": 0.15,
+    "conversation": 0.10,
+    "context": 0.10,
+    "observation": 0.10,
+}
+IMPORTANCE_TYPE_DEFAULT = 0.05
+IMPORTANCE_FLOOR = 0.05  # constants.rs:48
+IMPORTANCE_RECENCY_BOOST = 0.20  # constants.rs:590
+IMPORTANCE_RECENCY_DAYS = 7.0  # constants.rs:593
+IMPORTANCE_ENTITY_BOOST = 0.04  # constants.rs:570
+IMPORTANCE_ENTITY_MAX = 3  # constants.rs:573
+IMPORTANCE_CONNECTIVITY_BOOST = 0.03  # constants.rs:580
+IMPORTANCE_CONNECTIVITY_MAX = 5  # constants.rs:583
+
+# ---------------------------------------------------------------------------
+# Memory tiers (constants.rs:827-889)
+# ---------------------------------------------------------------------------
+
+DEFAULT_WORKING_MEMORY_SIZE = 100
+DEFAULT_SESSION_MEMORY_SIZE_MB = 100
+DEFAULT_IMPORTANCE_THRESHOLD = 0.7
+TIER_PROMOTION_WORKING_IMPORTANCE = 0.35
+TIER_PROMOTION_WORKING_AGE_SECS = 1800
+TIER_PROMOTION_SESSION_IMPORTANCE = 0.5
+TIER_PROMOTION_SESSION_AGE_SECS = 86400
+
+# ---------------------------------------------------------------------------
+# Retrieval / fusion (constants.rs:395-510, 1129-1140; hybrid_search.rs:69-71)
+# ---------------------------------------------------------------------------
+
+DEFAULT_MAX_RESULTS = 10
+VECTOR_SEARCH_CANDIDATE_MULTIPLIER = 3  # recall pools k*3 (mod.rs L3)
+HYBRID_SEMANTIC_WEIGHT = 0.5
+HYBRID_GRAPH_WEIGHT = 0.35
+HYBRID_LINGUISTIC_WEIGHT = 0.15
+BM25_DEFAULT_WEIGHT = 0.35  # hybrid_search.rs:69-71
+RRF_K_HYBRID_FUSION = 45.0
+RRF_K_GRAPH_FUSION = 30.0
+
+# Density-based fusion trust (constants.rs:478-510, graph_retrieval.rs:81-127)
+DENSITY_GRAPH_WEIGHT_MIN = 0.1
+DENSITY_GRAPH_WEIGHT_MAX = 0.5
+DENSITY_LINGUISTIC_WEIGHT = 0.15
+DENSITY_THRESHOLD_MIN = 0.5  # edges/entity at/below -> sparse (max graph trust)
+DENSITY_THRESHOLD_MAX = 2.0  # edges/entity at/above -> dense (min graph trust)
+
+# Polar/negation query handling (constants.rs:435-461)
+POLAR_QUERY_BM25_POOL_MULTIPLIER = 3
+POLAR_QUERY_VECTOR_POOL_MULTIPLIER = 2
+
+# ---------------------------------------------------------------------------
+# L5 unified scoring (constants.rs:1194-1300, 1426-1447, 1592-1593)
+# final = base * importance_factor
+#       * min(2.5, 1 + recency + arousal + credibility + temporal)
+#       * feedback_momentum * tag_penalty
+# ---------------------------------------------------------------------------
+
+SCORING_IMPORTANCE_FLOOR = 0.7
+SCORING_IMPORTANCE_RANGE = 0.3
+SCORING_BOOST_CAP = 2.5
+RECENCY_BOOST_SCALE = 0.5
+RECENCY_DECAY_RATE = 0.01  # per hour, exp(-rate * hours_old)
+AROUSAL_BOOST_SCALE = 0.15
+CREDIBILITY_BOOST_SCALE = 0.2
+ACTIVATION_BONUS_SCALE = 0.3
+SAME_EPISODE_BOOST = 0.3
+TEMPORAL_MATCH_BOOST_EXACT = 0.5
+TEMPORAL_MATCH_BOOST_WEEK = 0.3
+TEMPORAL_MATCH_BOOST_MONTH = 0.1
+TEMPORAL_PREFILTER_BOOST = 0.15
+FEEDBACK_MOMENTUM_SCALE = 0.50
+AUTO_CAPTURED_TAG_PENALTY = 0.85
+ASSISTANT_RESPONSE_TAG_PENALTY = 0.90
+TAG_RELEVANCE_BOOST = 0.05
+
+# Boost-stack scales for pre-filter layers (constants.rs:1165-1393)
+ATTRIBUTE_QUERY_BOOST = 1.5
+TEMPORAL_FACT_BOOST = 1.0
+GEO_INJECT_FLOOR = 0.05
+MAX_GEO_PREFETCH_CANDIDATES = 3
+PROSPECTIVE_BOOST_PER_MATCH = 0.25
+PROSPECTIVE_BOOST_MAX = 0.75
+SEED_COVERAGE_BONUS = 1.0
+
+# Ontological re-rank gating (constants.rs:1088-1110)
+ONTOLOGICAL_MIN_CONFIDENCE = 0.3
+ONTOLOGICAL_DENSITY_THRESHOLD = 8.0
+ONTOLOGICAL_RERANK_BOOST = 0.08
+ONTOLOGICAL_RERANK_MAX = 0.25
+
+# ---------------------------------------------------------------------------
+# Hebbian plasticity & LTP (constants.rs:24-37, 167-202, 1609-1907)
+# ---------------------------------------------------------------------------
+
+HEBBIAN_BOOST_HELPFUL = 0.025
+HEBBIAN_DECAY_MISLEADING = 0.10
+EDGE_INITIAL_STRENGTH = 0.5
+EDGE_MIN_STRENGTH = 0.05
+EDGE_HALF_LIFE_HOURS = 24.0
+MAX_ENTITY_DEGREE = 500
+LTP_LEARNING_RATE = 0.1
+LTP_THRESHOLD = 10
+LTP_TIME_AWARE_THRESHOLD = 5
+LTP_TIME_AWARE_DAYS = 30
+LTP_DECAY_FACTOR = 0.1  # Full LTP: 10x slower decay
+LTP_BURST_THRESHOLD = 5
+LTP_BURST_WINDOW_HOURS = 24
+LTP_BURST_DECAY_FACTOR = 0.5
+LTP_BURST_DURATION_HOURS = 48
+LTP_WEEKLY_THRESHOLD = 3
+LTP_WEEKLY_MIN_WEEKS = 2
+LTP_WEEKLY_DECAY_FACTOR = 0.3
+LTP_MIN_STRENGTH = 0.01
+LTP_PRUNE_FLOOR = 0.05
+LTP_STRENGTH_FLOOR_L2 = 0.65
+LTP_STRENGTH_FLOOR_L3 = 0.80
+LTP_READINESS_COUNT_WEIGHT = 0.5
+LTP_READINESS_STRENGTH_WEIGHT = 0.5
+LTP_READINESS_TAG_WEIGHT = 0.3
+LTP_READINESS_THRESHOLD = 1.0
+LTP_THRESHOLD_MIN = 7
+LTP_THRESHOLD_MAX = 13
+STRENGTHEN_IMPORTANCE_FLOOR = 0.2
+HOMEOSTASIS_SCALING_FACTOR = 0.995
+GRAPH_LATERAL_INHIBITION_STRENGTH = 0.15
+GRAPH_LATERAL_INHIBITION_THRESHOLD = 0.80
+EDGE_TIER_TRUST = {"L1": 0.20, "L2": 0.50, "L3": 0.80, "LTP": 0.95}
+ENTITY_CONCEPT_MERGE_THRESHOLD = 0.85
+
+# Edge tiers (constants.rs:2539-2640): L1 working / L2 episodic / L3 semantic
+L1_INITIAL_WEIGHT = 0.4
+L1_DECAY_PER_HOUR = 0.029
+L1_MAX_AGE_HOURS = 48
+L1_PRUNE_THRESHOLD = 0.1
+L1_PROMOTION_THRESHOLD = 0.5
+L2_PROMOTION_WEIGHT = 0.5
+L2_DECAY_PER_DAY = 0.031
+L2_MAX_AGE_DAYS = 30
+L2_PRUNE_THRESHOLD = 0.2
+L2_PROMOTION_THRESHOLD = 0.7
+L3_PROMOTION_WEIGHT = 0.7
+L3_DECAY_PER_MONTH = 0.02
+L3_PRUNE_THRESHOLD = 0.3
+EDGE_PROMOTION_MEMORY_BOOST_L2 = 0.015
+EDGE_PROMOTION_MEMORY_BOOST_L3 = 0.03
+
+# L3 experiences time at this fraction of L2's rate (decay.rs:102)
+L3_TIME_SCALE_VS_L2 = (L3_DECAY_PER_MONTH / 30.0) / L2_DECAY_PER_DAY
+
+# ---------------------------------------------------------------------------
+# Decay math (constants.rs:2022-2056; decay.rs:126-180) — Wixted (2004)
+# exponential consolidation phase -> power-law long-term phase
+# ---------------------------------------------------------------------------
+
+DECAY_CROSSOVER_DAYS = 3.0
+POWERLAW_BETA = 0.5
+POWERLAW_BETA_POTENTIATED = 0.3
+DECAY_LAMBDA_CONSOLIDATION = 0.693  # ln(2) per day
+EMOTIONAL_DECAY_MODULATION = 0.3
+IMPORTANCE_DECAY_MIN = 0.05
+IMPORTANCE_DECAY_MAX = 0.15
+
+# ---------------------------------------------------------------------------
+# Spreading activation (constants.rs:991-1060; graph_retrieval.rs)
+# ---------------------------------------------------------------------------
+
+SPREADING_DECAY_RATE = 0.5
+SPREADING_MAX_HOPS = 6
+SPREADING_MIN_HOPS = 3
+SPREADING_ACTIVATION_THRESHOLD = 0.005
+SPREADING_RELAXED_THRESHOLD = 0.001
+SPREADING_MIN_CANDIDATES = 5
+SPREADING_EARLY_TERMINATION_RATIO = 0.05
+SPREADING_EARLY_TERMINATION_CANDIDATES = 50
+SPREADING_NORMALIZATION_FACTOR = 2.0
+SPREADING_DEGREE_NORMALIZATION = True
+SPREADING_EDGE_CAP = 100  # max edges expanded per node per spread
+SALIENCE_BOOST_FACTOR = 1.0
+BIDIRECTIONAL_MIN_ENTITIES = 2
+BIDIRECTIONAL_INTERSECTION_BOOST = 1.5
+BIDIRECTIONAL_INTERSECTION_MIN = 0.0025
+BIDIRECTIONAL_HOPS_DENSE = 2
+BIDIRECTIONAL_HOPS_MEDIUM = 3
+BIDIRECTIONAL_HOPS_SPARSE = 4
+BIDIRECTIONAL_DENSITY_SPARSE = 0.5
+BIDIRECTIONAL_DENSITY_DENSE = 2.0
+PPR_ALPHA = 0.5  # personalized PageRank restart prob (graph_retrieval.rs:692)
+PPR_ITERS = 30
+PPR_MAX_NODES = 5000
+
+# Memory-tier trust multiplier for graph-derived evidence (constants.rs:1507-1531)
+MEMORY_TIER_GRAPH_MULT = {
+    "working": 0.3,
+    "session": 0.6,
+    "longterm": 1.0,
+    "archive": 1.2,
+}
+
+# ---------------------------------------------------------------------------
+# Interference & competition (constants.rs:2268-2396)
+# ---------------------------------------------------------------------------
+
+INTERFERENCE_SIMILARITY_THRESHOLD = 0.85
+INTERFERENCE_SEVERE_THRESHOLD = 0.95
+INTERFERENCE_RETROACTIVE_DECAY = 0.1
+INTERFERENCE_PROACTIVE_DECAY = 0.05
+INTERFERENCE_PROACTIVE_THRESHOLD = 0.8
+INTERFERENCE_COMPETITION_FACTOR = 0.15
+INTERFERENCE_VULNERABILITY_HOURS = 24
+INTERFERENCE_MAX_TRACKED = 10
+INTERFERENCE_ACTIVATION_FLOOR = 0.05
+
+# ---------------------------------------------------------------------------
+# Replay (constants.rs:2198-2250)
+# ---------------------------------------------------------------------------
+
+REPLAY_IMPORTANCE_THRESHOLD = 0.3
+REPLAY_MAX_AGE_DAYS = 14
+REPLAY_AROUSAL_THRESHOLD = 0.6
+REPLAY_STRENGTH_BOOST = 0.05
+REPLAY_EDGE_BOOST = 0.08
+REPLAY_BATCH_SIZE = 50
+REPLAY_CONNECTIVITY_DIVISOR = 10.0
+REPLAY_CONNECTIVITY_MAX_BOOST = 0.5
+
+# ---------------------------------------------------------------------------
+# Consolidation & facts (constants.rs:605-733)
+# ---------------------------------------------------------------------------
+
+CONSOLIDATION_MIN_SUPPORT_SMALL = 2
+CONSOLIDATION_MIN_SUPPORT_MEDIUM = 3
+CONSOLIDATION_MIN_SUPPORT_LARGE = 4
+CONSOLIDATION_CLUSTER_SIZE_CAP = 20
+CONSOLIDATION_MIN_AGE_DAYS = 7
+CONSOLIDATION_JACCARD_THRESHOLD = 0.45
+CONSOLIDATION_MAX_CANDIDATES_PER_MEMORY = 5
+FACT_DECAY_GRACE_DAYS = 90
+FACT_DECAY_HALF_LIFE_BASE_DAYS = 180.0
+FACT_DECAY_HALF_LIFE_PER_SUPPORT_DAYS = 30.0
+FACT_DEDUP_COSINE_THRESHOLD = 0.80
+FACT_DEDUP_JACCARD_FLOOR = 0.30
+FACT_DEDUP_JACCARD_FALLBACK = 0.75
+COMPRESSION_IMPORTANCE_HIGH = 0.8
+COMPRESSION_IMPORTANCE_LOW = 0.5
+COMPRESSION_AGE_DAYS = 30
+COMPRESSION_ACCESS_THRESHOLD = 10
+
+# ---------------------------------------------------------------------------
+# Feedback momentum & prediction error (constants.rs:142-153, 2745-2792)
+# ---------------------------------------------------------------------------
+
+PREDICTION_ERROR_MIN_MULTIPLIER = 0.5
+PREDICTION_ERROR_MAX_MULTIPLIER = 2.0
+TEMPORAL_DISCOUNT_GAMMA = 0.70
+FEEDBACK_WINDOW_SIZE = 5
+FEEDBACK_SESSION_GAP_SECS = 1800
+SESSION_COMPLETION_BOOST = 0.15
+SESSION_ABANDONMENT_PENALTY = -0.10
+SESSION_REENGAGEMENT_BOOST = 0.20
+
+# ---------------------------------------------------------------------------
+# NER / entities (constants.rs:3287-3330)
+# ---------------------------------------------------------------------------
+
+NER_ENTITY_MIN_LENGTH = 3
+NER_GRAPH_CONFIDENCE_FLOOR = 0.6
+ENTITY_SALIENCE_HELPFUL_BOOST = 0.03
+ENTITY_SALIENCE_MISLEADING_PENALTY = -0.05
+ENTITY_SALIENCE_FILTER_FLOOR = 0.15
+ENTITY_SALIENCE_FILTER_MIN_MENTIONS = 5
+ENTITY_COOCCURRENCE_THRESHOLD = 0.4
+SELECTIVITY_STOP_WORD_THRESHOLD = 0.5
+SELECTIVITY_HALF_SAT = 0.5
+
+# IC weights for query terms by POS (constants.rs:2071-2089)
+IC_NOUN = 2.3
+IC_ADJECTIVE = 1.7
+IC_VERB = 1.0
+
+# ---------------------------------------------------------------------------
+# Lineage (constants.rs:2870-3045)
+# ---------------------------------------------------------------------------
+
+LINEAGE_MAX_TEMPORAL_GAP_DAYS = 14
+LINEAGE_MIN_ENTITY_OVERLAP = 0.3
+LINEAGE_MIN_EMBEDDING_SIMILARITY = 0.25
+LINEAGE_MAX_CANDIDATES = 20
+LINEAGE_LOOKBACK_DAYS = 7
+LINEAGE_CONFIDENCE = {
+    "caused": 0.8,
+    "resolved_by": 0.85,
+    "informed_by": 0.7,
+    "superseded_by": 0.6,
+    "triggered_by": 0.75,
+    "branched_from": 0.9,
+    "related_to": 0.5,
+}
+LINEAGE_MIN_STORE_CONFIDENCE = 0.20
+LINEAGE_RETRIEVAL_BOOST_SCALE = 0.06
+LINEAGE_RETRIEVAL_MAX_BOOST = 0.15
+LINEAGE_RETRIEVAL_MIN_CONFIDENCE = 0.5
+
+# ---------------------------------------------------------------------------
+# Pattern detection (constants.rs:2412-2514)
+# ---------------------------------------------------------------------------
+
+MIN_MEMORIES_PER_PATTERN = 3
+MIN_CLUSTER_SIZE = 3
+SEMANTIC_CLUSTER_THRESHOLD = 0.75
+TEMPORAL_CLUSTER_WINDOW_SECS = 1800
+HIGH_IMPORTANCE_THRESHOLD = 0.7
+HIGH_AROUSAL_THRESHOLD = 0.7
+SURPRISE_THRESHOLD = 0.3
+
+# ---------------------------------------------------------------------------
+# Device-index tunables (TPU-specific; no reference analog)
+# ---------------------------------------------------------------------------
+
+# Padded device-array growth quantum: arrays grow in multiples of this row
+# count so XLA sees a small set of static shapes (avoids recompiles).
+INDEX_CAPACITY_QUANTUM = 4096
+# Default query batch size for the fused recall program (BASELINE config 2).
+DEVICE_QUERY_BATCH = 256
+# IVF: clusters = ceil(sqrt(N)) like SPANN (spann.rs); probe count default.
+IVF_DEFAULT_NPROBE = 10
+IVF_MIN_VECTORS = 100_000  # below this, brute force wins on TPU
+# PQ: 8-dim subvectors x 256 centroids (pq.rs:17-21)
+PQ_SUBVECTOR_DIM = 8
+PQ_CENTROIDS = 256
+
+# ---------------------------------------------------------------------------
+# Runtime kill switches (reference env-flag families, mod.rs:49-105)
+# ---------------------------------------------------------------------------
+
+ENV_EVAL_NOW = "SHODH_EVAL_NOW"  # pin the scoring clock (RFC3339)
+ENV_RECALL_READONLY = "SHODH_RECALL_READONLY"  # suppress usage writes
+ENV_DISABLE_BOOSTS = "SHODH_DISABLE_BOOSTS"  # comma-separated boost families
+
+
+def disabled_boosts() -> frozenset[str]:
+    raw = os.environ.get(ENV_DISABLE_BOOSTS, "")
+    return frozenset(p.strip().lower() for p in raw.split(",") if p.strip())
+
+
+def recall_readonly() -> bool:
+    return env_flag(ENV_RECALL_READONLY, False)
