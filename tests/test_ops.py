@@ -1,0 +1,175 @@
+"""Device op tests: quantization, brute top-k, fused two-level top-k, index."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from shodh_tpu.ops.distance import NEG_INF, brute_topk, l2_normalize, score_rows
+from shodh_tpu.ops.fused_topk import GROUP, TILE_N, two_level_topk
+from shodh_tpu.ops.quant import dequantize_int8, quantize_int8
+
+
+def _random_unit(n, d, seed=0):
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+def test_quantize_roundtrip():
+    v = _random_unit(64, 384)
+    q, s = quantize_int8(jnp.asarray(v))
+    back = np.asarray(dequantize_int8(q, s))
+    # int8 per-row symmetric quant: max abs error bounded by scale/2
+    err = np.abs(back - v)
+    assert err.max() <= (np.asarray(s)[:, None] / 2 + 1e-6).max()
+    # cosine of dequantized vs original stays high
+    cos = (back * v).sum(axis=1) / (np.linalg.norm(back, axis=1) + 1e-9)
+    assert cos.min() > 0.999
+
+
+def test_l2_normalize_scrubs_nans():
+    x = jnp.asarray(np.array([[3.0, 4.0, np.nan], [0.0, 0.0, 0.0]], np.float32))
+    y = np.asarray(l2_normalize(x))
+    assert np.isfinite(y).all()
+    assert np.isclose(np.linalg.norm(y[0]), 1.0)
+
+
+def test_brute_topk_matches_numpy():
+    corpus = _random_unit(500, 64)
+    queries = _random_unit(3, 64, seed=1)
+    valid = np.ones(500, np.float32)
+    valid[100:110] = 0.0  # deleted rows must never appear
+    vals, rows = brute_topk(jnp.asarray(queries), jnp.asarray(corpus), jnp.asarray(valid), 10)
+    vals, rows = np.asarray(vals), np.asarray(rows)
+    ref = queries @ corpus.T
+    ref[:, 100:110] = -np.inf
+    for b in range(3):
+        want = np.argsort(-ref[b])[:10]
+        np.testing.assert_array_equal(rows[b], want)
+        np.testing.assert_allclose(vals[b], ref[b][want], rtol=1e-5)
+
+
+def test_brute_topk_int8():
+    corpus = _random_unit(300, 64)
+    queries = _random_unit(2, 64, seed=2)
+    q, s = quantize_int8(jnp.asarray(corpus))
+    valid = jnp.ones(300, jnp.float32)
+    vals, rows = brute_topk(jnp.asarray(queries), q, valid, 5, scales=s)
+    # int8 ranking should agree with f32 ranking on well-separated data
+    ref = queries @ corpus.T
+    for b in range(2):
+        want = set(np.argsort(-ref[b])[:5])
+        got = set(np.asarray(rows[b]).tolist())
+        assert len(want & got) >= 4  # allow 1 swap at quant boundary
+
+
+def test_two_level_topk_exact_parity():
+    n = 4 * TILE_N  # 4096 rows
+    corpus = _random_unit(n, 128)
+    queries = _random_unit(4, 128, seed=3)
+    valid = np.ones(n, np.float32)
+    valid[50:60] = 0.0
+    k = 16
+    bv, br = brute_topk(jnp.asarray(queries), jnp.asarray(corpus), jnp.asarray(valid), k)
+    fv, fr = two_level_topk(jnp.asarray(queries), jnp.asarray(corpus), jnp.asarray(valid), k)
+    np.testing.assert_array_equal(np.asarray(br), np.asarray(fr))
+    np.testing.assert_allclose(np.asarray(bv), np.asarray(fv), rtol=1e-5)
+
+
+def test_two_level_topk_int8():
+    n = 2 * TILE_N
+    corpus = _random_unit(n, 128)
+    q8, s = quantize_int8(jnp.asarray(corpus))
+    queries = jnp.asarray(_random_unit(2, 128, seed=4))
+    valid = jnp.ones(n, jnp.float32)
+    bv, br = brute_topk(queries, q8, valid, 8, scales=s)
+    fv, fr = two_level_topk(queries, q8, valid, 8, scales=s)
+    np.testing.assert_array_equal(np.asarray(br), np.asarray(fr))
+
+
+def test_score_rows():
+    corpus = _random_unit(100, 32)
+    queries = _random_unit(2, 32, seed=5)
+    rows = jnp.asarray(np.array([[0, 5, 99], [1, 2, 3]], np.int32))
+    valid = jnp.ones(100, jnp.float32)
+    got = np.asarray(score_rows(jnp.asarray(queries), jnp.asarray(corpus), rows, valid))
+    ref = queries @ corpus.T
+    for b in range(2):
+        np.testing.assert_allclose(got[b], ref[b][np.asarray(rows)[b]], rtol=1e-5)
+
+
+class TestDeviceVectorIndex:
+    def test_add_search_roundtrip(self):
+        from shodh_tpu.index.device_index import DeviceVectorIndex
+
+        idx = DeviceVectorIndex(dim=64)
+        vecs = _random_unit(200, 64)
+        rows = idx.add(vecs)
+        assert rows == list(range(200))
+        vals, got = idx.search(vecs[:3], k=1)
+        np.testing.assert_array_equal(got[:, 0], [0, 1, 2])
+        assert vals[:, 0].min() > 0.999
+
+    def test_soft_delete_and_compact(self):
+        from shodh_tpu.index.device_index import DeviceVectorIndex
+
+        idx = DeviceVectorIndex(dim=32)
+        vecs = _random_unit(10, 32)
+        idx.add(vecs)
+        idx.delete_rows([0, 1, 2, 3])
+        _, got = idx.search(vecs[:1], k=1)
+        assert got[0, 0] != 0  # deleted row filtered
+        mapping = idx.maybe_compact()
+        assert mapping is not None and len(mapping) == 6
+        assert idx.n_active == 6
+        _, got2 = idx.search(vecs[4:5], k=1)
+        assert got2[0, 0] == mapping[4]
+
+    def test_int8_mode(self):
+        from shodh_tpu.index.device_index import DeviceVectorIndex
+
+        idx = DeviceVectorIndex(dim=64, dtype="int8")
+        vecs = _random_unit(50, 64)
+        idx.add(vecs)
+        _, got = idx.search(vecs[:5], k=1)
+        np.testing.assert_array_equal(got[:, 0], np.arange(5))
+
+    def test_empty_search(self):
+        from shodh_tpu.index.device_index import DeviceVectorIndex
+
+        idx = DeviceVectorIndex(dim=16)
+        vals, rows = idx.search(_random_unit(1, 16), k=5)
+        assert (rows == -1).all()
+
+    def test_fewer_than_k(self):
+        from shodh_tpu.index.device_index import DeviceVectorIndex
+
+        idx = DeviceVectorIndex(dim=16)
+        idx.add(_random_unit(3, 16))
+        vals, rows = idx.search(_random_unit(2, 16, seed=7), k=10)
+        assert (rows >= 0).sum(axis=1).tolist() == [3, 3]
+
+    def test_save_load(self, tmp_path):
+        from shodh_tpu.index.device_index import DeviceVectorIndex
+
+        idx = DeviceVectorIndex(dim=32, dtype="int8")
+        vecs = _random_unit(20, 32)
+        idx.add(vecs)
+        idx.delete_rows([5])
+        idx.save(tmp_path / "idx")
+        idx2 = DeviceVectorIndex.load(tmp_path / "idx")
+        assert len(idx2) == 20 and idx2.n_deleted == 1
+        _, a = idx.search(vecs[:4], k=2)
+        _, b = idx2.search(vecs[:4], k=2)
+        np.testing.assert_array_equal(a, b)
+
+    def test_checksum_verification(self, tmp_path):
+        from shodh_tpu.index.device_index import DeviceVectorIndex
+
+        idx = DeviceVectorIndex(dim=16)
+        idx.add(_random_unit(4, 16))
+        idx.save(tmp_path / "idx")
+        (tmp_path / "idx.npz").write_bytes(b"corrupted")
+        with pytest.raises(ValueError, match="checksum"):
+            DeviceVectorIndex.load(tmp_path / "idx")
