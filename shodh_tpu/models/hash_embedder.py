@@ -1,0 +1,112 @@
+"""Deterministic hashed-projection sentence embedder (offline default).
+
+Role: this build must run fully offline. When no MiniLM checkpoint is on
+disk (zero-egress environments), this embedder provides real, deterministic
+sentence vectors with lexical-semantic behavior good enough to drive the
+whole recall pipeline: tokens (unigrams + bigrams) are hashed into a large
+sparse feature space with sublinear TF weighting, then projected to the
+384-d target space by a fixed seeded Gaussian matrix and L2-normalized.
+
+Random projection preserves inner products in expectation
+(Johnson–Lindenstrauss), so hashed-BoW cosine ≈ lexical-overlap similarity;
+stemming folds inflected forms onto shared buckets. This is the same
+feature family as spaCy's HashEmbed / Vowpal Wabbit hashing trick —
+a standard public technique, implemented fresh.
+
+TPU mapping: the projection is a (BUCKETS_DENSE, 384) matrix on device;
+encoding a batch is a segment-sum into (B, BUCKETS_DENSE) then one MXU
+matmul. Host cost is tokenization only.
+
+Swap in the real MiniLM checkpoint (models/minilm.py) for semantic parity
+with the reference; the Embedder protocol is identical.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import struct
+
+import numpy as np
+
+from shodh_tpu.nlp.stemmer import stem
+
+_WORD_RE = re.compile(r"[a-z0-9]+")
+_BUCKETS = 16384  # hashed feature space (dense enough for MXU, sparse enough for JL)
+_SEED = 0x5301  # fixed project-wide seed (changing it invalidates stored vectors)
+_STOP = frozenset(
+    """a an the and or but if then else when while of in on at to from by for with
+    about into over after before between out against during without within along
+    across behind beyond plus except up down off above below we you they he she it
+    i me my our your their his her its this that these those is are was were be
+    been being have has had do does did will would can could should may might must
+    shall am not no nor so too very just than as because s t don won""".split()
+)
+
+
+def _hash_token(tok: str) -> int:
+    h = hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest()
+    return struct.unpack("<Q", h)[0] % _BUCKETS
+
+
+def _features(text: str) -> dict[int, float]:
+    words = _WORD_RE.findall(text.lower())
+    content = [w for w in words if w not in _STOP]
+    stems = [stem(w) for w in content]
+    feats: dict[int, float] = {}
+    for s in stems:
+        feats[_hash_token(s)] = feats.get(_hash_token(s), 0.0) + 1.0
+    for a, b in zip(stems, stems[1:]):
+        key = _hash_token(a + "_" + b)
+        feats[key] = feats.get(key, 0.0) + 0.8
+    # raw (unstemmed) unigrams give exact-form matches extra weight
+    for w in content:
+        if stem(w) != w:
+            feats[_hash_token(w)] = feats.get(_hash_token(w), 0.0) + 0.5
+    # sublinear tf
+    return {k: 1.0 + float(np.log(v)) if v > 1.0 else v for k, v in feats.items()}
+
+
+class HashEmbedder:
+    """Embedder-protocol implementation (see models/embedder.py)."""
+
+    name = "hash-projection-v1"
+    dimension = 384
+
+    def __init__(self, dim: int = 384, seed: int = _SEED, use_device: bool = True):
+        self.dimension = dim
+        rng = np.random.default_rng(seed)
+        # JL projection: N(0, 1/sqrt(dim)); fixed for the life of the format.
+        self._proj = (rng.standard_normal((_BUCKETS, dim)) / np.sqrt(dim)).astype(np.float32)
+        self._proj_dev = None
+        self._use_device = use_device
+
+    # -- Embedder protocol ----------------------------------------------------
+
+    def encode(self, text: str) -> np.ndarray:
+        return self.encode_batch([text])[0]
+
+    def encode_query(self, text: str) -> np.ndarray:
+        # Symmetric model: queries and documents share the space.
+        return self.encode(text)
+
+    def encode_batch(self, texts: list[str]) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, self.dimension), np.float32)
+        sparse = np.zeros((len(texts), _BUCKETS), np.float32)
+        for i, t in enumerate(texts):
+            for k, v in _features(t).items():
+                sparse[i, k] += v
+        if self._use_device and len(texts) >= 8:
+            out = np.asarray(self._device_project(sparse))
+        else:
+            out = sparse @ self._proj
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        return (out / np.maximum(norms, 1e-12)).astype(np.float32)
+
+    def _device_project(self, sparse: np.ndarray):
+        import jax.numpy as jnp
+
+        if self._proj_dev is None:
+            self._proj_dev = jnp.asarray(self._proj)
+        return jnp.dot(jnp.asarray(sparse), self._proj_dev, preferred_element_type=jnp.float32)
