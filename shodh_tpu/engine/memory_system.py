@@ -1,0 +1,745 @@
+"""MemorySystem — the per-user cognitive memory engine.
+
+Orchestrates the full store/recall lifecycle the reference implements in
+``src/memory/mod.rs`` (struct :208-480, remember :908, recall :1557,
+semantic_retrieve_inner :2052): durable storage, the device vector index,
+3-tier caches, importance, the staged recall funnel with the LayerMode
+ablation ladder, L5 unified scoring, and usage writes.
+
+Subsystems land incrementally; each is an explicit seam on this class
+(bm25/graph/facts/feedback), and the recall funnel degrades gracefully when
+a seam is absent. TPU philosophy: host code only orchestrates — every
+scoring/distance computation over candidate pools happens in vectorized
+device/numpy passes, never per-candidate Python loops over embeddings.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from datetime import datetime, timedelta
+from pathlib import Path
+from typing import Any, Optional
+
+import numpy as np
+
+from shodh_tpu import constants as C
+from shodh_tpu.engine.importance import calculate_importance
+from shodh_tpu.engine.scoring import ScoreInputs, tag_penalty_for, unified_score
+from shodh_tpu.engine.tiers import SessionMemory, WorkingMemory, promotion_target
+from shodh_tpu.index.device_index import DeviceVectorIndex
+from shodh_tpu.models.chunking import chunk_content
+from shodh_tpu.models.embedder import default_embedder
+from shodh_tpu.storage.store import MemoryStorage, SearchCriteria
+from shodh_tpu.types import (
+    Experience,
+    LayerMode,
+    Memory,
+    MemoryTier,
+    Query,
+    RecallResult,
+    RetrievalMode,
+    ScoredMemory,
+    new_memory_id,
+)
+from shodh_tpu.utils.clock import days_between, hours_between, scoring_now
+from shodh_tpu.utils.hashing import content_hash
+
+
+@dataclass
+class SystemStats:
+    total_memories: int
+    working_count: int
+    session_count: int
+    index_rows: int
+    index_deleted: int
+    embed_cache_hits: int
+    embed_cache_misses: int
+
+    def to_dict(self) -> dict:
+        return self.__dict__.copy()
+
+
+class MemorySystem:
+    def __init__(
+        self,
+        data_dir: str | Path,
+        embedder=None,
+        index_dtype: str = "float32",
+    ):
+        self.data_dir = Path(data_dir)
+        self.data_dir.mkdir(parents=True, exist_ok=True)
+        self.storage = MemoryStorage(self.data_dir)
+        self.embedder = embedder or default_embedder()
+        index_path = self.data_dir / "index" / "text"
+        if index_path.with_suffix(".json").exists():
+            self.index = DeviceVectorIndex.load(index_path)
+        else:
+            self.index = DeviceVectorIndex(dim=self.embedder.dimension, dtype=index_dtype)
+        self.working = WorkingMemory()
+        self.session = SessionMemory()
+        # Subsystem seams (filled by later construction stages)
+        self.bm25 = None  # retrieval/bm25.py
+        self.graph = None  # graph/graph_memory.py
+        self.query_parser = None  # nlp/query_parser.py
+        self.facts = None  # engine/facts.py
+        self.temporal_facts = None  # engine/temporal_facts.py
+        self.feedback = None  # engine/feedback.py
+        self.lineage = None  # engine/lineage.py
+        self.interference = None  # engine/interference.py
+        self.replay = None  # engine/replay.py
+        self.prospective = None  # engine/prospective.py
+        self.introspection = None  # engine/introspection.py
+        self._pending_access: list[tuple[str, int, Optional[datetime]]] = []
+        self._init_subsystems()
+
+    def _init_subsystems(self) -> None:
+        """Attach optional subsystems. Split out so tests can build bare cores."""
+        from shodh_tpu.nlp.query_parser import QueryParser
+        from shodh_tpu.retrieval.bm25 import BM25Index
+
+        self.query_parser = QueryParser()
+        self.bm25 = BM25Index(self.data_dir / "bm25")
+        try:
+            from shodh_tpu.graph.graph_memory import GraphMemory
+
+            self.graph = GraphMemory(self.data_dir / "graph")
+        except ImportError:
+            self.graph = None
+        try:
+            from shodh_tpu.engine.facts import SemanticFactStore
+            from shodh_tpu.engine.temporal_facts import TemporalFactStore
+
+            self.facts = SemanticFactStore(self.storage.kv, self.embedder)
+            self.temporal_facts = TemporalFactStore(self.storage.kv)
+        except ImportError:
+            pass
+        try:
+            from shodh_tpu.engine.feedback import FeedbackStore
+
+            self.feedback = FeedbackStore(self.storage.kv)
+        except ImportError:
+            pass
+        try:
+            from shodh_tpu.engine.interference import InterferenceEngine
+
+            self.interference = InterferenceEngine(self)
+        except ImportError:
+            pass
+        try:
+            from shodh_tpu.engine.replay import ReplayEngine
+
+            self.replay = ReplayEngine(self)
+        except ImportError:
+            pass
+        try:
+            from shodh_tpu.engine.prospective import ProspectiveStore
+
+            self.prospective = ProspectiveStore(self.storage.kv)
+        except ImportError:
+            pass
+        try:
+            from shodh_tpu.engine.lineage import LineageStore
+
+            self.lineage = LineageStore(self.storage.kv)
+        except ImportError:
+            pass
+        try:
+            from shodh_tpu.engine.introspection import ConsolidationEventBuffer
+
+            self.introspection = ConsolidationEventBuffer()
+        except ImportError:
+            pass
+
+    # ------------------------------------------------------------------
+    # Properties
+    # ------------------------------------------------------------------
+
+    @property
+    def embedder_name(self) -> str:
+        return self.embedder.name
+
+    # ------------------------------------------------------------------
+    # remember (reference: mod.rs:908)
+    # ------------------------------------------------------------------
+
+    def remember(
+        self,
+        experience: Experience | dict,
+        created_at: Optional[datetime] = None,
+    ) -> Memory:
+        if isinstance(experience, dict):
+            experience = Experience.from_dict(experience)
+        now = created_at or scoring_now()
+
+        # 1. Content-hash dedup (mod.rs:916): repeated content reinforces.
+        chash = content_hash(experience.content)
+        existing = self.storage.get_by_content_hash(chash)
+        if existing is not None:
+            existing.access_count += 1
+            existing.importance = min(1.0, existing.importance + 0.02)
+            self.storage.update(existing)
+            return existing
+
+        # 2. Importance
+        importance = calculate_importance(experience)
+
+        # 3. Embeddings: caller-precomputed fast path, else encode chunks.
+        if experience.embeddings is not None:
+            vectors = np.asarray([experience.embeddings], np.float32)
+            norms = np.linalg.norm(vectors, axis=1, keepdims=True)
+            vectors = vectors / np.maximum(norms, 1e-12)
+        else:
+            chunks = chunk_content(experience.content)
+            vectors = self.embedder.encode_batch(chunks)
+
+        # 4. Entity extraction (NER seam; rule-based fallback)
+        if not experience.entities and self.query_parser is not None:
+            experience.entities = self.query_parser.extract_entities(experience.content)
+
+        # 5. Temporal reference extraction (temporal_facts.rs)
+        if self.query_parser is not None and not experience.temporal_refs:
+            experience.temporal_refs = self.query_parser.extract_temporal_refs(
+                experience.content, now
+            )
+
+        mem = Memory(
+            id=new_memory_id(),
+            experience=experience,
+            created_at=now,
+            importance=importance,
+            tier=MemoryTier.WORKING,
+            content_hash=chash,
+        )
+
+        # 6. Durable store + secondary indexes
+        rows = self.index.add(vectors)
+        mem.vector_row = rows[0]
+        self.storage.store(mem)
+        self.storage.set_vector_rows(mem.id, rows)
+
+        # 7. BM25 leg
+        if self.bm25 is not None:
+            self.bm25.upsert(mem.id, experience.content, experience.tags, experience.entities)
+
+        # 8. Hot tiers
+        evicted = self.working.add(mem)
+        if evicted is not None:
+            evicted.tier = MemoryTier.SESSION
+            self.session.add(evicted)
+            self.storage.update(evicted)
+
+        # 9. Graph ingest (entities, co-occurrence edges, episode nodes)
+        if self.graph is not None and experience.entities:
+            self.graph.ingest_experience(mem, now=now)
+
+        # 10. Temporal fact extraction
+        if self.temporal_facts is not None:
+            self.temporal_facts.extract_and_store(mem, now=now)
+
+        # 11. Interference: similar traces compete (mod.rs:1162-1256)
+        if self.interference is not None:
+            self.interference.on_store(mem, vectors[0], now=now)
+
+        # 12. Pattern-triggered replay registration
+        if self.replay is not None:
+            self.replay.register(mem, now=now)
+
+        return mem
+
+    def batch_remember(self, experiences: list[Experience | dict]) -> list[Memory]:
+        return [self.remember(e) for e in experiences]
+
+    def upsert(self, experience: Experience | dict, memory_id: Optional[str] = None) -> Memory:
+        """Update-or-insert by id or content hash (mod.rs:8382)."""
+        if isinstance(experience, dict):
+            experience = Experience.from_dict(experience)
+        if memory_id:
+            old = self.storage.get(memory_id)
+            if old is not None:
+                self.forget(memory_id)
+        return self.remember(experience)
+
+    # ------------------------------------------------------------------
+    # recall (reference: mod.rs:1557 / semantic_retrieve_inner :2052)
+    # ------------------------------------------------------------------
+
+    def recall(self, query: Query | dict) -> RecallResult:
+        return self._recall_impl(query, diagnostics=False)
+
+    def recall_with_diagnostics(self, query: Query | dict) -> RecallResult:
+        return self._recall_impl(query, diagnostics=True)
+
+    def _recall_impl(self, query: Query | dict, diagnostics: bool) -> RecallResult:
+        if isinstance(query, dict):
+            query = Query.from_dict(query)
+        now = scoring_now()
+        timings: dict[str, float] = {}
+        t_start = time.perf_counter()
+
+        # Robotics modes bypass the semantic funnel (mod.rs:2105-2132)
+        if query.retrieval_mode in (
+            RetrievalMode.SPATIAL,
+            RetrievalMode.MISSION,
+            RetrievalMode.ACTION_OUTCOME,
+        ) or (query.query_text is None and query.query_embedding is None):
+            return self._index_retrieve(query, now)
+
+        k = max(1, query.max_results)
+        pool_k = k * C.VECTOR_SEARCH_CANDIDATE_MULTIPLIER + query.offset
+
+        # Query analysis (L0: linguistic features, temporal parsing)
+        analysis = None
+        if self.query_parser is not None and query.query_text:
+            analysis = self.query_parser.analyze(query.query_text, now=now)
+        timings["analyze_ms"] = (time.perf_counter() - t_start) * 1000
+
+        # L0.4 temporal pre-filter candidates
+        temporal_ids: set[str] = set()
+        if (
+            query.layers >= LayerMode.FULL
+            and analysis is not None
+            and analysis.date_range is not None
+        ):
+            crit = SearchCriteria(date_range=analysis.date_range, limit=pool_k * 4)
+            temporal_ids = set(self.storage.search(crit))
+
+        # Embedding (cached; polar negated-form second embedding at FULL)
+        t0 = time.perf_counter()
+        if query.query_embedding is not None:
+            qvec = np.asarray(query.query_embedding, np.float32)
+            qvec = qvec / max(float(np.linalg.norm(qvec)), 1e-12)
+            qvecs = [qvec]
+        else:
+            qtext = query.query_text or ""
+            if analysis is not None and analysis.temporal_prefix:
+                qtext = analysis.temporal_prefix + " " + qtext
+            qvecs = [self.embedder.encode_query(qtext)]
+            if (
+                query.layers >= LayerMode.FULL
+                and analysis is not None
+                and analysis.negated_form
+            ):
+                qvecs.append(self.embedder.encode_query(analysis.negated_form))
+        timings["embed_ms"] = (time.perf_counter() - t0) * 1000
+
+        # L3 vector leg: union of positive+negated embeddings keeping best
+        t0 = time.perf_counter()
+        vec_k = pool_k * (C.POLAR_QUERY_VECTOR_POOL_MULTIPLIER if len(qvecs) > 1 else 1)
+        mem_scores: dict[str, float] = {}
+        vals, rows = self.index.search(np.stack(qvecs), k=min(vec_k * 2, max(16, vec_k * 2)))
+        for b in range(rows.shape[0]):
+            for val, row in zip(vals[b], rows[b]):
+                if row < 0:
+                    continue
+                mid = self.storage.memory_for_row(int(row))
+                if mid is None:
+                    continue
+                # chunk dedup: keep max similarity per memory (retrieval.rs:876)
+                if mid not in mem_scores or val > mem_scores[mid]:
+                    mem_scores[mid] = float(val)
+        timings["vector_ms"] = (time.perf_counter() - t0) * 1000
+
+        # L2 graph spreading activation
+        graph_activation: dict[str, float] = {}
+        if (
+            query.layers >= LayerMode.PLUS_SPREADING
+            and self.graph is not None
+            and query.query_text
+        ):
+            t0 = time.perf_counter()
+            seeds = analysis.focal_terms if analysis is not None else []
+            if query.ner_entities:
+                seeds = list(dict.fromkeys(list(seeds) + list(query.ner_entities)))
+            if seeds:
+                graph_activation = self.graph.spreading_activation(seeds, now=now)
+            timings["graph_ms"] = (time.perf_counter() - t0) * 1000
+
+        # L4 BM25 leg + RRF fusion
+        bm25_scores: dict[str, float] = {}
+        if query.layers >= LayerMode.PLUS_BM25 and self.bm25 is not None and query.query_text:
+            t0 = time.perf_counter()
+            term_weights = analysis.ic_weights if analysis is not None else None
+            bm25_k = pool_k * (
+                C.POLAR_QUERY_BM25_POOL_MULTIPLIER if len(qvecs) > 1 else 1
+            )
+            bm25_scores = dict(
+                self.bm25.search(query.query_text, limit=bm25_k, term_weights=term_weights)
+            )
+            timings["bm25_ms"] = (time.perf_counter() - t0) * 1000
+
+        # Fusion (RRF with density weights) or vector-only
+        t0 = time.perf_counter()
+        if bm25_scores or graph_activation:
+            from shodh_tpu.retrieval.fusion import fuse_legs
+
+            density = self.graph.edge_density() if self.graph is not None else 0.0
+            fused = fuse_legs(
+                semantic=mem_scores,
+                bm25=bm25_scores,
+                graph=graph_activation,
+                density=density,
+            )
+        else:
+            fused = dict(mem_scores)
+
+        # Temporal pre-filter boost (L0.4, boost 4.45 family)
+        if temporal_ids:
+            for mid in temporal_ids:
+                if mid in fused:
+                    fused[mid] *= 1.0 + C.TEMPORAL_PREFILTER_BOOST
+                else:
+                    fused[mid] = C.TEMPORAL_PREFILTER_BOOST * 0.5
+
+        timings["fusion_ms"] = (time.perf_counter() - t0) * 1000
+
+        # Load candidates + hard filters
+        t0 = time.perf_counter()
+        candidates: list[tuple[Memory, float]] = []
+        for mid, base in fused.items():
+            mem = self.working.get(mid) or self.session.get(mid) or self.storage.get(mid)
+            if mem is None:
+                continue
+            if not self._passes_filters(mem, query):
+                continue
+            candidates.append((mem, base))
+        timings["load_ms"] = (time.perf_counter() - t0) * 1000
+
+        # L5 unified scoring (vectorized)
+        t0 = time.perf_counter()
+        scored = self._score_candidates(candidates, query, analysis, graph_activation, now)
+        timings["score_ms"] = (time.perf_counter() - t0) * 1000
+
+        # Deterministic order: score desc -> created_at desc -> id asc
+        scored.sort(key=lambda s: (-s.score, s.memory.created_at.isoformat(), s.memory.id))
+        out = scored[query.offset : query.offset + k]
+
+        # Usage writes (gated by SHODH_RECALL_READONLY — mod.rs:49-105)
+        if not C.recall_readonly():
+            self._record_usage(out, now)
+
+        timings["total_ms"] = (time.perf_counter() - t_start) * 1000
+        result = RecallResult(memories=out, stage_timings_ms=timings)
+        if diagnostics:
+            result.diagnostics = {
+                "pool_size": len(fused),
+                "bm25_candidates": len(bm25_scores),
+                "graph_candidates": len(graph_activation),
+                "vector_candidates": len(mem_scores),
+                "layers": query.layers.report_key,
+            }
+        return result
+
+    def _score_candidates(
+        self,
+        candidates: list[tuple[Memory, float]],
+        query: Query,
+        analysis,
+        graph_activation: dict[str, float],
+        now: datetime,
+    ) -> list[ScoredMemory]:
+        if not candidates:
+            return []
+        n = len(candidates)
+        s = ScoreInputs.zeros(n)
+        for i, (mem, base) in enumerate(candidates):
+            exp = mem.experience
+            s.base[i] = base
+            s.importance[i] = mem.importance
+            s.hours_old[i] = hours_between(mem.created_at, now)
+            s.arousal[i] = exp.emotional.arousal
+            s.credibility[i] = exp.source.credibility
+            s.tag_penalty[i] = tag_penalty_for(exp.tags)
+            if analysis is not None and analysis.date_range is not None:
+                lo, hi = analysis.date_range
+                if lo <= mem.created_at <= hi:
+                    span_days = max((hi - lo).total_seconds() / 86400.0, 0.01)
+                    if span_days <= 2:
+                        s.temporal_match[i] = C.TEMPORAL_MATCH_BOOST_EXACT
+                    elif span_days <= 8:
+                        s.temporal_match[i] = C.TEMPORAL_MATCH_BOOST_WEEK
+                    else:
+                        s.temporal_match[i] = C.TEMPORAL_MATCH_BOOST_MONTH
+            if self.feedback is not None:
+                s.momentum[i] = self.feedback.momentum(mem.id)
+        finals = unified_score(s, recency_scale=query.recency_weight)
+        # (graph activation bonus is applied inside fuse_legs, mod.rs:4141)
+
+        out = []
+        for i, (mem, base) in enumerate(candidates):
+            out.append(
+                ScoredMemory(
+                    memory=mem,
+                    score=float(finals[i]),
+                    attribution={
+                        "base": float(base),
+                        "importance": float(mem.importance),
+                        "graph_activation": float(graph_activation.get(mem.id, 0.0)),
+                    },
+                )
+            )
+        return out
+
+    def _passes_filters(self, mem: Memory, query: Query) -> bool:
+        exp = mem.experience
+        if query.time_range is not None:
+            lo, hi = query.time_range
+            if not (lo <= mem.created_at <= hi):
+                return False
+        if query.experience_types and exp.experience_type not in query.experience_types:
+            return False
+        if query.importance_threshold is not None and mem.importance < query.importance_threshold:
+            return False
+        if query.tags:
+            tags = {t.lower() for t in exp.tags}
+            if not all(t.lower() in tags for t in query.tags):
+                return False
+        if query.episode_id and exp.episode_id != query.episode_id:
+            return False
+        if query.session_id and exp.session_id != query.session_id:
+            return False
+        if query.robot_id and exp.robot_id != query.robot_id:
+            return False
+        if query.mission_id and exp.mission_id != query.mission_id:
+            return False
+        if query.failures_only and not exp.failure:
+            return False
+        if query.anomalies_only and not exp.anomaly:
+            return False
+        if query.severity and exp.severity != query.severity:
+            return False
+        if query.terrain_type and exp.terrain_type != query.terrain_type:
+            return False
+        if query.action_type and exp.action_type != query.action_type:
+            return False
+        if query.outcome_type and exp.outcome_type != query.outcome_type:
+            return False
+        if query.reward_range and (
+            exp.reward is None or not (query.reward_range[0] <= exp.reward <= query.reward_range[1])
+        ):
+            return False
+        if query.confidence_range and (
+            exp.confidence is None
+            or not (query.confidence_range[0] <= exp.confidence <= query.confidence_range[1])
+        ):
+            return False
+        if query.geo_filter is not None:
+            if exp.geo_location is None:
+                return False
+            from shodh_tpu.utils.geohash import haversine_m
+
+            d = haversine_m(
+                query.geo_filter.lat, query.geo_filter.lon,
+                exp.geo_location[0], exp.geo_location[1],
+            )
+            if d > query.geo_filter.radius_m:
+                return False
+        return True
+
+    def _index_retrieve(self, query: Query, now: datetime) -> RecallResult:
+        """Non-semantic retrieval: robotics modes + filter-only queries
+        (mod.rs:1983-2040)."""
+        crit = SearchCriteria(
+            date_range=query.time_range,
+            tags=query.tags or [],
+            episode_id=query.episode_id,
+            session_id=query.session_id,
+            experience_types=[t.value for t in (query.experience_types or [])],
+            robot_id=query.robot_id,
+            mission_id=query.mission_id,
+            action_type=query.action_type,
+            outcome_type=query.outcome_type,
+            geo=(
+                (query.geo_filter.lat, query.geo_filter.lon, query.geo_filter.radius_m)
+                if query.geo_filter
+                else None
+            ),
+            limit=max(query.max_results * 10, 100),
+        )
+        ids = self.storage.search(crit)
+        if not any(
+            [crit.date_range, crit.tags, crit.episode_id, crit.session_id,
+             crit.experience_types, crit.robot_id, crit.mission_id,
+             crit.action_type, crit.outcome_type, crit.geo]
+        ):
+            ids = list(self.storage.iter_ids())
+        candidates = []
+        for mid in ids:
+            mem = self.storage.get(mid)
+            if mem is not None and self._passes_filters(mem, query):
+                candidates.append((mem, 1.0))
+        scored = self._score_candidates(candidates, query, None, {}, now)
+        scored.sort(key=lambda s: (-s.score, s.memory.created_at.isoformat(), s.memory.id))
+        out = scored[query.offset : query.offset + max(1, query.max_results)]
+        if not C.recall_readonly():
+            self._record_usage(out, now)
+        return RecallResult(memories=out)
+
+    def _record_usage(self, results: list[ScoredMemory], now: datetime) -> None:
+        updates = []
+        for sm in results:
+            sm.memory.access_count += 1
+            sm.memory.last_accessed = now
+            updates.append((sm.memory.id, sm.memory.access_count, now))
+        if updates:
+            self.storage.persist_access_updates(updates)
+        # Coactivation: recalled-together memories strengthen graph edges
+        if self.graph is not None and len(results) >= 2:
+            self.graph.record_memory_coactivation([sm.memory.id for sm in results[:5]], now=now)
+
+    # ------------------------------------------------------------------
+    # CRUD / misc (handlers surface)
+    # ------------------------------------------------------------------
+
+    def get(self, memory_id: str) -> Optional[Memory]:
+        return self.storage.get(memory_id)
+
+    def get_all(self, limit: int = 100, offset: int = 0) -> list[Memory]:
+        out = []
+        for i, mem in enumerate(self.storage.iter_memories()):
+            if i < offset:
+                continue
+            out.append(mem)
+            if len(out) >= limit:
+                break
+        return out
+
+    def forget(self, memory_id: str) -> bool:
+        mem = self.storage.get(memory_id)
+        if mem is None:
+            return False
+        vm = self.storage.get_vector_map(memory_id)
+        for modality, rows in vm.items():
+            self.index.delete_rows(rows)
+        if self.bm25 is not None:
+            self.bm25.delete(memory_id)
+        self.working.remove(memory_id)
+        self.session.remove(memory_id)
+        return self.storage.delete(memory_id)
+
+    def reinforce_recall(self, memory_ids: list[str], helpful: bool = True) -> int:
+        """Explicit feedback: strengthen/weaken recalled memories (mod.rs:10040)."""
+        n = 0
+        for mid in memory_ids:
+            mem = self.storage.get(mid)
+            if mem is None:
+                continue
+            if helpful:
+                mem.importance = min(1.0, mem.importance + C.HEBBIAN_BOOST_HELPFUL)
+            else:
+                mem.importance = max(
+                    C.IMPORTANCE_FLOOR, mem.importance * (1.0 - C.HEBBIAN_DECAY_MISLEADING)
+                )
+            self.storage.update(mem)
+            if self.feedback is not None:
+                self.feedback.record(mid, 1.0 if helpful else -1.0, scoring_now())
+            n += 1
+        if self.graph is not None:
+            self.graph.reinforce_memories(memory_ids, helpful)
+        return n
+
+    # ------------------------------------------------------------------
+    # Maintenance (reference: run_maintenance mod.rs:8757)
+    # ------------------------------------------------------------------
+
+    def run_maintenance(self) -> dict[str, Any]:
+        now = scoring_now()
+        report: dict[str, Any] = {}
+
+        # 1. Tier consolidation/promotion
+        promoted = 0
+        for mem in list(self.working.items()) + list(self.session.items()):
+            target = promotion_target(mem, now)
+            if target is not None:
+                mem.tier = target
+                self.storage.update(mem)
+                if target == MemoryTier.SESSION:
+                    self.working.remove(mem.id)
+                    self.session.add(mem)
+                else:
+                    self.session.remove(mem.id)
+                promoted += 1
+        report["promoted"] = promoted
+
+        # 2. Activation decay (emotion-modulated)
+        decayed = 0
+        from shodh_tpu.engine.decay import hybrid_decay_factor
+
+        for mem in self.storage.iter_memories():
+            ref_time = mem.last_accessed or mem.created_at
+            age_days = days_between(ref_time, now)
+            if age_days <= 0:
+                continue
+            factor = hybrid_decay_factor(age_days, potentiated=mem.importance > 0.8)
+            # Emotional modulation: arousal slows decay (EMOTIONAL_DECAY_MODULATION)
+            arousal = mem.experience.emotional.arousal
+            factor = factor + (1.0 - factor) * arousal * C.EMOTIONAL_DECAY_MODULATION
+            new_activation = max(C.INTERFERENCE_ACTIVATION_FLOOR, mem.activation * factor)
+            if abs(new_activation - mem.activation) > 1e-6:
+                mem.activation = new_activation
+                self.storage.update(mem)
+                decayed += 1
+        report["decayed"] = decayed
+
+        # 3. Graph maintenance
+        if self.graph is not None:
+            report["graph"] = self.graph.run_maintenance(now=now)
+
+        # 4. Replay cycle
+        if self.replay is not None:
+            report["replay"] = self.replay.run_cycle(now=now)
+
+        # 5. Fact distillation
+        if self.facts is not None:
+            report["facts_distilled"] = self.distill_facts()
+
+        # 6. Temporal fact decay
+        if self.temporal_facts is not None:
+            report["temporal_facts_pruned"] = self.temporal_facts.prune(now=now)
+
+        # 7. Index compaction
+        mapping = self.index.maybe_compact()
+        if mapping is not None:
+            self.storage.remap_rows(mapping)
+            report["index_compacted"] = True
+
+        return report
+
+    def distill_facts(self) -> int:
+        """Semantic consolidation of episodic clusters into facts (mod.rs:9676)."""
+        if self.facts is None:
+            return 0
+        return self.facts.distill(self.storage, now=scoring_now())
+
+    # ------------------------------------------------------------------
+    # Lifecycle
+    # ------------------------------------------------------------------
+
+    def stats(self) -> SystemStats:
+        hits = getattr(self.embedder, "hits", 0)
+        misses = getattr(self.embedder, "misses", 0)
+        return SystemStats(
+            total_memories=self.storage.count(),
+            working_count=len(self.working),
+            session_count=len(self.session),
+            index_rows=len(self.index),
+            index_deleted=self.index.n_deleted,
+            embed_cache_hits=hits,
+            embed_cache_misses=misses,
+        )
+
+    def flush(self) -> None:
+        self.index.flush()
+        self.storage.flush()
+        if self.bm25 is not None:
+            self.bm25.flush()
+
+    def save(self) -> None:
+        self.flush()
+        self.index.save(self.data_dir / "index" / "text")
+
+    def close(self) -> None:
+        self.save()
+        self.storage.close()
+        if self.graph is not None:
+            self.graph.close()

@@ -33,6 +33,11 @@ import numpy as np
 from shodh_tpu.constants import INDEX_CAPACITY_QUANTUM
 
 _BRUTE_MAX = 65_536  # above this, use the fused two-level kernel
+# At/below this capacity the search runs on host BLAS: a (B, 16k)x384 matmul
+# is tens of microseconds on CPU, far below a single device dispatch through
+# the runtime (and orders of magnitude below it through a remote TPU tunnel).
+# The device paths win when the corpus is large or queries are batched.
+_HOST_MAX = 16_384
 _COMPACT_DELETED_FRACTION = 0.30
 _BATCH_SIZES = (8, 32, 128, 256)  # padded query-batch shapes to bound retraces
 
@@ -204,6 +209,8 @@ class DeviceVectorIndex:
                 np.full((b, max(k, 0)), NEG_INF, np.float32),
                 np.full((b, max(k, 0)), -1, np.int64),
             )
+        if self._capacity <= _HOST_MAX and b <= 32:
+            return self._search_host(queries, k)
         arrays = self._device_arrays()
         vecs, scales, valid = arrays
         bp = _pad_batch(b)
@@ -218,6 +225,33 @@ class DeviceVectorIndex:
             vals, rows = brute_topk(q, vecs, valid, kp, scales)
         vals = np.asarray(vals)[:b, :k]
         rows = np.asarray(rows)[:b, :k].astype(np.int64)
+        rows = np.where(vals > NEG_INF / 2, rows, -1)
+        return vals, rows
+
+    def _search_host(self, queries: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Host BLAS brute force, bit-identical tie-break to the device path
+        (score desc, row asc)."""
+        from shodh_tpu.ops.distance import NEG_INF
+
+        self.flush()
+        n = self._count
+        vecs = self._vecs_np[:n]
+        if self.dtype == "int8":
+            scores = (queries @ vecs.T.astype(np.float32)) * self._scales_np[:n][None, :]
+        else:
+            scores = queries @ vecs.T
+        scores = np.where(self._valid_np[:n][None, :] > 0, scores, NEG_INF)
+        b = queries.shape[0]
+        kk = min(k, n)
+        # argsort(-scores) is stable -> ties resolve to ascending row id
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :kk]
+        vals = np.take_along_axis(scores, order, axis=1).astype(np.float32)
+        rows = order.astype(np.int64)
+        if kk < k:
+            pad_v = np.full((b, k - kk), NEG_INF, np.float32)
+            pad_r = np.full((b, k - kk), -1, np.int64)
+            vals = np.concatenate([vals, pad_v], axis=1)
+            rows = np.concatenate([rows, pad_r], axis=1)
         rows = np.where(vals > NEG_INF / 2, rows, -1)
         return vals, rows
 

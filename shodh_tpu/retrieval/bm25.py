@@ -1,0 +1,151 @@
+"""BM25 lexical index (the tantivy-equivalent leg).
+
+Reference: ``src/memory/hybrid_search.rs:135-520`` — a BM25 index over
+content + tags + entities with IC-term-weighted queries. This is a fresh
+in-process implementation: Okapi BM25 (k1=1.2, b=0.75) over a stemmed
+inverted index, with per-term external weights (the query parser's IC/POS
+weights) scaling each term's contribution, and field boosts for tag and
+entity matches.
+
+Persistence: tokenized postings are kept in the host KV store per document
+so restarts rebuild the in-memory index without re-tokenizing content.
+The in-memory posting lists serve queries; documents are visible to search
+immediately on upsert (no commit/reload cycle like tantivy's — that
+complexity existed to batch segment writes, which an in-memory index
+doesn't need).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+from pathlib import Path
+from typing import Optional
+
+from shodh_tpu.nlp.stemmer import stem
+from shodh_tpu.nlp.stopwords import STOPWORDS
+from shodh_tpu.storage.kv import KvStore
+from shodh_tpu.storage.serialization import decode, encode
+
+_WORD_RE = re.compile(r"[a-z0-9][a-z0-9_\-./]*")
+
+K1 = 1.2
+B = 0.75
+TAG_BOOST = 1.5
+ENTITY_BOOST = 1.3
+
+
+def tokenize(text: str) -> list[str]:
+    words = _WORD_RE.findall(text.lower())
+    return [stem(w) for w in words if w not in STOPWORDS and len(w) > 1]
+
+
+class BM25Index:
+    def __init__(self, path: str | Path | None = None):
+        self._postings: dict[str, dict[str, float]] = defaultdict(dict)  # term -> {doc: tf}
+        self._doc_len: dict[str, float] = {}
+        self._total_len = 0.0
+        self.kv: Optional[KvStore] = None
+        if path is not None:
+            self.kv = KvStore(Path(path) / "bm25.db")
+            self._load()
+
+    # -- persistence ----------------------------------------------------------
+
+    def _load(self) -> None:
+        for doc_id, raw in self.kv.scan_prefix("bm25doc", ""):
+            tf = decode(raw)
+            self._insert(doc_id, tf)
+
+    def _insert(self, doc_id: str, tf: dict[str, float]) -> None:
+        length = sum(tf.values())
+        self._doc_len[doc_id] = length
+        self._total_len += length
+        for term, f in tf.items():
+            self._postings[term][doc_id] = f
+
+    def _remove(self, doc_id: str) -> None:
+        if doc_id not in self._doc_len:
+            return
+        self._total_len -= self._doc_len.pop(doc_id)
+        for term in list(self._postings.keys()):
+            if doc_id in self._postings[term]:
+                del self._postings[term][doc_id]
+                if not self._postings[term]:
+                    del self._postings[term]
+
+    # -- write path -----------------------------------------------------------
+
+    def upsert(
+        self,
+        doc_id: str,
+        content: str,
+        tags: list[str] | None = None,
+        entities: list[str] | None = None,
+    ) -> None:
+        self._remove(doc_id)
+        tf: Counter[str] = Counter(tokenize(content))
+        weighted: dict[str, float] = dict(tf)
+        for t in tags or []:
+            for tok in tokenize(t):
+                weighted[tok] = weighted.get(tok, 0.0) + TAG_BOOST
+        for e in entities or []:
+            for tok in tokenize(e):
+                weighted[tok] = weighted.get(tok, 0.0) + ENTITY_BOOST
+        self._insert(doc_id, weighted)
+        if self.kv is not None:
+            self.kv.put("bm25doc", doc_id, encode(weighted))
+
+    def delete(self, doc_id: str) -> None:
+        self._remove(doc_id)
+        if self.kv is not None:
+            self.kv.delete("bm25doc", doc_id)
+
+    # -- search ---------------------------------------------------------------
+
+    def __len__(self) -> int:
+        return len(self._doc_len)
+
+    def search(
+        self,
+        query: str,
+        limit: int = 10,
+        term_weights: Optional[dict[str, float]] = None,
+        phrase_terms: Optional[list[str]] = None,
+    ) -> list[tuple[str, float]]:
+        """Ranked (doc_id, score). ``term_weights`` maps *stemmed* terms to
+        IC weights; ``phrase_terms`` get an extra boost when all present."""
+        n_docs = len(self._doc_len)
+        if n_docs == 0:
+            return []
+        avg_len = self._total_len / n_docs
+        q_terms = tokenize(query)
+        if not q_terms:
+            return []
+        scores: dict[str, float] = defaultdict(float)
+        seen_terms: dict[str, set[str]] = defaultdict(set)
+        for term in dict.fromkeys(q_terms):  # unique, order-preserving
+            plist = self._postings.get(term)
+            if not plist:
+                continue
+            df = len(plist)
+            idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            w = term_weights.get(term, 1.0) if term_weights else 1.0
+            for doc_id, tf in plist.items():
+                dl = self._doc_len[doc_id]
+                tf_norm = (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avg_len))
+                scores[doc_id] += w * idf * tf_norm
+                seen_terms[doc_id].add(term)
+        # Phrase boost: docs containing every phrase term
+        if phrase_terms:
+            pset = {stem(t.lower()) for t in phrase_terms}
+            for doc_id in scores:
+                if pset <= seen_terms[doc_id]:
+                    scores[doc_id] *= 1.25
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:limit]
+
+    def flush(self) -> None:
+        if self.kv is not None:
+            self.kv.flush()

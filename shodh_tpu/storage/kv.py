@@ -1,0 +1,143 @@
+"""Embedded namespaced KV store on sqlite (WAL).
+
+Plays the role of the reference's RocksDB with column families
+(``src/memory/storage.rs``): namespaces map to CFs, ordered prefix scans
+map to RocksDB iterators. sqlite3 is the idiomatic embedded store in this
+stack (stdlib, durable, zero deps) — the access patterns here (point gets,
+prefix scans over index keys, batched writes) are exactly what its B-tree
+gives us.
+
+Write modes mirror storage.rs:38-58: ``sync`` (synchronous=FULL) vs
+``async`` (NORMAL, default) via SHODH_WRITE_MODE.
+
+A small write-retry ring buffer guards transient failures
+(storage.rs:1484-1536): failed batches are retried on the next write call,
+and ``failed_writes`` is observable for metrics.
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+import threading
+from collections import deque
+from pathlib import Path
+from typing import Iterator, Optional
+
+_RETRY_BUFFER_MAX = 256
+
+
+class KvStore:
+    def __init__(self, path: str | Path, write_mode: Optional[str] = None):
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        self.path = path
+        self._local = threading.local()
+        self._lock = threading.RLock()
+        self._retry: deque[tuple[str, str, str, bytes | None]] = deque(maxlen=_RETRY_BUFFER_MAX)
+        self.failed_writes = 0
+        mode = (write_mode or os.environ.get("SHODH_WRITE_MODE", "async")).lower()
+        self._sync_pragma = "FULL" if mode == "sync" else "NORMAL"
+        conn = self._conn()
+        conn.execute(
+            "CREATE TABLE IF NOT EXISTS kv (ns TEXT NOT NULL, k TEXT NOT NULL, v BLOB,"
+            " PRIMARY KEY (ns, k)) WITHOUT ROWID"
+        )
+        conn.commit()
+
+    def _conn(self) -> sqlite3.Connection:
+        conn = getattr(self._local, "conn", None)
+        if conn is None:
+            conn = sqlite3.connect(self.path, timeout=30.0)
+            conn.execute("PRAGMA journal_mode=WAL")
+            conn.execute(f"PRAGMA synchronous={self._sync_pragma}")
+            self._local.conn = conn
+        return conn
+
+    # -- single ops -----------------------------------------------------------
+
+    def put(self, ns: str, key: str, value: bytes) -> None:
+        self.write_batch([("put", ns, key, value)])
+
+    def get(self, ns: str, key: str) -> Optional[bytes]:
+        row = self._conn().execute(
+            "SELECT v FROM kv WHERE ns = ? AND k = ?", (ns, key)
+        ).fetchone()
+        return row[0] if row else None
+
+    def delete(self, ns: str, key: str) -> None:
+        self.write_batch([("del", ns, key, None)])
+
+    def exists(self, ns: str, key: str) -> bool:
+        return (
+            self._conn()
+            .execute("SELECT 1 FROM kv WHERE ns = ? AND k = ?", (ns, key))
+            .fetchone()
+            is not None
+        )
+
+    # -- batch + retry --------------------------------------------------------
+
+    def write_batch(self, ops: list[tuple[str, str, str, bytes | None]]) -> None:
+        """Atomic batch of ('put'|'del', ns, key, value) ops."""
+        with self._lock:
+            pending = list(self._retry) + list(ops)
+            self._retry.clear()
+            conn = self._conn()
+            try:
+                with conn:
+                    for op, ns, key, value in pending:
+                        if op == "put":
+                            conn.execute(
+                                "INSERT INTO kv (ns, k, v) VALUES (?, ?, ?)"
+                                " ON CONFLICT (ns, k) DO UPDATE SET v = excluded.v",
+                                (ns, key, value),
+                            )
+                        else:
+                            conn.execute("DELETE FROM kv WHERE ns = ? AND k = ?", (ns, key))
+            except sqlite3.OperationalError:
+                self.failed_writes += 1
+                self._retry.extend(pending)
+                raise
+
+    # -- scans ----------------------------------------------------------------
+
+    def scan_prefix(self, ns: str, prefix: str = "") -> Iterator[tuple[str, bytes]]:
+        """Ordered (key, value) pairs with the given key prefix."""
+        hi = prefix + "￿"
+        cur = self._conn().execute(
+            "SELECT k, v FROM kv WHERE ns = ? AND k >= ? AND k < ? ORDER BY k",
+            (ns, prefix, hi),
+        )
+        yield from cur
+
+    def scan_range(self, ns: str, lo: str, hi: str) -> Iterator[tuple[str, bytes]]:
+        """Ordered pairs with lo <= key < hi."""
+        cur = self._conn().execute(
+            "SELECT k, v FROM kv WHERE ns = ? AND k >= ? AND k < ? ORDER BY k",
+            (ns, lo, hi),
+        )
+        yield from cur
+
+    def count(self, ns: str, prefix: str = "") -> int:
+        hi = prefix + "￿"
+        return self._conn().execute(
+            "SELECT COUNT(*) FROM kv WHERE ns = ? AND k >= ? AND k < ?",
+            (ns, prefix, hi),
+        ).fetchone()[0]
+
+    def keys(self, ns: str, prefix: str = "") -> list[str]:
+        return [k for k, _ in self.scan_prefix(ns, prefix)]
+
+    # -- lifecycle ------------------------------------------------------------
+
+    def flush(self) -> None:
+        conn = getattr(self._local, "conn", None)
+        if conn is not None:
+            conn.execute("PRAGMA wal_checkpoint(PASSIVE)")
+
+    def close(self) -> None:
+        conn = getattr(self._local, "conn", None)
+        if conn is not None:
+            conn.close()
+            self._local.conn = None

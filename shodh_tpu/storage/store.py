@@ -1,0 +1,270 @@
+"""Long-term memory storage with secondary indexes.
+
+Host-side analog of the reference's ``MemoryStorage`` (storage.rs):
+- primary records under ``mem/{id}`` (checksummed msgpack),
+- content-hash dedup index (``storage.rs:1689``),
+- a secondary-index namespace with composite keys mirroring the reference's
+  ``memory_index`` CF: ``tag:{tag}:{id}``, ``date:{ts}:{id}``,
+  ``episode:{ep}:{id}``, ``type:{t}:{id}``, precision-10 ``geo:{hash}:{id}``
+  (storage.rs:1616-1624), plus robotics keys (robot/mission/action/outcome),
+- vector-row mappings incl. multimodal modalities (storage.rs:3481-3711),
+- ``search(SearchCriteria)`` over the indexes (storage.rs:1982).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime
+from pathlib import Path
+from typing import Iterator, Optional
+
+from shodh_tpu.storage.kv import KvStore
+from shodh_tpu.storage.serialization import CorruptRecordError, decode, encode
+from shodh_tpu.types import Memory, format_ts
+from shodh_tpu.utils import geohash
+
+NS_MEM = "mem"
+NS_HASH = "hash"
+NS_IDX = "idx"
+NS_VECMAP = "vecmap"  # memory id -> {modality: [rows]}
+NS_ROWMAP = "rowmap"  # "{modality}:{row}" -> memory id
+NS_META = "meta"
+
+
+def _date_key(dt: datetime) -> str:
+    return format_ts(dt)
+
+
+@dataclass
+class SearchCriteria:
+    """AND-combined index filters (storage.rs SearchCriteria)."""
+
+    date_range: Optional[tuple[datetime, datetime]] = None
+    tags: list[str] = field(default_factory=list)
+    episode_id: Optional[str] = None
+    session_id: Optional[str] = None
+    experience_types: list[str] = field(default_factory=list)
+    geo: Optional[tuple[float, float, float]] = None  # lat, lon, radius_m
+    robot_id: Optional[str] = None
+    mission_id: Optional[str] = None
+    action_type: Optional[str] = None
+    outcome_type: Optional[str] = None
+    limit: int = 1000
+
+
+class MemoryStorage:
+    def __init__(self, path: str | Path):
+        self.kv = KvStore(Path(path) / "memories.db")
+
+    # -- index keys -----------------------------------------------------------
+
+    def _index_ops(self, mem: Memory, op: str) -> list[tuple[str, str, str, bytes | None]]:
+        exp = mem.experience
+        keys = [f"date:{_date_key(mem.created_at)}:{mem.id}"]
+        keys.append(f"type:{exp.experience_type.value}:{mem.id}")
+        keys.extend(f"tag:{t.lower()}:{mem.id}" for t in exp.tags)
+        if exp.episode_id:
+            keys.append(f"episode:{exp.episode_id}:{mem.id}")
+        if exp.session_id:
+            keys.append(f"session:{exp.session_id}:{mem.id}")
+        if exp.robot_id:
+            keys.append(f"robot:{exp.robot_id}:{mem.id}")
+        if exp.mission_id:
+            keys.append(f"mission:{exp.mission_id}:{mem.id}")
+        if exp.action_type:
+            keys.append(f"action:{exp.action_type}:{mem.id}")
+        if exp.outcome_type:
+            keys.append(f"outcome:{exp.outcome_type}:{mem.id}")
+        if exp.geo_location is not None:
+            gh = geohash.encode(exp.geo_location[0], exp.geo_location[1], 10)
+            keys.append(f"geo:{gh}:{mem.id}")
+        for ent in exp.entities:
+            keys.append(f"entity:{ent.lower()}:{mem.id}")
+        return [(op, NS_IDX, k, b"" if op == "put" else None) for k in keys]
+
+    # -- CRUD -----------------------------------------------------------------
+
+    def store(self, mem: Memory) -> None:
+        ops = [("put", NS_MEM, mem.id, encode(mem.to_dict()))]
+        if mem.content_hash:
+            ops.append(("put", NS_HASH, mem.content_hash, mem.id.encode()))
+        ops.extend(self._index_ops(mem, "put"))
+        self.kv.write_batch(ops)
+
+    def get(self, memory_id: str) -> Optional[Memory]:
+        raw = self.kv.get(NS_MEM, memory_id)
+        if raw is None:
+            return None
+        try:
+            return Memory.from_dict(decode(raw))
+        except CorruptRecordError:
+            return None
+
+    def update(self, mem: Memory) -> None:
+        old = self.get(mem.id)
+        ops: list[tuple[str, str, str, bytes | None]] = []
+        if old is not None:
+            ops.extend(self._index_ops(old, "del"))
+        ops.append(("put", NS_MEM, mem.id, encode(mem.to_dict())))
+        ops.extend(self._index_ops(mem, "put"))
+        self.kv.write_batch(ops)
+
+    def delete(self, memory_id: str) -> bool:
+        mem = self.get(memory_id)
+        if mem is None:
+            return False
+        ops = [("del", NS_MEM, memory_id, None)]
+        if mem.content_hash:
+            ops.append(("del", NS_HASH, mem.content_hash, None))
+        ops.extend(self._index_ops(mem, "del"))
+        ops.append(("del", NS_VECMAP, memory_id, None))
+        self.kv.write_batch(ops)
+        return True
+
+    def persist_access_updates(self, updates: list[tuple[str, int, Optional[datetime]]]) -> None:
+        """Batched access-count/last-accessed writes (storage.rs:1811)."""
+        ops = []
+        for mem_id, access_count, last_accessed in updates:
+            mem = self.get(mem_id)
+            if mem is None:
+                continue
+            mem.access_count = access_count
+            if last_accessed:
+                mem.last_accessed = last_accessed
+            ops.append(("put", NS_MEM, mem.id, encode(mem.to_dict())))
+        if ops:
+            self.kv.write_batch(ops)
+
+    # -- dedup ----------------------------------------------------------------
+
+    def get_by_content_hash(self, content_hash: str) -> Optional[Memory]:
+        raw = self.kv.get(NS_HASH, content_hash)
+        if raw is None:
+            return None
+        return self.get(raw.decode())
+
+    # -- vector mappings ------------------------------------------------------
+
+    def set_vector_rows(self, memory_id: str, rows: list[int], modality: str = "text") -> None:
+        cur = self.get_vector_map(memory_id)
+        cur[modality] = rows
+        ops = [("put", NS_VECMAP, memory_id, encode(cur))]
+        for r in rows:
+            ops.append(("put", NS_ROWMAP, f"{modality}:{r}", memory_id.encode()))
+        self.kv.write_batch(ops)
+
+    def get_vector_map(self, memory_id: str) -> dict:
+        raw = self.kv.get(NS_VECMAP, memory_id)
+        return decode(raw) if raw else {}
+
+    def memory_for_row(self, row: int, modality: str = "text") -> Optional[str]:
+        raw = self.kv.get(NS_ROWMAP, f"{modality}:{row}")
+        return raw.decode() if raw else None
+
+    def remap_rows(self, mapping: dict[int, int], modality: str = "text") -> None:
+        """Apply an index-compaction row remap to all stored mappings."""
+        ops: list[tuple[str, str, str, bytes | None]] = []
+        for key, val in list(self.kv.scan_prefix(NS_ROWMAP, f"{modality}:")):
+            old_row = int(key.split(":", 1)[1])
+            ops.append(("del", NS_ROWMAP, key, None))
+            if old_row in mapping:
+                ops.append(("put", NS_ROWMAP, f"{modality}:{mapping[old_row]}", val))
+        for mem_id in self.iter_ids():
+            vm = self.get_vector_map(mem_id)
+            if modality in vm:
+                vm[modality] = [mapping[r] for r in vm[modality] if r in mapping]
+                ops.append(("put", NS_VECMAP, mem_id, encode(vm)))
+        self.kv.write_batch(ops)
+
+    # -- search ---------------------------------------------------------------
+
+    def _ids_for_prefix(self, prefix: str, limit: int) -> list[str]:
+        out = []
+        for key, _ in self.kv.scan_prefix(NS_IDX, prefix):
+            out.append(key.rsplit(":", 1)[1])
+            if len(out) >= limit:
+                break
+        return out
+
+    def search(self, c: SearchCriteria) -> list[str]:
+        """Memory ids matching all criteria (index intersection)."""
+        candidate_sets: list[set[str]] = []
+        if c.date_range:
+            lo = f"date:{_date_key(c.date_range[0])}"
+            hi = f"date:{_date_key(c.date_range[1])}￿"
+            ids = [k.rsplit(":", 1)[1] for k, _ in self.kv.scan_range(NS_IDX, lo, hi)]
+            candidate_sets.append(set(ids))
+        for tag in c.tags:
+            candidate_sets.append(set(self._ids_for_prefix(f"tag:{tag.lower()}:", c.limit * 4)))
+        if c.episode_id:
+            candidate_sets.append(set(self._ids_for_prefix(f"episode:{c.episode_id}:", c.limit * 4)))
+        if c.session_id:
+            candidate_sets.append(set(self._ids_for_prefix(f"session:{c.session_id}:", c.limit * 4)))
+        if c.experience_types:
+            tset: set[str] = set()
+            for t in c.experience_types:
+                tset |= set(self._ids_for_prefix(f"type:{t}:", c.limit * 4))
+            candidate_sets.append(tset)
+        if c.robot_id:
+            candidate_sets.append(set(self._ids_for_prefix(f"robot:{c.robot_id}:", c.limit * 4)))
+        if c.mission_id:
+            candidate_sets.append(set(self._ids_for_prefix(f"mission:{c.mission_id}:", c.limit * 4)))
+        if c.action_type:
+            candidate_sets.append(set(self._ids_for_prefix(f"action:{c.action_type}:", c.limit * 4)))
+        if c.outcome_type:
+            candidate_sets.append(set(self._ids_for_prefix(f"outcome:{c.outcome_type}:", c.limit * 4)))
+        if c.geo is not None:
+            lat, lon, radius = c.geo
+            ids: set[str] = set()
+            for prefix in geohash.cover(lat, lon, radius):
+                ids |= set(self._ids_for_prefix(f"geo:{prefix}", c.limit * 4))
+            # refine by true haversine distance
+            refined = set()
+            for mid in ids:
+                mem = self.get(mid)
+                if mem and mem.experience.geo_location:
+                    glat, glon = mem.experience.geo_location[:2]
+                    if geohash.haversine_m(lat, lon, glat, glon) <= radius:
+                        refined.add(mid)
+            candidate_sets.append(refined)
+        if not candidate_sets:
+            return []
+        result = set.intersection(*candidate_sets)
+        return sorted(result)[: c.limit]
+
+    def ids_by_entity(self, entity: str, limit: int = 1000) -> list[str]:
+        return self._ids_for_prefix(f"entity:{entity.lower()}:", limit)
+
+    # -- iteration / stats ----------------------------------------------------
+
+    def iter_ids(self) -> Iterator[str]:
+        for k, _ in self.kv.scan_prefix(NS_MEM, ""):
+            yield k
+
+    def iter_memories(self) -> Iterator[Memory]:
+        for k, v in self.kv.scan_prefix(NS_MEM, ""):
+            try:
+                yield Memory.from_dict(decode(v))
+            except CorruptRecordError:
+                continue
+
+    def cleanup_corrupted(self) -> int:
+        """Drop undecodable records (storage.rs:2975). Returns count removed."""
+        bad = []
+        for k, v in self.kv.scan_prefix(NS_MEM, ""):
+            try:
+                decode(v)
+            except CorruptRecordError:
+                bad.append(k)
+        for k in bad:
+            self.kv.delete(NS_MEM, k)
+        return len(bad)
+
+    def count(self) -> int:
+        return self.kv.count(NS_MEM)
+
+    def flush(self) -> None:
+        self.kv.flush()
+
+    def close(self) -> None:
+        self.kv.close()

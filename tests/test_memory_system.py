@@ -1,0 +1,200 @@
+"""End-to-end MemorySystem tests: remember/recall/forget/filters/persistence."""
+
+from datetime import datetime, timedelta, timezone
+
+import pytest
+
+from shodh_tpu.types import Experience, ExperienceType, LayerMode, Query
+from shodh_tpu.engine.memory_system import MemorySystem
+
+
+@pytest.fixture()
+def system(tmp_path):
+    sys_ = MemorySystem(tmp_path / "m")
+    yield sys_
+    sys_.close()
+
+
+def _exp(content, **kw):
+    return Experience(content=content, **kw)
+
+
+class TestRemember:
+    def test_store_and_get(self, system):
+        mem = system.remember(_exp("We chose Rust for the backend because of memory safety."))
+        assert system.get(mem.id) is not None
+        assert mem.importance > 0.05
+        assert mem.vector_row >= 0
+
+    def test_content_hash_dedup(self, system):
+        a = system.remember(_exp("identical content"))
+        b = system.remember(_exp("identical content"))
+        assert a.id == b.id
+        assert b.access_count == 1  # reinforcement, not duplication
+        assert system.stats().total_memories == 1
+
+    def test_importance_by_type(self, system):
+        d = system.remember(_exp("chose the database", experience_type=ExperienceType.DECISION))
+        o = system.remember(_exp("saw the database", experience_type=ExperienceType.OBSERVATION))
+        assert d.importance > o.importance
+
+    def test_entities_extracted(self, system):
+        mem = system.remember(_exp("Alice deployed the RocksDB migration for Acme Corp."))
+        ents = [e.lower() for e in mem.experience.entities]
+        assert any("alice" in e for e in ents)
+
+
+class TestRecall:
+    def test_semantic_recall_ranks_relevant_first(self, system):
+        target = system.remember(
+            _exp("We chose Rust for the backend because of memory safety and latency.")
+        )
+        system.remember(_exp("The marketing report for Q3 shipped two weeks late."))
+        system.remember(_exp("Lunch options near the office are terrible on Mondays."))
+        res = system.recall(Query(query_text="Why did we pick Rust for the backend?"))
+        assert res.ids[0] == target.id
+        assert res.memories[0].score > 0
+
+    def test_layer_ladder_vector_only(self, system):
+        system.remember(_exp("Rust backend memory safety"))
+        res = system.recall(
+            Query(query_text="rust backend", layers=LayerMode.VECTOR_ONLY)
+        )
+        assert len(res.ids) == 1
+
+    def test_filters_experience_type(self, system):
+        system.remember(_exp("picked sqlite over rocksdb", experience_type=ExperienceType.DECISION))
+        system.remember(_exp("sqlite crashed on startup", experience_type=ExperienceType.ERROR))
+        res = system.recall(
+            Query(query_text="sqlite", experience_types=[ExperienceType.ERROR])
+        )
+        assert len(res.ids) == 1
+        assert system.get(res.ids[0]).experience.experience_type == ExperienceType.ERROR
+
+    def test_tag_filter(self, system):
+        system.remember(_exp("alpha release notes", tags=["release"]))
+        system.remember(_exp("alpha test plan", tags=["testing"]))
+        res = system.recall(Query(query_text="alpha", tags=["release"]))
+        assert len(res.ids) == 1
+
+    def test_time_range_filter(self, system):
+        now = datetime.now(timezone.utc)
+        old = system.remember(_exp("old deployment event"), created_at=now - timedelta(days=30))
+        new = system.remember(_exp("new deployment event"), created_at=now)
+        res = system.recall(
+            Query(
+                query_text="deployment event",
+                time_range=(now - timedelta(days=2), now + timedelta(days=1)),
+            )
+        )
+        assert res.ids == [new.id]
+
+    def test_recency_affects_ranking(self, system):
+        now = datetime.now(timezone.utc)
+        old = system.remember(
+            _exp("database migration details here"), created_at=now - timedelta(days=60)
+        )
+        fresh = system.remember(_exp("database migration details now"), created_at=now)
+        res = system.recall(Query(query_text="database migration details"))
+        assert set(res.ids[:2]) == {old.id, fresh.id}
+        assert res.ids[0] == fresh.id  # recency boost wins on equal relevance
+
+    def test_offset_pagination(self, system):
+        for i in range(5):
+            system.remember(_exp(f"pagination item number {i} about databases"))
+        r1 = system.recall(Query(query_text="pagination databases", max_results=2))
+        r2 = system.recall(Query(query_text="pagination databases", max_results=2, offset=2))
+        assert set(r1.ids).isdisjoint(r2.ids)
+
+    def test_usage_writes_and_readonly(self, system, monkeypatch):
+        mem = system.remember(_exp("usage tracking memo"))
+        system.recall(Query(query_text="usage tracking memo"))
+        assert system.get(mem.id).access_count == 1
+        monkeypatch.setenv("SHODH_RECALL_READONLY", "1")
+        system.recall(Query(query_text="usage tracking memo"))
+        assert system.get(mem.id).access_count == 1
+
+    def test_empty_query_lists_recent(self, system):
+        system.remember(_exp("just an item"))
+        res = system.recall(Query(max_results=10))
+        assert len(res.ids) == 1
+
+
+class TestRoboticsModes:
+    def test_spatial_recall(self, system):
+        from shodh_tpu.types import GeoFilter, RetrievalMode
+
+        near = system.remember(
+            _exp("obstacle at dock A", geo_location=(37.7749, -122.4194, 0.0))
+        )
+        system.remember(
+            _exp("obstacle at warehouse B", geo_location=(40.7128, -74.0060, 0.0))
+        )
+        res = system.recall(
+            Query(
+                retrieval_mode=RetrievalMode.SPATIAL,
+                geo_filter=GeoFilter(lat=37.7750, lon=-122.4195, radius_m=500),
+            )
+        )
+        assert res.ids == [near.id]
+
+    def test_mission_filter(self, system):
+        from shodh_tpu.types import RetrievalMode
+
+        m1 = system.remember(_exp("waypoint reached", mission_id="m-1"))
+        system.remember(_exp("waypoint reached again", mission_id="m-2"))
+        res = system.recall(Query(retrieval_mode=RetrievalMode.MISSION, mission_id="m-1"))
+        assert res.ids == [m1.id]
+
+    def test_reward_range(self, system):
+        from shodh_tpu.types import RetrievalMode
+
+        good = system.remember(_exp("grasp succeeded", reward=0.9))
+        system.remember(_exp("grasp failed", reward=-0.5))
+        res = system.recall(
+            Query(retrieval_mode=RetrievalMode.ACTION_OUTCOME, reward_range=(0.5, 1.0))
+        )
+        assert res.ids == [good.id]
+
+
+class TestLifecycle:
+    def test_forget(self, system):
+        mem = system.remember(_exp("to be forgotten"))
+        assert system.forget(mem.id)
+        assert system.get(mem.id) is None
+        res = system.recall(Query(query_text="to be forgotten"))
+        assert mem.id not in res.ids
+
+    def test_upsert(self, system):
+        a = system.remember(_exp("version one of the note"))
+        b = system.upsert(_exp("version two of the note"), memory_id=a.id)
+        assert system.get(a.id) is None
+        assert system.get(b.id).experience.content == "version two of the note"
+
+    def test_reinforce(self, system):
+        mem = system.remember(_exp("reinforcement target"))
+        imp0 = mem.importance
+        system.reinforce_recall([mem.id], helpful=True)
+        assert system.get(mem.id).importance > imp0
+        system.reinforce_recall([mem.id], helpful=False)
+        assert system.get(mem.id).importance < imp0 + 0.05
+
+    def test_persistence_roundtrip(self, tmp_path):
+        s1 = MemorySystem(tmp_path / "p")
+        mem = s1.remember(_exp("durable memory about kubernetes upgrades"))
+        s1.close()
+        s2 = MemorySystem(tmp_path / "p")
+        res = s2.recall(Query(query_text="kubernetes upgrades"))
+        assert res.ids[0] == mem.id
+        s2.close()
+
+    def test_maintenance_runs(self, system):
+        system.remember(_exp("maintenance subject", experience_type=ExperienceType.DECISION))
+        report = system.run_maintenance()
+        assert "promoted" in report and "decayed" in report
+
+    def test_stats(self, system):
+        system.remember(_exp("stat one"))
+        st = system.stats()
+        assert st.total_memories == 1
+        assert st.index_rows == 1
