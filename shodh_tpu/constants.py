@@ -182,6 +182,8 @@ LTP_WEEKLY_MIN_WEEKS = 2
 LTP_WEEKLY_DECAY_FACTOR = 0.3
 LTP_MIN_STRENGTH = 0.01
 LTP_PRUNE_FLOOR = 0.05
+ACTIVATION_HISTORY_L2_CAPACITY = 30
+ACTIVATION_HISTORY_L3_CAPACITY = 200
 LTP_STRENGTH_FLOOR_L2 = 0.65
 LTP_STRENGTH_FLOOR_L3 = 0.80
 LTP_READINESS_COUNT_WEIGHT = 0.5

@@ -1,0 +1,644 @@
+"""GraphMemory — the typed knowledge graph with cognitive dynamics.
+
+Host-side analog of the reference's ``src/graph_memory.rs`` (13.5k LoC):
+typed entities (coarse label, salience, mention counts, selectivity),
+Hebbian relationship edges with multi-scale LTP (graph/plasticity.py),
+episodic nodes, co-occurrence + cue-typed edges, coactivation learning,
+decay/prune/homeostasis maintenance, and spreading-activation retrieval
+(``src/memory/graph_retrieval.rs``).
+
+TPU split: the mutable graph state (dicts + KV persistence) is host-side —
+it's pointer-heavy, tiny (thousands of nodes), and mutated per request.
+The *recall-time math* (activation propagation over the adjacency) is a
+vectorized CSR matvec (graph/spreading.py) so large graphs can promote the
+same arrays to device without changing semantics.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from datetime import datetime
+from pathlib import Path
+from typing import Optional
+
+from shodh_tpu import constants as C
+from shodh_tpu.graph import plasticity
+from shodh_tpu.graph.plasticity import Edge, effective_strength, new_edge, strengthen
+from shodh_tpu.graph.relations import label_pair_relation, predicate_from_cues, spreading_weight
+from shodh_tpu.storage.kv import KvStore
+from shodh_tpu.storage.serialization import decode, encode
+from shodh_tpu.types import Memory, format_ts, parse_ts
+from shodh_tpu.utils.clock import scoring_now
+
+NS_ENTITY = "gent"
+NS_EDGE = "gedge"
+NS_EPISODE = "gepi"
+NS_ENTMEM = "gentmem"  # entity id -> [memory ids]
+
+_WORD_RE = re.compile(r"[a-z0-9]+")
+
+# Blocklist of generic terms never admitted as entities (state.rs:14-460 has
+# 200+; this is the high-frequency core, extended as needed).
+ENTITY_BLOCKLIST = frozenset(
+    """thing things stuff item items way ways time times day days week weeks
+    month months year years people person man woman number numbers part parts
+    place places case cases point points fact facts idea ideas work question
+    questions problem problems issue issues result results reason reasons
+    example examples kind kinds lot lots bit bits end start today yesterday
+    tomorrow everyone someone anyone nobody everything something anything
+    nothing area areas side sides group groups state states word words world
+    note notes update updates meeting meetings team teams user users system
+    systems data info information detail details""".split()
+)
+
+
+def canonical_name(name: str) -> str:
+    return " ".join(_WORD_RE.findall(name.lower()))
+
+
+@dataclass
+class EntityNode:
+    id: str  # canonical name doubles as id
+    name: str  # best surface form
+    label: str = "concept"
+    fine_type: str = ""
+    salience: float = 0.5
+    mention_count: int = 0
+    first_seen: Optional[datetime] = None
+    last_seen: Optional[datetime] = None
+    aliases: list[str] = field(default_factory=list)
+
+    def to_dict(self) -> dict:
+        return {
+            "id": self.id, "name": self.name, "label": self.label,
+            "fine_type": self.fine_type, "salience": self.salience,
+            "mention_count": self.mention_count,
+            "first_seen": format_ts(self.first_seen) if self.first_seen else None,
+            "last_seen": format_ts(self.last_seen) if self.last_seen else None,
+            "aliases": self.aliases,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "EntityNode":
+        return cls(
+            id=d["id"], name=d["name"], label=d.get("label", "concept"),
+            fine_type=d.get("fine_type", ""), salience=float(d.get("salience", 0.5)),
+            mention_count=int(d.get("mention_count", 0)),
+            first_seen=parse_ts(d["first_seen"]) if d.get("first_seen") else None,
+            last_seen=parse_ts(d["last_seen"]) if d.get("last_seen") else None,
+            aliases=list(d.get("aliases", [])),
+        )
+
+
+def _edge_key(a: str, b: str) -> str:
+    return f"{a}\x1f{b}" if a <= b else f"{b}\x1f{a}"
+
+
+class GraphMemory:
+    def __init__(self, path: str | Path):
+        self.kv = KvStore(Path(path) / "graph.db")
+        self.entities: dict[str, EntityNode] = {}
+        self.edges: dict[str, Edge] = {}
+        self.adjacency: dict[str, set[str]] = {}  # entity id -> neighbor ids
+        self.entity_memories: dict[str, list[str]] = {}  # entity id -> memory ids
+        self.episodes: dict[str, dict] = {}  # episode id -> {memories, entities}
+        self.alias_table: dict[str, str] = {}  # alias canonical -> entity id
+        self._dirty_entities: set[str] = set()
+        self._dirty_edges: set[str] = set()
+        self._load()
+
+    # -- persistence ----------------------------------------------------------
+
+    def _load(self) -> None:
+        for k, v in self.kv.scan_prefix(NS_ENTITY, ""):
+            ent = EntityNode.from_dict(decode(v))
+            self.entities[ent.id] = ent
+            for alias in ent.aliases:
+                self.alias_table[alias] = ent.id
+        for k, v in self.kv.scan_prefix(NS_EDGE, ""):
+            edge = Edge.from_dict(decode(v))
+            self.edges[k] = edge
+            self.adjacency.setdefault(edge.src, set()).add(edge.dst)
+            self.adjacency.setdefault(edge.dst, set()).add(edge.src)
+        for k, v in self.kv.scan_prefix(NS_ENTMEM, ""):
+            self.entity_memories[k] = decode(v)
+        for k, v in self.kv.scan_prefix(NS_EPISODE, ""):
+            self.episodes[k] = decode(v)
+
+    def flush(self) -> None:
+        ops: list[tuple[str, str, str, bytes | None]] = []
+        for eid in self._dirty_entities:
+            if eid in self.entities:
+                ops.append(("put", NS_ENTITY, eid, encode(self.entities[eid].to_dict())))
+                ops.append(("put", NS_ENTMEM, eid, encode(self.entity_memories.get(eid, []))))
+            else:
+                ops.append(("del", NS_ENTITY, eid, None))
+                ops.append(("del", NS_ENTMEM, eid, None))
+        for ek in self._dirty_edges:
+            if ek in self.edges:
+                ops.append(("put", NS_EDGE, ek, encode(self.edges[ek].to_dict())))
+            else:
+                ops.append(("del", NS_EDGE, ek, None))
+        if ops:
+            self.kv.write_batch(ops)
+        self._dirty_entities.clear()
+        self._dirty_edges.clear()
+
+    def close(self) -> None:
+        self.flush()
+        self.kv.close()
+
+    # -- entities (graph_memory.rs:3390 add_entity, :3777 find) ----------------
+
+    def add_entity(
+        self,
+        name: str,
+        label: str = "concept",
+        now: Optional[datetime] = None,
+        fine_type: str = "",
+    ) -> Optional[str]:
+        now = now or scoring_now()
+        canon = canonical_name(name)
+        if not canon or len(canon) < C.NER_ENTITY_MIN_LENGTH:
+            return None
+        if canon in ENTITY_BLOCKLIST:
+            return None
+        eid = self.alias_table.get(canon, canon)
+        ent = self.entities.get(eid)
+        if ent is None:
+            ent = EntityNode(
+                id=canon, name=name, label=label, fine_type=fine_type,
+                first_seen=now, last_seen=now, mention_count=0,
+            )
+            self.entities[canon] = ent
+            eid = canon
+        ent.mention_count += 1
+        ent.last_seen = now
+        if label != "concept" and ent.label == "concept":
+            ent.label = label
+        # Salience: recency-weighted mention frequency, saturating
+        ent.salience = min(1.0, ent.salience + 0.05 * (1.0 - ent.salience))
+        self._dirty_entities.add(eid)
+        return eid
+
+    def add_alias(self, alias: str, entity_id: str) -> None:
+        canon = canonical_name(alias)
+        if canon and canon != entity_id and entity_id in self.entities:
+            self.alias_table[canon] = entity_id
+            ent = self.entities[entity_id]
+            if canon not in ent.aliases:
+                ent.aliases.append(canon)
+                self._dirty_entities.add(entity_id)
+
+    def find_entity(self, name: str) -> Optional[EntityNode]:
+        """Strict -> alias -> fuzzy containment lookup (:3777/:3813)."""
+        canon = canonical_name(name)
+        if canon in self.entities:
+            return self.entities[canon]
+        if canon in self.alias_table:
+            return self.entities.get(self.alias_table[canon])
+        # fuzzy tier: token-subset containment (e.g. "rust" ~ "rust backend")
+        tokens = set(canon.split())
+        if not tokens:
+            return None
+        best = None
+        best_len = 10**9
+        for eid, ent in self.entities.items():
+            etoks = set(eid.split())
+            if tokens <= etoks and len(eid) < best_len:
+                best, best_len = ent, len(eid)
+        return best
+
+    def selectivity(self, entity_id: str) -> float:
+        """Discriminativeness of an entity: low for hub/stop-word-like nodes.
+
+        Saturation form: degree/(degree + half_sat*total_entities) inverted
+        (graph_memory.rs selectivity; SELECTIVITY_HALF_SAT).
+        """
+        degree = len(self.adjacency.get(entity_id, ()))
+        n = max(1, len(self.entities))
+        hubness = degree / (degree + C.SELECTIVITY_HALF_SAT * n + 1e-9)
+        return 1.0 - min(1.0, hubness * 10.0)
+
+    # -- edges ------------------------------------------------------------------
+
+    def add_relationship(
+        self,
+        src_name: str,
+        dst_name: str,
+        rel_type: str = "co_occurs",
+        now: Optional[datetime] = None,
+        importance_scale: float = 1.0,
+        provenance: Optional[str] = None,
+    ) -> Optional[Edge]:
+        now = now or scoring_now()
+        a = self.add_entity(src_name, now=now)
+        b = self.add_entity(dst_name, now=now)
+        if a is None or b is None or a == b:
+            return None
+        return self._upsert_edge(a, b, rel_type, now, importance_scale, provenance)
+
+    def _upsert_edge(
+        self, a: str, b: str, rel_type: str, now: datetime,
+        importance_scale: float = 1.0, provenance: Optional[str] = None,
+    ) -> Optional[Edge]:
+        # degree cap (MAX_ENTITY_DEGREE)
+        key = _edge_key(a, b)
+        edge = self.edges.get(key)
+        if edge is None:
+            if (
+                len(self.adjacency.get(a, ())) >= C.MAX_ENTITY_DEGREE
+                or len(self.adjacency.get(b, ())) >= C.MAX_ENTITY_DEGREE
+            ):
+                return None
+            edge = new_edge(a, b, rel_type, now, provenance=provenance)
+            self.edges[key] = edge
+            self.adjacency.setdefault(a, set()).add(b)
+            self.adjacency.setdefault(b, set()).add(a)
+        else:
+            sel = min(self.selectivity(a), self.selectivity(b))
+            strengthen(edge, now, importance_scale, selectivity=sel)
+            # typed cue upgrades a generic co-occurrence edge
+            if rel_type != "co_occurs" and edge.rel_type in ("co_occurs", "related_to"):
+                edge.rel_type = rel_type
+            if provenance and provenance not in edge.provenance:
+                edge.provenance.append(provenance)
+                if len(edge.provenance) > 8:
+                    edge.provenance = edge.provenance[-8:]
+        self._dirty_edges.add(key)
+        return edge
+
+    def get_edge(self, a_name: str, b_name: str) -> Optional[Edge]:
+        ea, eb = self.find_entity(a_name), self.find_entity(b_name)
+        if ea is None or eb is None:
+            return None
+        return self.edges.get(_edge_key(ea.id, eb.id))
+
+    def edge_density(self) -> float:
+        if not self.entities:
+            return 0.0
+        return len(self.edges) / len(self.entities)
+
+    # -- ingest (state.rs:2612 process_experience_into_graph) -------------------
+
+    def ingest_experience(self, mem: Memory, now: Optional[datetime] = None) -> None:
+        now = now or scoring_now()
+        exp = mem.experience
+        eids: list[str] = []
+        for name in exp.entities[:16]:
+            eid = self.add_entity(name, now=now)
+            if eid is not None:
+                eids.append(eid)
+                mems = self.entity_memories.setdefault(eid, [])
+                if mem.id not in mems:
+                    mems.append(mem.id)
+                self._dirty_entities.add(eid)
+        # Co-occurrence edges between all pairs in this experience; a lexical
+        # cue in the content types the relation (predicate_from_cues).
+        cue = predicate_from_cues(exp.content)
+        rel = cue[0] if cue else "co_occurs"
+        for i in range(len(eids)):
+            for j in range(i + 1, len(eids)):
+                rel_ij = rel
+                if rel == "co_occurs":
+                    la = self.entities[eids[i]].label
+                    lb = self.entities[eids[j]].label
+                    rel_ij = label_pair_relation(la, lb) or "co_occurs"
+                self._upsert_edge(
+                    eids[i], eids[j], rel_ij, now,
+                    importance_scale=mem.importance, provenance=mem.id,
+                )
+        # Episode node
+        if exp.episode_id:
+            epi = self.episodes.setdefault(
+                exp.episode_id, {"memories": [], "entities": []}
+            )
+            if mem.id not in epi["memories"]:
+                epi["memories"].append(mem.id)
+            for eid in eids:
+                if eid not in epi["entities"]:
+                    epi["entities"].append(eid)
+            self.kv.put(NS_EPISODE, exp.episode_id, encode(epi))
+
+    # -- coactivation learning (graph_memory.rs:5787) ---------------------------
+
+    def record_memory_coactivation(
+        self, memory_ids: list[str], now: Optional[datetime] = None
+    ) -> int:
+        """Recalled-together memories strengthen the edges among their
+        entities (co_retrieved edges form where none exist)."""
+        now = now or scoring_now()
+        ent_sets: list[set[str]] = []
+        for mid in memory_ids:
+            ents = {
+                eid for eid, mems in self.entity_memories.items() if mid in mems
+            }
+            if ents:
+                ent_sets.append(ents)
+        n = 0
+        for i in range(len(ent_sets)):
+            for j in range(i + 1, len(ent_sets)):
+                for a in list(ent_sets[i])[:5]:
+                    for b in list(ent_sets[j])[:5]:
+                        if a != b:
+                            if self._upsert_edge(a, b, "co_retrieved", now) is not None:
+                                n += 1
+        return n
+
+    def reinforce_memories(self, memory_ids: list[str], helpful: bool) -> None:
+        """Feedback-driven salience update on entities of the given memories."""
+        delta = C.ENTITY_SALIENCE_HELPFUL_BOOST if helpful else C.ENTITY_SALIENCE_MISLEADING_PENALTY
+        for eid, mems in self.entity_memories.items():
+            if any(m in mems for m in memory_ids):
+                ent = self.entities.get(eid)
+                if ent:
+                    ent.salience = min(1.0, max(0.0, ent.salience + delta))
+                    self._dirty_entities.add(eid)
+
+    # -- retrieval: spreading activation (graph_retrieval.rs) -------------------
+
+    def spreading_activation(
+        self,
+        seed_terms: list[str],
+        now: Optional[datetime] = None,
+        max_hops: Optional[int] = None,
+        mode: str = "spreading",
+    ) -> dict[str, float]:
+        """Activate entities from query seeds, spread along weighted edges,
+        return memory_id -> activation.
+
+        mode: "spreading" (default) | "ppr" (personalized PageRank).
+        """
+        now = now or scoring_now()
+        seeds: dict[str, float] = {}
+        for term in seed_terms[:12]:
+            ent = self.find_entity(term)
+            if ent is not None:
+                # salience-weighted initial activation
+                seeds[ent.id] = max(
+                    seeds.get(ent.id, 0.0), 1.0 * (0.5 + 0.5 * ent.salience)
+                )
+        if not seeds:
+            return {}
+
+        if mode == "ppr":
+            activation = self._personalized_pagerank(seeds)
+        else:
+            activation = self._spread(seeds, now, max_hops)
+
+        # Bidirectional intersection boost: entities reached from 2+ seeds
+        if len(seeds) >= C.BIDIRECTIONAL_MIN_ENTITIES and mode != "ppr":
+            per_seed = [
+                self._spread({sid: act}, now, max_hops=2)
+                for sid, act in list(seeds.items())[:4]
+            ]
+            if len(per_seed) >= 2:
+                for eid in activation:
+                    reached = sum(1 for p in per_seed if p.get(eid, 0.0) > C.BIDIRECTIONAL_INTERSECTION_MIN)
+                    if reached >= 2:
+                        activation[eid] *= C.BIDIRECTIONAL_INTERSECTION_BOOST
+
+        # Entities -> memories (episode retrieval from activated entities)
+        mem_activation: dict[str, float] = {}
+        for eid, act in activation.items():
+            if act < C.SPREADING_ACTIVATION_THRESHOLD:
+                continue
+            for mid in self.entity_memories.get(eid, ()):
+                mem_activation[mid] = mem_activation.get(mid, 0.0) + act
+        if mem_activation:
+            mx = max(mem_activation.values())
+            if mx > 0:
+                mem_activation = {m: a / mx for m, a in mem_activation.items()}
+        return mem_activation
+
+    def _adaptive_hops(self) -> int:
+        d = self.edge_density()
+        if d >= C.BIDIRECTIONAL_DENSITY_DENSE:
+            return C.BIDIRECTIONAL_HOPS_DENSE
+        if d <= C.BIDIRECTIONAL_DENSITY_SPARSE:
+            return C.BIDIRECTIONAL_HOPS_SPARSE
+        return C.BIDIRECTIONAL_HOPS_MEDIUM
+
+    def _spread(
+        self, seeds: dict[str, float], now: datetime, max_hops: Optional[int] = None
+    ) -> dict[str, float]:
+        hops = max_hops or self._adaptive_hops()
+        activation = dict(seeds)
+        frontier = dict(seeds)
+        for _hop in range(hops):
+            next_frontier: dict[str, float] = {}
+            for eid, act in frontier.items():
+                if act < C.SPREADING_ACTIVATION_THRESHOLD:
+                    continue
+                neighbors = self.adjacency.get(eid)
+                if not neighbors:
+                    continue
+                # cap edges per node (SPREADING_EDGE_CAP), strongest first
+                scored_edges = []
+                for nid in neighbors:
+                    edge = self.edges.get(_edge_key(eid, nid))
+                    if edge is None:
+                        continue
+                    w = effective_strength(edge, now) * spreading_weight(edge.rel_type)
+                    scored_edges.append((w, nid))
+                scored_edges.sort(key=lambda t: (-t[0], t[1]))
+                degree = len(scored_edges)
+                denom = (
+                    max(1.0, degree ** 0.5) * C.SPREADING_NORMALIZATION_FACTOR
+                    if C.SPREADING_DEGREE_NORMALIZATION
+                    else C.SPREADING_NORMALIZATION_FACTOR
+                )
+                for w, nid in scored_edges[: C.SPREADING_EDGE_CAP]:
+                    passed = act * C.SPREADING_DECAY_RATE * w / denom
+                    if passed < C.SPREADING_RELAXED_THRESHOLD:
+                        continue
+                    if passed > activation.get(nid, 0.0):
+                        activation[nid] = passed
+                        next_frontier[nid] = max(next_frontier.get(nid, 0.0), passed)
+            frontier = next_frontier
+            if not frontier:
+                break
+            if len(activation) >= C.SPREADING_EARLY_TERMINATION_CANDIDATES:
+                break
+        return activation
+
+    def _personalized_pagerank(self, seeds: dict[str, float]) -> dict[str, float]:
+        """PPR over the entity graph (graph_retrieval.rs:692: alpha=0.5,
+        30 iters, <=5000 nodes), restart distribution = normalized seeds."""
+        import numpy as np
+
+        nodes = list(self.entities.keys())[: C.PPR_MAX_NODES]
+        idx = {eid: i for i, eid in enumerate(nodes)}
+        n = len(nodes)
+        if n == 0:
+            return {}
+        now = scoring_now()
+        # Column-normalized weighted adjacency
+        mat = np.zeros((n, n), np.float32)
+        for key, edge in self.edges.items():
+            i, j = idx.get(edge.src), idx.get(edge.dst)
+            if i is None or j is None:
+                continue
+            w = effective_strength(edge, now) * spreading_weight(edge.rel_type)
+            mat[i, j] = w
+            mat[j, i] = w
+        col_sums = mat.sum(axis=0)
+        col_sums[col_sums == 0] = 1.0
+        mat /= col_sums[None, :]
+        restart = np.zeros(n, np.float32)
+        total = sum(seeds.values()) or 1.0
+        for eid, a in seeds.items():
+            if eid in idx:
+                restart[idx[eid]] = a / total
+        rank = restart.copy()
+        for _ in range(C.PPR_ITERS):
+            rank = (1 - C.PPR_ALPHA) * (mat @ rank) + C.PPR_ALPHA * restart
+        return {eid: float(rank[i]) for eid, i in idx.items() if rank[i] > 1e-6}
+
+    # -- causal spine (graph_memory.rs:4478 trace_causal_origins) ---------------
+
+    def trace_causal_origins(
+        self, entity_name: str, max_depth: int = 5
+    ) -> list[tuple[str, str, float]]:
+        """Backward walk over causal edges: (from_entity, to_entity, strength)."""
+        from shodh_tpu.graph.relations import is_causal
+
+        start = self.find_entity(entity_name)
+        if start is None:
+            return []
+        now = scoring_now()
+        out: list[tuple[str, str, float]] = []
+        visited = {start.id}
+        frontier = [start.id]
+        for _ in range(max_depth):
+            nxt = []
+            for eid in frontier:
+                for nid in self.adjacency.get(eid, ()):
+                    edge = self.edges.get(_edge_key(eid, nid))
+                    if edge is None or not is_causal(edge.rel_type):
+                        continue
+                    if nid in visited:
+                        continue
+                    visited.add(nid)
+                    out.append((nid, eid, effective_strength(edge, now)))
+                    nxt.append(nid)
+            frontier = nxt
+            if not frontier:
+                break
+        return out
+
+    def traverse_from_entity(
+        self, entity_name: str, hops: int = 2, limit: int = 50
+    ) -> list[tuple[str, int, float]]:
+        """(entity_id, hop, path_strength) BFS within `hops` (:5173)."""
+        start = self.find_entity(entity_name)
+        if start is None:
+            return []
+        now = scoring_now()
+        seen: dict[str, tuple[int, float]] = {start.id: (0, 1.0)}
+        frontier = [(start.id, 1.0)]
+        for hop in range(1, hops + 1):
+            nxt: list[tuple[str, float]] = []
+            for eid, path_w in frontier:
+                for nid in self.adjacency.get(eid, ()):
+                    edge = self.edges.get(_edge_key(eid, nid))
+                    if edge is None:
+                        continue
+                    w = path_w * effective_strength(edge, now)
+                    if nid not in seen or w > seen[nid][1]:
+                        seen[nid] = (hop, w)
+                        nxt.append((nid, w))
+            frontier = nxt
+        out = [(eid, h, w) for eid, (h, w) in seen.items() if eid != start.id]
+        out.sort(key=lambda t: (-t[2], t[0]))
+        return out[:limit]
+
+    # -- maintenance (apply_decay :6701, homeostasis :6642, inhibition :6816) ---
+
+    def run_maintenance(self, now: Optional[datetime] = None) -> dict:
+        now = now or scoring_now()
+        pruned = 0
+        for key in list(self.edges.keys()):
+            edge = self.edges[key]
+            _, prune = plasticity.decay(edge, now)
+            if prune:
+                del self.edges[key]
+                self.adjacency.get(edge.src, set()).discard(edge.dst)
+                self.adjacency.get(edge.dst, set()).discard(edge.src)
+                pruned += 1
+            self._dirty_edges.add(key)
+
+        # Synaptic homeostasis: global multiplicative scaling (x0.995)
+        for key, edge in self.edges.items():
+            edge.strength = max(C.LTP_MIN_STRENGTH, edge.strength * C.HOMEOSTASIS_SCALING_FACTOR)
+            self._dirty_edges.add(key)
+
+        # Lateral inhibition: when one edge at a node is dominant (>0.80),
+        # competitors shrink (GRAPH_LATERAL_INHIBITION_*)
+        inhibited = 0
+        for eid, neighbors in self.adjacency.items():
+            if len(neighbors) < 2:
+                continue
+            edges = [
+                self.edges[_edge_key(eid, nid)]
+                for nid in neighbors
+                if _edge_key(eid, nid) in self.edges
+            ]
+            if not edges:
+                continue
+            strongest = max(edges, key=lambda e: e.strength)
+            if strongest.strength >= C.GRAPH_LATERAL_INHIBITION_THRESHOLD:
+                for e in edges:
+                    if e is not strongest and e.ltp == "none":
+                        e.strength = max(
+                            C.LTP_MIN_STRENGTH,
+                            e.strength * (1.0 - C.GRAPH_LATERAL_INHIBITION_STRENGTH),
+                        )
+                        inhibited += 1
+                        self._dirty_edges.add(_edge_key(e.src, e.dst))
+        self.flush()
+        return {
+            "entities": len(self.entities),
+            "edges": len(self.edges),
+            "pruned": pruned,
+            "inhibited": inhibited,
+        }
+
+    # -- stats / export ---------------------------------------------------------
+
+    def stats(self) -> dict:
+        tier_census = {0: 0, 1: 0, 2: 0}
+        ltp_census: dict[str, int] = {}
+        for e in self.edges.values():
+            tier_census[e.tier] = tier_census.get(e.tier, 0) + 1
+            ltp_census[e.ltp] = ltp_census.get(e.ltp, 0) + 1
+        return {
+            "entities": len(self.entities),
+            "edges": len(self.edges),
+            "episodes": len(self.episodes),
+            "density": self.edge_density(),
+            "edge_tiers": {f"L{t+1}": c for t, c in tier_census.items()},
+            "ltp": ltp_census,
+        }
+
+    def to_dot(self, limit: int = 200) -> str:
+        """DOT export (memory/visualization.rs analog)."""
+        lines = ["graph shodh {"]
+        now = scoring_now()
+        edges = sorted(
+            self.edges.values(), key=lambda e: -effective_strength(e, now)
+        )[:limit]
+        used = set()
+        for e in edges:
+            used.add(e.src)
+            used.add(e.dst)
+        for eid in used:
+            ent = self.entities.get(eid)
+            if ent:
+                lines.append(f'  "{eid}" [label="{ent.name}", weight={ent.salience:.2f}];')
+        for e in edges:
+            w = effective_strength(e, now)
+            lines.append(f'  "{e.src}" -- "{e.dst}" [label="{e.rel_type}", weight={w:.2f}];')
+        lines.append("}")
+        return "\n".join(lines)

@@ -1,0 +1,206 @@
+"""Knowledge graph tests: entities, Hebbian plasticity, LTP, decay,
+spreading activation, coactivation, maintenance. Mirrors the reference's
+hebbian_learning_tests / spreading_activation_tests / graph_memory_tests."""
+
+from datetime import datetime, timedelta, timezone
+
+import pytest
+
+from shodh_tpu import constants as C
+from shodh_tpu.graph.graph_memory import GraphMemory, canonical_name
+from shodh_tpu.graph.plasticity import (
+    Edge,
+    decay,
+    effective_strength,
+    ltp_decay_factor,
+    new_edge,
+    strengthen,
+)
+from shodh_tpu.graph.relations import is_causal, predicate_from_cues, spreading_weight
+from shodh_tpu.types import Experience, Memory, new_memory_id
+
+NOW = datetime(2025, 7, 1, tzinfo=timezone.utc)
+
+
+@pytest.fixture()
+def graph(tmp_path):
+    g = GraphMemory(tmp_path / "g")
+    yield g
+    g.close()
+
+
+def _mem(content, entities, mem_id=None, importance=0.5, episode=None):
+    return Memory(
+        id=mem_id or new_memory_id(),
+        experience=Experience(content=content, entities=entities, episode_id=episode),
+        created_at=NOW,
+        importance=importance,
+    )
+
+
+class TestRelations:
+    def test_spreading_weights(self):
+        assert spreading_weight("causes") == 1.3
+        assert spreading_weight("co_occurs") == 0.5
+        assert spreading_weight("unknown_custom") == 1.0
+
+    def test_causal(self):
+        assert is_causal("triggers") and not is_causal("works_at")
+
+    def test_cue_extraction(self):
+        assert predicate_from_cues("The outage was caused by the migration")[0] == "triggers"
+        assert predicate_from_cues("Alice works at Acme")[0] == "works_at"
+        assert predicate_from_cues("nothing interesting here") is None
+
+
+class TestPlasticity:
+    def test_strengthen_saturates(self):
+        e = new_edge("a", "b", "co_occurs", NOW)
+        s0 = e.strength
+        for i in range(50):
+            strengthen(e, NOW + timedelta(hours=i))
+        assert s0 < e.strength <= 1.0
+
+    def test_ltp_full_after_threshold(self):
+        e = new_edge("a", "b", "co_occurs", NOW)
+        for i in range(C.LTP_THRESHOLD):
+            strengthen(e, NOW + timedelta(days=i))
+        assert e.ltp == "full"
+
+    def test_ltp_burst(self):
+        e = new_edge("a", "b", "co_occurs", NOW)
+        for i in range(C.LTP_BURST_THRESHOLD):
+            strengthen(e, NOW + timedelta(hours=i))
+        assert e.ltp in ("burst", "weekly", "full")
+        assert ltp_decay_factor(e, NOW + timedelta(hours=5)) < 1.0
+
+    def test_burst_expires(self):
+        e = new_edge("a", "b", "co_occurs", NOW)
+        for i in range(C.LTP_BURST_THRESHOLD):
+            strengthen(e, NOW + timedelta(hours=i))
+        if e.ltp == "burst":
+            assert ltp_decay_factor(e, NOW + timedelta(days=10)) == 1.0
+
+    def test_tier_promotion(self):
+        e = new_edge("a", "b", "co_occurs", NOW)
+        for i in range(30):
+            strengthen(e, NOW + timedelta(hours=i))
+        assert e.tier >= 1
+
+    def test_decay_and_prune(self):
+        e = new_edge("a", "b", "co_occurs", NOW)
+        factor, prune = decay(e, NOW + timedelta(hours=100))
+        assert factor < 1.0
+        assert prune  # L1 edge past 48h max age
+
+    def test_effective_strength_matches_write_path(self):
+        e1 = new_edge("a", "b", "co_occurs", NOW)
+        e2 = new_edge("a", "b", "co_occurs", NOW)
+        later = NOW + timedelta(hours=10)
+        virtual = effective_strength(e1, later)
+        decay(e2, later)
+        assert abs(virtual - e2.strength) < 1e-6
+
+    def test_ltp_slows_decay(self):
+        fast = new_edge("a", "b", "co_occurs", NOW)
+        slow = new_edge("a", "b", "co_occurs", NOW)
+        slow.ltp = "full"
+        later = NOW + timedelta(hours=24)
+        assert effective_strength(slow, later) > effective_strength(fast, later)
+
+
+class TestGraphMemory:
+    def test_entity_dedup_and_canonical(self, graph):
+        a = graph.add_entity("RocksDB", now=NOW)
+        b = graph.add_entity("rocksdb", now=NOW)
+        assert a == b == canonical_name("RocksDB")
+        assert graph.entities[a].mention_count == 2
+
+    def test_blocklist(self, graph):
+        assert graph.add_entity("things", now=NOW) is None
+        assert graph.add_entity("ab", now=NOW) is None  # too short
+
+    def test_alias(self, graph):
+        eid = graph.add_entity("Apple Inc", now=NOW)
+        graph.add_alias("the iPhone maker", eid)
+        assert graph.find_entity("The iPhone Maker").id == eid
+
+    def test_ingest_builds_edges(self, graph):
+        mem = _mem("Alice works at Acme using Rust", ["Alice", "Acme", "Rust"])
+        graph.ingest_experience(mem, now=NOW)
+        assert graph.get_edge("Alice", "Acme") is not None
+        # cue typed the relation
+        assert graph.get_edge("Alice", "Acme").rel_type == "works_at"
+        assert set(graph.entity_memories[canonical_name("Alice")]) == {mem.id}
+
+    def test_repeat_ingest_strengthens(self, graph):
+        m1 = _mem("Alice met Bob", ["Alice", "Bob"])
+        graph.ingest_experience(m1, now=NOW)
+        s0 = graph.get_edge("Alice", "Bob").strength
+        m2 = _mem("Alice emailed Bob", ["Alice", "Bob"])
+        graph.ingest_experience(m2, now=NOW + timedelta(hours=1))
+        assert graph.get_edge("Alice", "Bob").strength > s0
+
+    def test_spreading_activation_reaches_neighbors(self, graph):
+        m1 = _mem("Rust used in backend", ["Rust", "Backend"], mem_id="m1")
+        m2 = _mem("Backend deployed to Kubernetes", ["Backend", "Kubernetes"], mem_id="m2")
+        m3 = _mem("Lunch menu pizza", ["Pizza"], mem_id="m3")
+        for m in (m1, m2, m3):
+            graph.ingest_experience(m, now=NOW)
+        act = graph.spreading_activation(["Rust"], now=NOW)
+        assert act.get("m1", 0) > 0
+        assert act.get("m2", 0) > 0  # 2 hops via Backend
+        assert act.get("m1", 0) > act.get("m2", 0)  # closer = stronger
+        assert "m3" not in act
+
+    def test_ppr_mode(self, graph):
+        for m in (
+            _mem("Rust backend", ["Rust", "Backend"], mem_id="m1"),
+            _mem("Backend Kubernetes", ["Backend", "Kubernetes"], mem_id="m2"),
+        ):
+            graph.ingest_experience(m, now=NOW)
+        act = graph.spreading_activation(["Rust"], now=NOW, mode="ppr")
+        assert act.get("m1", 0) > 0
+
+    def test_coactivation(self, graph):
+        graph.ingest_experience(_mem("Rust rewrite", ["Rust"], mem_id="m1"), now=NOW)
+        graph.ingest_experience(_mem("Kafka queue", ["Kafka"], mem_id="m2"), now=NOW)
+        assert graph.get_edge("Rust", "Kafka") is None
+        graph.record_memory_coactivation(["m1", "m2"], now=NOW)
+        e = graph.get_edge("Rust", "Kafka")
+        assert e is not None and e.rel_type == "co_retrieved"
+
+    def test_causal_spine(self, graph):
+        graph.add_relationship("migration", "outage", "causes", now=NOW)
+        graph.add_relationship("outage", "rollback", "causes", now=NOW)
+        chain = graph.trace_causal_origins("rollback")
+        assert len(chain) == 2
+
+    def test_traverse(self, graph):
+        graph.add_relationship("aaa", "bbb", now=NOW)
+        graph.add_relationship("bbb", "ccc", now=NOW)
+        out = graph.traverse_from_entity("aaa", hops=2)
+        ids = [t[0] for t in out]
+        assert "bbb" in ids and "ccc" in ids
+
+    def test_maintenance_prunes_old_edges(self, graph):
+        graph.add_relationship("old-x", "old-y", now=NOW - timedelta(days=30))
+        report = graph.run_maintenance(now=NOW)
+        assert report["pruned"] >= 1
+        assert graph.get_edge("old-x", "old-y") is None
+
+    def test_persistence_roundtrip(self, tmp_path):
+        g1 = GraphMemory(tmp_path / "g")
+        g1.ingest_experience(_mem("Alice at Acme", ["Alice", "Acme"], mem_id="m1"), now=NOW)
+        g1.close()
+        g2 = GraphMemory(tmp_path / "g")
+        assert g2.get_edge("Alice", "Acme") is not None
+        assert g2.entity_memories[canonical_name("Alice")] == ["m1"]
+        g2.close()
+
+    def test_stats_and_dot(self, graph):
+        graph.ingest_experience(_mem("Alice at Acme", ["Alice", "Acme"]), now=NOW)
+        st = graph.stats()
+        assert st["entities"] == 2 and st["edges"] == 1
+        dot = graph.to_dot()
+        assert "alice" in dot and "--" in dot
