@@ -281,6 +281,11 @@ INTERFERENCE_COMPETITION_FACTOR = 0.15
 INTERFERENCE_VULNERABILITY_HOURS = 24
 INTERFERENCE_MAX_TRACKED = 10
 INTERFERENCE_ACTIVATION_FLOOR = 0.05
+COMPETITION_CLOSE_RATIO = 0.9
+COMPETITION_SUPPRESSION_SCALE = 10.0
+COMPETITION_SURVIVAL_FLOOR = 0.1
+COMPETITION_SURVIVOR_DAMAGE_RATIO = 0.3
+COMPETITION_SUPPRESSED_DEMOTION = 0.9
 
 # ---------------------------------------------------------------------------
 # Replay (constants.rs:2198-2250)
@@ -306,6 +311,7 @@ CONSOLIDATION_CLUSTER_SIZE_CAP = 20
 CONSOLIDATION_MIN_AGE_DAYS = 7
 CONSOLIDATION_JACCARD_THRESHOLD = 0.45
 CONSOLIDATION_MAX_CANDIDATES_PER_MEMORY = 5
+CONSOLIDATION_SALIENT_MIN_CONTENT_WORDS = 4
 FACT_DECAY_GRACE_DAYS = 90
 FACT_DECAY_HALF_LIFE_BASE_DAYS = 180.0
 FACT_DECAY_HALF_LIFE_PER_SUPPORT_DAYS = 30.0

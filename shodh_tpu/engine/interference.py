@@ -1,0 +1,80 @@
+"""Retroactive/proactive interference on store (SHO-106).
+
+Reference: mod.rs:1162-1256 — when a new memory arrives, its top-5 nearest
+existing traces compete:
+- similarity >= 0.95: near-duplicate suppression — the OLDER trace's
+  activation is demoted hard (COMPETITION_SUPPRESSED_DEMOTION);
+- similarity >= 0.85: retroactive interference — older similar traces lose
+  activation (INTERFERENCE_RETROACTIVE_DECAY), scaled by similarity;
+  proactive interference — a strong old trace (activation >= 0.8) slightly
+  dampens the new memory (INTERFERENCE_PROACTIVE_DECAY), and recently-formed
+  old traces (<24 h) are the most vulnerable.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import numpy as np
+
+from shodh_tpu import constants as C
+
+
+class InterferenceEngine:
+    def __init__(self, system):
+        self.system = system  # MemorySystem (storage + index access)
+        self.events: list[dict] = []  # bounded log for introspection
+
+    def on_store(self, mem, vector: np.ndarray, now: datetime) -> int:
+        index = self.system.index
+        if index.n_active <= 1:
+            return 0
+        vals, rows = index.search(vector[None, :], k=min(6, max(2, index.n_active)))
+        affected = 0
+        for val, row in zip(vals[0], rows[0]):
+            if row < 0 or val < C.INTERFERENCE_SIMILARITY_THRESHOLD:
+                continue
+            other_id = self.system.storage.memory_for_row(int(row))
+            if other_id is None or other_id == mem.id:
+                continue
+            other = self.system.storage.get(other_id)
+            if other is None:
+                continue
+            sim = float(val)
+            if sim >= C.INTERFERENCE_SEVERE_THRESHOLD:
+                # near-duplicate: suppress the older trace
+                other.activation = max(
+                    C.INTERFERENCE_ACTIVATION_FLOOR,
+                    other.activation * (1.0 - C.COMPETITION_SUPPRESSED_DEMOTION),
+                )
+                kind = "duplicate_suppression"
+            else:
+                # retroactive: older similar trace decays; recent traces are
+                # the most vulnerable (INTERFERENCE_VULNERABILITY_HOURS)
+                vulnerability = 1.0
+                age_h = (now - other.created_at).total_seconds() / 3600.0
+                if age_h <= C.INTERFERENCE_VULNERABILITY_HOURS:
+                    vulnerability = 1.5
+                other.activation = max(
+                    C.INTERFERENCE_ACTIVATION_FLOOR,
+                    other.activation * (1.0 - C.INTERFERENCE_RETROACTIVE_DECAY * sim * vulnerability),
+                )
+                kind = "retroactive"
+                # proactive: a strong old trace dampens the new one
+                if other.activation >= C.INTERFERENCE_PROACTIVE_THRESHOLD:
+                    mem.activation = max(
+                        C.INTERFERENCE_ACTIVATION_FLOOR,
+                        mem.activation * (1.0 - C.INTERFERENCE_PROACTIVE_DECAY * sim),
+                    )
+            self.system.storage.update(other)
+            affected += 1
+            self.events.append(
+                {"kind": kind, "new": mem.id, "old": other_id, "similarity": sim}
+            )
+            if len(self.events) > C.INTERFERENCE_MAX_TRACKED * 100:
+                self.events = self.events[-C.INTERFERENCE_MAX_TRACKED * 10 :]
+            if affected >= C.INTERFERENCE_MAX_TRACKED:
+                break
+        if affected:
+            self.system.storage.update(mem)
+        return affected

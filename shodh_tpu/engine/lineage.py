@@ -1,0 +1,198 @@
+"""Memory lineage: a causal graph over memories with git-like branches.
+
+Reference: ``src/memory/lineage.rs`` + mod.rs:10116-10298 — typed causal
+edges between memories (caused / resolved_by / informed_by / superseded_by /
+triggered_by / branched_from / related_to) with per-type confidence priors,
+from/to indexes, trace queries (ancestry walk), root-cause analysis, and
+automatic inference for new memories from entity overlap + temporal
+proximity + embedding similarity.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime, timedelta
+from typing import Optional
+
+import numpy as np
+
+from shodh_tpu import constants as C
+from shodh_tpu.storage.serialization import decode, encode
+from shodh_tpu.types import format_ts, new_memory_id, parse_ts
+
+NS_LEDGE = "ledge"
+NS_LFROM = "lfrom"  # from_memory -> edge ids
+NS_LTO = "lto"
+
+RELATIONS = tuple(C.LINEAGE_CONFIDENCE.keys())
+
+
+@dataclass
+class LineageEdge:
+    id: str
+    from_memory: str  # cause / parent
+    to_memory: str  # effect / child
+    relation: str
+    confidence: float
+    created_at: datetime
+    inferred: bool = False
+
+    def to_dict(self) -> dict:
+        return {
+            "id": self.id, "from_memory": self.from_memory, "to_memory": self.to_memory,
+            "relation": self.relation, "confidence": self.confidence,
+            "created_at": format_ts(self.created_at), "inferred": self.inferred,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "LineageEdge":
+        return cls(
+            id=d["id"], from_memory=d["from_memory"], to_memory=d["to_memory"],
+            relation=d["relation"], confidence=float(d["confidence"]),
+            created_at=parse_ts(d["created_at"]), inferred=bool(d.get("inferred", False)),
+        )
+
+
+class LineageStore:
+    def __init__(self, kv):
+        self.kv = kv
+
+    def add_edge(
+        self,
+        from_memory: str,
+        to_memory: str,
+        relation: str,
+        now: datetime,
+        confidence: Optional[float] = None,
+        inferred: bool = False,
+    ) -> Optional[LineageEdge]:
+        conf = confidence if confidence is not None else C.LINEAGE_CONFIDENCE.get(relation, 0.5)
+        if conf < C.LINEAGE_MIN_STORE_CONFIDENCE:
+            return None
+        edge = LineageEdge(
+            id=new_memory_id(), from_memory=from_memory, to_memory=to_memory,
+            relation=relation, confidence=conf, created_at=now, inferred=inferred,
+        )
+        self.kv.write_batch(
+            [
+                ("put", NS_LEDGE, edge.id, encode(edge.to_dict())),
+                ("put", NS_LFROM, f"{from_memory}:{edge.id}", b""),
+                ("put", NS_LTO, f"{to_memory}:{edge.id}", b""),
+            ]
+        )
+        return edge
+
+    def edges_from(self, memory_id: str) -> list[LineageEdge]:
+        return self._edges(NS_LFROM, memory_id)
+
+    def edges_to(self, memory_id: str) -> list[LineageEdge]:
+        return self._edges(NS_LTO, memory_id)
+
+    def _edges(self, ns: str, memory_id: str) -> list[LineageEdge]:
+        out = []
+        for key, _ in self.kv.scan_prefix(ns, f"{memory_id}:"):
+            eid = key.rsplit(":", 1)[1]
+            raw = self.kv.get(NS_LEDGE, eid)
+            if raw is not None:
+                out.append(LineageEdge.from_dict(decode(raw)))
+        return out
+
+    # -- queries (mod.rs:10116 trace_lineage, :10200 find_root_cause) ----------
+
+    def trace(self, memory_id: str, direction: str = "ancestors", max_depth: int = 10) -> list[LineageEdge]:
+        """Walk the lineage graph from a memory. ``ancestors`` follows
+        edges_to (what led to this); ``descendants`` follows edges_from."""
+        out: list[LineageEdge] = []
+        visited = {memory_id}
+        frontier = [memory_id]
+        for _ in range(max_depth):
+            nxt = []
+            for mid in frontier:
+                edges = self.edges_to(mid) if direction == "ancestors" else self.edges_from(mid)
+                for e in edges:
+                    other = e.from_memory if direction == "ancestors" else e.to_memory
+                    out.append(e)
+                    if other not in visited:
+                        visited.add(other)
+                        nxt.append(other)
+            frontier = nxt
+            if not frontier:
+                break
+        return out
+
+    def find_root_cause(self, memory_id: str) -> Optional[str]:
+        """Deepest ancestor along the highest-confidence causal path."""
+        current = memory_id
+        visited = {memory_id}
+        for _ in range(20):
+            parents = [
+                e for e in self.edges_to(current)
+                if e.relation in ("caused", "triggered_by", "branched_from")
+                and e.from_memory not in visited
+            ]
+            if not parents:
+                break
+            best = max(parents, key=lambda e: e.confidence)
+            current = best.from_memory
+            visited.add(current)
+        return current if current != memory_id else None
+
+    def stats(self) -> dict:
+        by_rel: dict[str, int] = {}
+        total = 0
+        for _, v in self.kv.scan_prefix(NS_LEDGE, ""):
+            e = LineageEdge.from_dict(decode(v))
+            by_rel[e.relation] = by_rel.get(e.relation, 0) + 1
+            total += 1
+        return {"edges": total, "by_relation": by_rel}
+
+    # -- auto-inference (infer_lineage_for_memory) -------------------------------
+
+    def infer_for_memory(self, mem, storage, index, now: datetime) -> int:
+        """Infer lineage edges for a new memory from recent candidates:
+        entity overlap >= 0.3, temporal gap <= 14 d, embedding sim >= 0.25."""
+        new_ents = {e.lower() for e in mem.experience.entities}
+        if not new_ents:
+            return 0
+        lookback = mem.created_at - timedelta(days=C.LINEAGE_LOOKBACK_DAYS)
+        vm = storage.get_vector_map(mem.id)
+        rows = vm.get("text", [])
+        new_vec = index.get_vectors(rows[:1])[0] if rows else None
+        candidates = 0
+        created = 0
+        for other in storage.iter_memories():
+            if candidates >= C.LINEAGE_MAX_CANDIDATES:
+                break
+            if other.id == mem.id or other.created_at >= mem.created_at:
+                continue
+            gap = mem.created_at - other.created_at
+            if gap > timedelta(days=C.LINEAGE_MAX_TEMPORAL_GAP_DAYS) or other.created_at < lookback:
+                continue
+            other_ents = {e.lower() for e in other.experience.entities}
+            if not other_ents:
+                continue
+            overlap = len(new_ents & other_ents) / max(1, len(new_ents | other_ents))
+            if overlap < C.LINEAGE_MIN_ENTITY_OVERLAP:
+                continue
+            candidates += 1
+            sim = 1.0
+            if new_vec is not None:
+                ovm = storage.get_vector_map(other.id)
+                orows = ovm.get("text", [])
+                if orows:
+                    ovec = index.get_vectors(orows[:1])[0]
+                    sim = float(np.dot(new_vec, ovec))
+            if sim < C.LINEAGE_MIN_EMBEDDING_SIMILARITY:
+                continue
+            # Relation heuristic: error -> later fix = resolved_by; otherwise
+            # informed_by for knowledge flow.
+            if other.experience.experience_type.value == "error":
+                relation = "resolved_by"
+            elif mem.experience.experience_type.value == "decision":
+                relation = "informed_by"
+            else:
+                relation = "related_to"
+            conf = C.LINEAGE_CONFIDENCE[relation] * (0.5 + 0.5 * overlap)
+            if self.add_edge(other.id, mem.id, relation, now, confidence=conf, inferred=True):
+                created += 1
+        return created

@@ -245,6 +245,13 @@ class MemorySystem:
         if self.replay is not None:
             self.replay.register(mem, now=now)
 
+        # 13. Lineage auto-inference (lineage.rs infer_lineage_for_memory)
+        if self.lineage is not None and experience.entities and self.storage.count() > 1:
+            self.lineage.infer_for_memory(mem, self.storage, self.index, now)
+
+        if self.introspection is not None:
+            self.introspection.record("store", mem.id, {"importance": mem.importance})
+
         return mem
 
     def batch_remember(self, experiences: list[Experience | dict]) -> list[Memory]:
@@ -390,6 +397,22 @@ class MemorySystem:
                     fused[mid] *= 1.0 + C.TEMPORAL_PREFILTER_BOOST
                 else:
                     fused[mid] = C.TEMPORAL_PREFILTER_BOOST * 0.5
+
+        # L0.6 temporal facts + L0.7 fact-source boosts (PLUS_FACTS and up)
+        if query.layers >= LayerMode.PLUS_FACTS and analysis is not None:
+            q_entities = analysis.entities or analysis.focal_terms[:4]
+            if self.temporal_facts is not None and q_entities and analysis.is_temporal_seeking:
+                for tf in self.temporal_facts.lookup(q_entities, limit=10):
+                    if tf.source_memory in fused:
+                        fused[tf.source_memory] *= 1.0 + 0.25 * C.TEMPORAL_FACT_BOOST
+                    else:
+                        fused[tf.source_memory] = 0.1 * C.TEMPORAL_FACT_BOOST
+            if self.facts is not None and q_entities:
+                for ent in q_entities[:4]:
+                    for fact in self.facts.by_entity(ent, limit=5):
+                        for mid in fact.source_memories[:4]:
+                            if mid in fused:
+                                fused[mid] *= 1.0 + 0.1 * fact.confidence
 
         timings["fusion_ms"] = (time.perf_counter() - t0) * 1000
 

@@ -229,6 +229,28 @@ class QueryParser:
                 hour=0, minute=0, second=0, microsecond=0
             )
             return (start, start + timedelta(days=7)), "this week"
+        if "tomorrow" in lowered:
+            return day_range(now + day), "tomorrow"
+        if "next week" in lowered:
+            start = (now + timedelta(days=7 - now.weekday())).replace(
+                hour=0, minute=0, second=0, microsecond=0
+            )
+            return (start, start + timedelta(days=7)), "next week"
+        if "next month" in lowered:
+            first_this = now.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+            start = (first_this + timedelta(days=32)).replace(day=1)
+            return (start, (start + timedelta(days=32)).replace(day=1)), "next month"
+        if "next year" in lowered:
+            start = now.replace(
+                year=now.year + 1, month=1, day=1, hour=0, minute=0, second=0, microsecond=0
+            )
+            return (start, start.replace(year=now.year + 2)), "next year"
+        m = re.search(r"\bin\s+(\d+)\s+(day|week|month)s?\b", lowered)
+        if m:
+            n = int(m.group(1))
+            unit = {"day": 1, "week": 7, "month": 30}[m.group(2)]
+            center = now + timedelta(days=n * unit)
+            return day_range(center - timedelta(days=unit / 2), unit + 1), m.group(0)
         if "last month" in lowered:
             first_this = now.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
             last_month_end = first_this
