@@ -1,0 +1,164 @@
+"""IVF (clustered) ANN index — the TPU-idiomatic large-scale index.
+
+Replaces the reference's Vamana graph-walk ANN (``vamana.rs``) and SPANN
+disk layout (``spann.rs``) with the clustered-scan design that maps to the
+MXU: sqrt(N) k-means partitions (centroids resident on device), queries
+probe their top-``nprobe`` clusters, and candidates are scored exactly via
+a batched gather + einsum. Same recall/latency dial as SPANN's multi-probe
+(default nprobe 10), but both phases are single XLA programs — no pointer
+chasing.
+
+Posting lists are padded to a fixed width so probing is a static-shape
+gather. Oversized clusters spill into an overflow list that every query
+scans (SPANN's multi-assignment, simplified) — recall never silently drops
+because a cluster overflowed.
+
+``estimate_recall`` mirrors vamana.rs:1128 (sampled comparison vs brute
+force) and ``tune_nprobe`` finds the smallest nprobe hitting a target
+recall — the BASELINE config-3 "nprobe sweep to recall@10 parity" story.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shodh_tpu.index.kmeans import kmeans
+from shodh_tpu.ops.distance import NEG_INF
+
+_OVERFLOW_FACTOR = 4  # cluster pad width = factor * average size
+
+
+@partial(jax.jit, static_argnames=("nprobe", "k"))
+def _ivf_search(
+    queries,  # (B, D) f32
+    centroids,  # (K, D) f32
+    postings,  # (K, P) int32, -1 padded
+    overflow,  # (O,) int32, -1 padded
+    corpus,  # (N, D) f32 | int8
+    scales,  # (N,) f32
+    valid,  # (N,) f32
+    nprobe: int,
+    k: int,
+):
+    b = queries.shape[0]
+    # Phase 1: probe clusters (one MXU matmul over centroids)
+    cscores = jnp.dot(queries, centroids.T, preferred_element_type=jnp.float32)
+    _, probe = jax.lax.top_k(cscores, nprobe)  # (B, nprobe)
+    probe = jnp.sort(probe, axis=-1)  # ascending for deterministic ties
+    # Phase 2: gather candidate rows
+    cand = postings[probe].reshape(b, -1)  # (B, nprobe * P)
+    over = jnp.broadcast_to(overflow[None, :], (b, overflow.shape[0]))
+    rows = jnp.concatenate([cand, over], axis=1)  # (B, R)
+    ok = rows >= 0
+    safe_rows = jnp.where(ok, rows, 0)
+    gathered = corpus[safe_rows]  # (B, R, D)
+    raw = jnp.einsum(
+        "bd,brd->br", queries, gathered.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    scores = raw * scales[safe_rows] * valid[safe_rows]
+    scores = jnp.where(ok & (valid[safe_rows] > 0), scores, NEG_INF)
+    kk = min(k, scores.shape[1])
+    vals, pos = jax.lax.top_k(scores, kk)
+    return vals, jnp.take_along_axis(safe_rows, pos, axis=-1)
+
+
+class IVFIndex:
+    """Immutable-build ANN over a vector matrix (rebuild-as-batched-XLA)."""
+
+    def __init__(
+        self,
+        vectors: np.ndarray,
+        dtype: str = "float32",
+        n_clusters: int | None = None,
+        kmeans_iters: int = 10,
+    ):
+        vectors = np.asarray(vectors, np.float32)
+        self.n, self.dim = vectors.shape
+        self.dtype = dtype
+        k = n_clusters or max(1, int(math.sqrt(self.n)))
+        self.n_clusters = k
+        centroids, assign = kmeans(vectors, k=k, iters=kmeans_iters)
+        # Build padded posting lists
+        counts = np.bincount(assign, minlength=k)
+        avg = max(1, int(np.ceil(self.n / k)))
+        self.pad_width = max(8, _OVERFLOW_FACTOR * avg)
+        postings = np.full((k, self.pad_width), -1, np.int32)
+        fill = np.zeros(k, np.int64)
+        overflow: list[int] = []
+        for row, c in enumerate(assign):
+            if fill[c] < self.pad_width:
+                postings[c, fill[c]] = row
+                fill[c] += 1
+            else:
+                overflow.append(row)
+        self._centroids = jnp.asarray(centroids)
+        self._postings = jnp.asarray(postings)
+        self._overflow = jnp.asarray(
+            np.asarray(overflow, np.int32) if overflow else np.full((8,), -1, np.int32)
+        )
+        if dtype == "int8":
+            from shodh_tpu.index.device_index import _quantize_int8_np
+
+            q, s = _quantize_int8_np(vectors)
+            self._corpus = jnp.asarray(q)
+            self._scales = jnp.asarray(s)
+        else:
+            self._corpus = jnp.asarray(vectors)
+            self._scales = jnp.ones((self.n,), jnp.float32)
+        self._valid = jnp.ones((self.n,), jnp.float32)
+        self._vectors_np = vectors  # kept for recall estimation
+
+    def search(
+        self, queries: np.ndarray, k: int, nprobe: int = 10
+    ) -> tuple[np.ndarray, np.ndarray]:
+        queries = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
+        nprobe = min(nprobe, self.n_clusters)
+        vals, rows = _ivf_search(
+            queries, self._centroids, self._postings, self._overflow,
+            self._corpus, self._scales, self._valid, nprobe=nprobe, k=k,
+        )
+        vals = np.asarray(vals)
+        rows = np.asarray(rows).astype(np.int64)
+        rows = np.where(vals > NEG_INF / 2, rows, -1)
+        return vals, rows
+
+    def delete_rows(self, rows) -> None:
+        valid = np.array(self._valid)  # writable copy
+        for r in rows:
+            if 0 <= r < self.n:
+                valid[r] = 0.0
+        self._valid = jnp.asarray(valid)
+
+    # -- recall estimation / tuning (vamana.rs:1128 analog) --------------------
+
+    def estimate_recall(
+        self, n_samples: int = 64, k: int = 10, nprobe: int = 10, seed: int = 0
+    ) -> float:
+        rng = np.random.default_rng(seed)
+        idx = rng.choice(self.n, size=min(n_samples, self.n), replace=False)
+        queries = self._vectors_np[idx]
+        exact = queries @ self._vectors_np.T
+        want = np.argsort(-exact, axis=1, kind="stable")[:, :k]
+        _, got = self.search(queries, k=k, nprobe=nprobe)
+        hits = sum(
+            len(set(got[i].tolist()) & set(want[i].tolist())) for i in range(len(idx))
+        )
+        return hits / (len(idx) * k)
+
+    def tune_nprobe(
+        self, target_recall: float = 0.95, k: int = 10, max_nprobe: int | None = None
+    ) -> int:
+        """Smallest nprobe achieving the target sampled recall."""
+        limit = max_nprobe or self.n_clusters
+        nprobe = 1
+        while nprobe <= limit:
+            if self.estimate_recall(k=k, nprobe=nprobe) >= target_recall:
+                return nprobe
+            nprobe *= 2
+        return limit

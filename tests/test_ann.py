@@ -1,0 +1,128 @@
+"""ANN-scale components: k-means, IVF index, PQ, sharded mesh index."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from shodh_tpu.index.ivf import IVFIndex
+from shodh_tpu.index.kmeans import kmeans
+from shodh_tpu.index.pq import ProductQuantizer
+from shodh_tpu.parallel.mesh import make_mesh
+from shodh_tpu.parallel.sharded_index import ShardedVectorIndex
+
+
+def _clustered_data(n_clusters=16, per_cluster=64, d=64, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, d)).astype(np.float32) * 3
+    pts = np.concatenate(
+        [c + rng.standard_normal((per_cluster, d)).astype(np.float32) * 0.3 for c in centers]
+    )
+    return pts / np.linalg.norm(pts, axis=1, keepdims=True)
+
+
+class TestKMeans:
+    def test_separates_clusters(self):
+        v = _clustered_data(n_clusters=8, per_cluster=32)
+        centroids, assign = kmeans(v, k=8, iters=15)
+        assert centroids.shape == (8, 64)
+        # points from the same true cluster should mostly share an assignment
+        agreement = 0
+        for c in range(8):
+            block = assign[c * 32 : (c + 1) * 32]
+            agreement += np.bincount(block, minlength=8).max() / 32
+        assert agreement / 8 > 0.8
+
+    def test_deterministic(self):
+        v = _clustered_data()
+        c1, a1 = kmeans(v, k=8)
+        c2, a2 = kmeans(v, k=8)
+        np.testing.assert_array_equal(a1, a2)
+
+
+class TestIVF:
+    def test_high_recall_with_modest_nprobe(self):
+        v = _clustered_data(n_clusters=32, per_cluster=64)  # 2048 vecs
+        idx = IVFIndex(v)
+        recall = idx.estimate_recall(n_samples=32, k=10, nprobe=8)
+        assert recall > 0.9
+
+    def test_tune_nprobe(self):
+        v = _clustered_data(n_clusters=16, per_cluster=32)
+        idx = IVFIndex(v)
+        nprobe = idx.tune_nprobe(target_recall=0.9, k=5)
+        assert 1 <= nprobe <= idx.n_clusters
+        assert idx.estimate_recall(k=5, nprobe=nprobe) >= 0.9
+
+    def test_exact_self_match(self):
+        v = _clustered_data(n_clusters=8, per_cluster=16)
+        idx = IVFIndex(v)
+        vals, rows = idx.search(v[:4], k=1, nprobe=4)
+        np.testing.assert_array_equal(rows[:, 0], np.arange(4))
+
+    def test_soft_delete(self):
+        v = _clustered_data(n_clusters=4, per_cluster=16)
+        idx = IVFIndex(v)
+        idx.delete_rows([0])
+        _, rows = idx.search(v[:1], k=1, nprobe=4)
+        assert rows[0, 0] != 0
+
+    def test_int8_mode(self):
+        v = _clustered_data(n_clusters=8, per_cluster=16)
+        idx = IVFIndex(v, dtype="int8")
+        _, rows = idx.search(v[:4], k=1, nprobe=4)
+        np.testing.assert_array_equal(rows[:, 0], np.arange(4))
+
+
+class TestPQ:
+    def test_roundtrip_preserves_geometry(self):
+        v = _clustered_data(n_clusters=8, per_cluster=64, d=64)
+        pq = ProductQuantizer(dim=64, sub_dim=8, n_centroids=32)
+        pq.train(v)
+        codes = pq.encode(v)
+        assert codes.shape == (len(v), 8) and codes.dtype == np.uint8
+        back = pq.decode(codes)
+        cos = (back * v).sum(1) / (np.linalg.norm(back, axis=1) * np.linalg.norm(v, axis=1))
+        assert cos.mean() > 0.85
+
+    def test_adc_search_recall(self):
+        v = _clustered_data(n_clusters=8, per_cluster=32, d=64)
+        pq = ProductQuantizer(dim=64, sub_dim=8, n_centroids=32)
+        pq.train(v)
+        codes = pq.encode(v)
+        queries = v[:8]
+        exact = np.argsort(-(queries @ v.T), axis=1)[:, :10]
+        _, got = pq.search(queries, codes, k=10)
+        recall = np.mean([
+            len(set(got[i].tolist()) & set(exact[i].tolist())) / 10 for i in range(8)
+        ])
+        assert recall > 0.6  # PQ is lossy; ADC should still find most
+
+
+class TestShardedIndex:
+    def test_matches_single_device_exact(self):
+        assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+        v = _clustered_data(n_clusters=16, per_cluster=16, d=64)  # 256 rows
+        mesh = make_mesh(8)
+        sharded = ShardedVectorIndex(v, mesh)
+        queries = _clustered_data(n_clusters=2, per_cluster=2, d=64, seed=9)
+        vals, rows = sharded.search(queries, k=10)
+        ref = queries @ v.T
+        for b in range(len(queries)):
+            want = np.argsort(-ref[b], kind="stable")[:10]
+            np.testing.assert_array_equal(rows[b], want)
+            np.testing.assert_allclose(vals[b], ref[b][want], rtol=1e-4)
+
+    def test_padding_rows_never_returned(self):
+        v = _clustered_data(n_clusters=3, per_cluster=7, d=32)  # 21 rows, pads to 24
+        mesh = make_mesh(8)
+        sharded = ShardedVectorIndex(v, mesh)
+        _, rows = sharded.search(v[:2], k=21)
+        assert rows.max() < 21
+
+    def test_int8_sharded(self):
+        v = _clustered_data(n_clusters=8, per_cluster=8, d=32)
+        mesh = make_mesh(8)
+        sharded = ShardedVectorIndex(v, mesh, dtype="int8")
+        _, rows = sharded.search(v[:3], k=1)
+        np.testing.assert_array_equal(rows[:, 0], np.arange(3))
