@@ -1,0 +1,119 @@
+"""Unified CLI (reference: src/cli.rs `shodh` binary).
+
+Subcommands: serve / status / remember / recall / stats / maintenance /
+bench / eval / doctor / version.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="shodh-tpu", description="TPU-native cognitive memory engine")
+    sub = p.add_subparsers(dest="cmd")
+
+    s = sub.add_parser("serve", help="run the HTTP server")
+    s.add_argument("--data-dir", default="~/.shodh-tpu")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8900)
+
+    for name in ("remember", "recall"):
+        c = sub.add_parser(name)
+        c.add_argument("text")
+        c.add_argument("--url", default="http://127.0.0.1:8900")
+        c.add_argument("--user", default="default")
+        c.add_argument("--api-key", default="dev-key-shodh-tpu")
+        if name == "recall":
+            c.add_argument("--limit", type=int, default=10)
+
+    for name in ("stats", "status", "maintenance"):
+        c = sub.add_parser(name)
+        c.add_argument("--url", default="http://127.0.0.1:8900")
+        c.add_argument("--user", default="default")
+        c.add_argument("--api-key", default="dev-key-shodh-tpu")
+
+    e = sub.add_parser("eval", help="run the recall-quality harness")
+    e.add_argument("--corpus", default="tests/recall/corpora/shodh-smoke.jsonl")
+    e.add_argument("--cases", default="tests/recall/smoke_cases.jsonl")
+    e.add_argument("--eval-now", default="2025-07-01T00:00:00Z")
+    e.add_argument("--baseline", default=None)
+    e.add_argument("--layers", default="full")
+
+    sub.add_parser("doctor", help="environment diagnosis")
+    sub.add_parser("version")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "serve":
+        from shodh_tpu.server.app import run_server
+
+        run_server(data_dir=args.data_dir, host=args.host, port=args.port)
+        return 0
+
+    if args.cmd in ("remember", "recall", "stats", "status", "maintenance"):
+        from shodh_tpu.clients.client import Memory
+
+        client = Memory(url=args.url, api_key=args.api_key, user_id=args.user)
+        if args.cmd == "remember":
+            print(client.add(args.text))
+        elif args.cmd == "recall":
+            for m in client.search(args.text, limit=args.limit):
+                print(f"{m.get('score', 0):.4f}  {m['experience']['content'][:100]}")
+        elif args.cmd == "maintenance":
+            print(json.dumps(client.run_maintenance(), indent=1))
+        else:
+            print(json.dumps(client.stats(), indent=1))
+        return 0
+
+    if args.cmd == "eval":
+        import tempfile
+        from pathlib import Path
+
+        from shodh_tpu.engine.memory_system import MemorySystem
+        from shodh_tpu.harness.runner import compare_to_baseline, run_suite
+        from shodh_tpu.types import LayerMode
+
+        tmp = tempfile.mkdtemp()
+        modes = [LayerMode.parse(m) for m in args.layers.split(",")]
+        report = run_suite(
+            make_system=lambda: MemorySystem(Path(tmp) / "sys"),
+            corpus_path=args.corpus,
+            cases_path=args.cases,
+            suite_name="cli",
+            eval_now=args.eval_now,
+            layer_modes=modes,
+        )
+        print(json.dumps(report.to_dict(), indent=1))
+        if args.baseline:
+            ok, diffs = compare_to_baseline(report, args.baseline)
+            print(json.dumps(diffs, indent=1), file=sys.stderr)
+            return 0 if ok else 1
+        return 0
+
+    if args.cmd == "doctor":
+        import jax
+
+        print(f"python: {sys.version.split()[0]}")
+        print(f"jax: {jax.__version__}, backend: {jax.default_backend()}")
+        print(f"devices: {jax.devices()}")
+        from shodh_tpu.models.embedder import default_embedder
+
+        e = default_embedder(cached=False)
+        print(f"embedder: {e.name} (dim {e.dimension})")
+        return 0
+
+    if args.cmd == "version":
+        from shodh_tpu import __version__
+
+        print(__version__)
+        return 0
+
+    p.print_help()
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,597 @@
+"""HTTP API server (aiohttp) — the reference's Axum REST surface.
+
+Route names/paths mirror ``src/handlers/router.rs`` (probe routes
+unauthenticated; everything else API-key-gated, /metrics included).
+Handlers are thin adapters over MultiUserMemoryManager; engine calls run in
+a worker thread so the event loop never blocks on device compute.
+
+Auth (reference auth.rs): keys from SHODH_API_KEYS (comma-separated),
+constant-time comparison; with no keys configured a dev key
+("dev-key-shodh-tpu") is accepted and a production warning logged.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import hmac
+import json
+import os
+import sys
+import time
+from pathlib import Path
+from typing import Any, Optional
+
+from aiohttp import web
+
+from shodh_tpu import __version__
+from shodh_tpu.server.metrics import METRICS
+from shodh_tpu.server.state import MultiUserMemoryManager, validate_user_id
+from shodh_tpu.types import Experience, Query, parse_ts
+
+DEV_KEY = "dev-key-shodh-tpu"
+MAX_BODY = 8 * 1024 * 1024  # 8 MiB frame cap (local_ipc.rs parity)
+
+PROBE_ROUTES = {"/health", "/health/live", "/health/ready", "/health/index", "/version"}
+
+
+def _api_keys() -> list[str]:
+    raw = os.environ.get("SHODH_API_KEYS", "")
+    keys = [k.strip() for k in raw.split(",") if k.strip()]
+    if not keys:
+        keys = [DEV_KEY]
+    return keys
+
+
+def _check_key(provided: Optional[str]) -> bool:
+    if not provided:
+        return False
+    return any(hmac.compare_digest(provided, k) for k in _api_keys())
+
+
+def _err(status: int, code: str, message: str) -> web.Response:
+    return web.json_response(
+        {"error": {"code": code, "message": message}}, status=status
+    )
+
+
+@web.middleware
+async def auth_middleware(request: web.Request, handler):
+    if request.path in PROBE_ROUTES:
+        return await handler(request)
+    key = request.headers.get("X-API-Key") or request.headers.get(
+        "Authorization", ""
+    ).removeprefix("Bearer ").strip()
+    if not _check_key(key):
+        METRICS.inc("shodh_http_unauthorized_total")
+        return _err(401, "unauthorized", "missing or invalid API key")
+    return await handler(request)
+
+
+@web.middleware
+async def observability_middleware(request: web.Request, handler):
+    t0 = time.perf_counter()
+    try:
+        resp = await handler(request)
+        return resp
+    finally:
+        METRICS.inc("shodh_http_requests_total")
+        METRICS.observe("shodh_http_latency_seconds", time.perf_counter() - t0)
+
+
+def make_app(manager: MultiUserMemoryManager) -> web.Application:
+    app = web.Application(
+        middlewares=[observability_middleware, auth_middleware],
+        client_max_size=MAX_BODY,
+    )
+    app["manager"] = manager
+
+    def mgr(request) -> MultiUserMemoryManager:
+        return request.app["manager"]
+
+    async def body_json(request) -> dict:
+        try:
+            return await request.json()
+        except json.JSONDecodeError as exc:
+            raise web.HTTPBadRequest(text=json.dumps({"error": {"code": "bad_json", "message": str(exc)}}))
+
+    def user_of(request, body: Optional[dict] = None) -> str:
+        uid = (body or {}).get("user_id") or request.headers.get("X-User-ID") or request.query.get("user_id") or "default"
+        return validate_user_id(uid)
+
+    async def run(fn, *args, **kw):
+        return await asyncio.to_thread(fn, *args, **kw)
+
+    def mem_json(scored_or_mem, score: Optional[float] = None) -> dict:
+        from shodh_tpu.types import Memory, ScoredMemory
+
+        if isinstance(scored_or_mem, ScoredMemory):
+            d = scored_or_mem.memory.to_dict()
+            d["score"] = scored_or_mem.score
+            d["attribution"] = scored_or_mem.attribution
+        else:
+            d = scored_or_mem.to_dict()
+            if score is not None:
+                d["score"] = score
+        return d
+
+    # -- probes ------------------------------------------------------------------
+
+    async def health(request):
+        return web.json_response({"status": "ok", "version": __version__})
+
+    async def health_index(request):
+        out = {}
+        for uid in mgr(request).known_users()[:16]:
+            sys_ = mgr(request).get_user_memory(uid)
+            out[uid] = {
+                "rows": len(sys_.index),
+                "deleted": sys_.index.n_deleted,
+            }
+        return web.json_response({"status": "ok", "indexes": out})
+
+    async def version(request):
+        return web.json_response({"version": __version__, "engine": "shodh-tpu"})
+
+    async def metrics_handler(request):
+        return web.Response(text=METRICS.render(), content_type="text/plain")
+
+    # -- memories ------------------------------------------------------------------
+
+    async def remember(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        created_at = parse_ts(body["created_at"]) if body.get("created_at") else None
+        exp = Experience.from_dict(body)
+        mem = await run(sys_.remember, exp, created_at)
+        mgr(request).audit(uid, "remember", {"memory_id": mem.id})
+        METRICS.inc("shodh_remember_total")
+        return web.json_response({"memory_id": mem.id, "importance": mem.importance})
+
+    async def batch_remember(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        items = body.get("memories") or body.get("experiences") or []
+        out = []
+        for item in items:
+            mem = await run(sys_.remember, Experience.from_dict(item))
+            out.append(mem.id)
+        METRICS.inc("shodh_remember_total", len(out))
+        return web.json_response({"memory_ids": out, "count": len(out)})
+
+    async def upsert(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        mem = await run(sys_.upsert, Experience.from_dict(body), body.get("memory_id"))
+        return web.json_response({"memory_id": mem.id})
+
+    async def recall(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        q = Query.from_dict(body)
+        debug = bool(body.get("debug"))
+        t0 = time.perf_counter()
+        result = await run(sys_.recall_with_diagnostics if debug else sys_.recall, q)
+        METRICS.inc("shodh_recall_total")
+        METRICS.observe("shodh_recall_latency_seconds", time.perf_counter() - t0)
+        resp: dict[str, Any] = {
+            "memories": [mem_json(sm) for sm in result.memories],
+            "count": len(result.memories),
+        }
+        if debug:
+            resp["stage_timings_ms"] = result.stage_timings_ms
+            resp["diagnostics"] = result.diagnostics
+        return web.json_response(resp)
+
+    async def recall_by_tags(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        q = Query(tags=body.get("tags", []), max_results=int(body.get("max_results", 10)))
+        result = await run(sys_.recall, q)
+        return web.json_response({"memories": [mem_json(sm) for sm in result.memories]})
+
+    async def get_memory(request):
+        uid = user_of(request)
+        mem = await run(mgr(request).get_user_memory(uid).get, request.match_info["memory_id"])
+        if mem is None:
+            return _err(404, "not_found", "memory not found")
+        return web.json_response(mem_json(mem))
+
+    async def list_memories(request):
+        uid = user_of(request)
+        limit = int(request.query.get("limit", 100))
+        offset = int(request.query.get("offset", 0))
+        sys_ = mgr(request).get_user_memory(uid)
+        mems = await run(sys_.get_all, limit, offset)
+        return web.json_response(
+            {"memories": [mem_json(m) for m in mems], "count": len(mems)}
+        )
+
+    async def forget(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        ok = await run(sys_.forget, body["memory_id"])
+        mgr(request).audit(uid, "forget", {"memory_id": body["memory_id"], "ok": ok})
+        return web.json_response({"forgotten": ok})
+
+    async def forget_by(request):
+        """forget/{age|tags|importance|date|pattern} family."""
+        mode = request.match_info["mode"]
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+
+        def _forget_bulk():
+            from datetime import timedelta
+
+            from shodh_tpu.utils.clock import scoring_now
+
+            doomed = []
+            for mem in sys_.storage.iter_memories():
+                if mode == "age" and mem.created_at < scoring_now() - timedelta(
+                    days=float(body.get("older_than_days", 365))
+                ):
+                    doomed.append(mem.id)
+                elif mode == "tags" and set(t.lower() for t in body.get("tags", [])) & {
+                    t.lower() for t in mem.experience.tags
+                }:
+                    doomed.append(mem.id)
+                elif mode == "importance" and mem.importance < float(
+                    body.get("below", 0.1)
+                ):
+                    doomed.append(mem.id)
+                elif mode == "date" and body.get("start") and body.get("end"):
+                    if parse_ts(body["start"]) <= mem.created_at <= parse_ts(body["end"]):
+                        doomed.append(mem.id)
+                elif mode == "pattern" and body.get("pattern", "") in mem.experience.content:
+                    doomed.append(mem.id)
+            for mid in doomed:
+                sys_.forget(mid)
+            return doomed
+
+        doomed = await run(_forget_bulk)
+        return web.json_response({"forgotten": len(doomed), "memory_ids": doomed})
+
+    async def reinforce(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        n = await run(
+            sys_.reinforce_recall, body.get("memory_ids", []), bool(body.get("helpful", True))
+        )
+        return web.json_response({"reinforced": n})
+
+    async def stats(request):
+        uid = user_of(request)
+        sys_ = mgr(request).get_user_memory(uid)
+        st = (await run(sys_.stats)).to_dict()
+        if sys_.graph is not None:
+            st["graph"] = sys_.graph.stats()
+        return web.json_response(st)
+
+    # -- graph ------------------------------------------------------------------
+
+    async def graph_stats(request):
+        uid = request.match_info.get("user_id") or user_of(request)
+        sys_ = mgr(request).get_user_memory(validate_user_id(uid))
+        return web.json_response(sys_.graph.stats() if sys_.graph else {})
+
+    async def graph_entity_find(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        ent = sys_.graph.find_entity(body["name"]) if sys_.graph else None
+        if ent is None:
+            return _err(404, "not_found", "entity not found")
+        return web.json_response(ent.to_dict())
+
+    async def graph_entity_add(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        eid = sys_.graph.add_entity(body["name"], label=body.get("label", "concept"))
+        sys_.graph.flush()
+        return web.json_response({"entity_id": eid})
+
+    async def graph_relationship_add(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        edge = sys_.graph.add_relationship(
+            body["from"], body["to"], body.get("relation", "related_to")
+        )
+        sys_.graph.flush()
+        if edge is None:
+            return _err(400, "rejected", "edge rejected (blocklist/degree cap)")
+        return web.json_response({"edge": edge.to_dict()})
+
+    async def graph_traverse(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        out = await run(
+            sys_.graph.traverse_from_entity,
+            body["entity"],
+            int(body.get("hops", 2)),
+            int(body.get("limit", 50)),
+        )
+        return web.json_response(
+            {"results": [{"entity": e, "hop": h, "strength": w} for e, h, w in out]}
+        )
+
+    async def graph_export_dot(request):
+        uid = request.match_info.get("user_id") or user_of(request)
+        sys_ = mgr(request).get_user_memory(validate_user_id(uid))
+        return web.Response(text=sys_.graph.to_dot(), content_type="text/vnd.graphviz")
+
+    # -- facts / lineage / reminders -------------------------------------------------
+
+    async def facts_list(request):
+        uid = user_of(request)
+        sys_ = mgr(request).get_user_memory(uid)
+        facts = await run(sys_.facts.all_facts)
+        return web.json_response({"facts": [f.to_dict() for f in facts]})
+
+    async def facts_by_entity(request):
+        uid = user_of(request)
+        sys_ = mgr(request).get_user_memory(uid)
+        ent = request.query.get("entity", "")
+        facts = await run(sys_.facts.by_entity, ent)
+        return web.json_response({"facts": [f.to_dict() for f in facts]})
+
+    async def facts_distill(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        n = await run(sys_.distill_facts)
+        return web.json_response({"distilled": n})
+
+    async def lineage_trace(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        edges = await run(
+            sys_.lineage.trace, body["memory_id"], body.get("direction", "ancestors")
+        )
+        return web.json_response({"edges": [e.to_dict() for e in edges]})
+
+    async def lineage_link(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        from shodh_tpu.utils.clock import scoring_now
+
+        edge = sys_.lineage.add_edge(
+            body["from"], body["to"], body.get("relation", "related_to"), scoring_now(),
+            confidence=body.get("confidence"),
+        )
+        return web.json_response({"edge": edge.to_dict() if edge else None})
+
+    async def lineage_root_cause(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        root = await run(sys_.lineage.find_root_cause, body["memory_id"])
+        return web.json_response({"root_cause": root})
+
+    async def lineage_stats(request):
+        uid = user_of(request)
+        sys_ = mgr(request).get_user_memory(uid)
+        return web.json_response(await run(sys_.lineage.stats))
+
+    async def reminders_set(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        from shodh_tpu.utils.clock import scoring_now
+
+        intent = sys_.prospective.add(
+            body["content"],
+            scoring_now(),
+            trigger_time=parse_ts(body["trigger_time"]) if body.get("trigger_time") else None,
+            context_keywords=body.get("context_keywords"),
+        )
+        return web.json_response({"reminder_id": intent.id})
+
+    async def reminders_due(request):
+        uid = user_of(request)
+        sys_ = mgr(request).get_user_memory(uid)
+        from shodh_tpu.utils.clock import scoring_now
+
+        due = await run(sys_.prospective.due_reminders, scoring_now())
+        return web.json_response({"due": [i.to_dict() for i in due]})
+
+    async def reminders_list(request):
+        uid = user_of(request)
+        sys_ = mgr(request).get_user_memory(uid)
+        return web.json_response({"pending": [i.to_dict() for i in sys_.prospective.pending()]})
+
+    # -- consolidation / maintenance / introspection -----------------------------------
+
+    async def consolidate(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        report = await run(sys_.run_maintenance)
+        return web.json_response(report)
+
+    async def consolidation_report(request):
+        uid = user_of(request)
+        sys_ = mgr(request).get_user_memory(uid)
+        return web.json_response(sys_.introspection.report() if sys_.introspection else {})
+
+    async def consolidation_events(request):
+        uid = user_of(request)
+        sys_ = mgr(request).get_user_memory(uid)
+        events = sys_.introspection.events(limit=int(request.query.get("limit", 100)))
+        return web.json_response(
+            {"events": [{"kind": e.kind, "at": e.at.isoformat(), "subject": e.subject} for e in events]}
+        )
+
+    # -- backup ------------------------------------------------------------------
+
+    async def backup_create(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        await run(sys_.save)
+        from shodh_tpu.storage.backup import create_backup
+
+        path = await run(
+            create_backup,
+            mgr(request).data_dir / "users" / uid,
+            mgr(request).data_dir / "backups" / uid,
+        )
+        return web.json_response({"backup": path})
+
+    async def backup_list(request):
+        uid = user_of(request)
+        from shodh_tpu.storage.backup import list_backups
+
+        return web.json_response(
+            {"backups": list_backups(mgr(request).data_dir / "backups" / uid)}
+        )
+
+    async def backup_verify(request):
+        body = await body_json(request)
+        from shodh_tpu.storage.backup import verify_backup
+
+        return web.json_response({"valid": await run(verify_backup, body["path"])})
+
+    # -- users / events ------------------------------------------------------------------
+
+    async def users(request):
+        return web.json_response({"users": mgr(request).known_users()})
+
+    async def user_stats(request):
+        uid = validate_user_id(request.match_info["user_id"])
+        sys_ = mgr(request).get_user_memory(uid)
+        return web.json_response((await run(sys_.stats)).to_dict())
+
+    async def events_sse(request):
+        resp = web.StreamResponse(
+            headers={"Content-Type": "text/event-stream", "Cache-Control": "no-cache"}
+        )
+        await resp.prepare(request)
+        q: asyncio.Queue = asyncio.Queue(maxsize=256)
+        mgr(request).subscribe(q)
+        try:
+            while True:
+                event = await q.get()
+                await resp.write(f"data: {json.dumps(event)}\n\n".encode())
+        except (asyncio.CancelledError, ConnectionResetError):
+            pass
+        finally:
+            mgr(request).unsubscribe(q)
+        return resp
+
+    # -- routes ------------------------------------------------------------------
+
+    app.router.add_get("/health", health)
+    app.router.add_get("/health/live", health)
+    app.router.add_get("/health/ready", health)
+    app.router.add_get("/health/index", health_index)
+    app.router.add_get("/version", version)
+    app.router.add_get("/metrics", metrics_handler)
+
+    app.router.add_post("/api/remember", remember)
+    app.router.add_post("/api/batch_remember", batch_remember)
+    app.router.add_post("/api/remember/batch", batch_remember)
+    app.router.add_post("/api/upsert", upsert)
+    app.router.add_post("/api/recall", recall)
+    app.router.add_post("/api/recall/by-tags", recall_by_tags)
+    app.router.add_post("/api/recall/tags", recall_by_tags)
+    app.router.add_get("/api/memory/{memory_id}", get_memory)
+    app.router.add_get("/api/memories/{memory_id}", get_memory)
+    app.router.add_get("/api/memories", list_memories)
+    app.router.add_post("/api/forget", forget)
+    app.router.add_post("/api/forget/{mode}", forget_by)
+    app.router.add_post("/api/reinforce", reinforce)
+    app.router.add_post("/api/feedback", reinforce)
+    app.router.add_get("/api/stats", stats)
+
+    app.router.add_get("/api/graph/{user_id}/stats", graph_stats)
+    app.router.add_post("/api/graph/entity/find", graph_entity_find)
+    app.router.add_post("/api/graph/entity/add", graph_entity_add)
+    app.router.add_post("/api/graph/relationship/add", graph_relationship_add)
+    app.router.add_post("/api/graph/traverse", graph_traverse)
+    app.router.add_get("/api/graph/{user_id}/export", graph_export_dot)
+    app.router.add_get("/api/visualization/{user_id}/dot", graph_export_dot)
+
+    app.router.add_get("/api/facts/list", facts_list)
+    app.router.add_get("/api/facts/by-entity", facts_by_entity)
+    app.router.add_post("/api/facts/distill", facts_distill)
+    app.router.add_post("/api/lineage/trace", lineage_trace)
+    app.router.add_post("/api/lineage/link", lineage_link)
+    app.router.add_post("/api/lineage/root-cause", lineage_root_cause)
+    app.router.add_get("/api/lineage/stats", lineage_stats)
+
+    app.router.add_post("/api/reminders/set", reminders_set)
+    app.router.add_get("/api/reminders/due", reminders_due)
+    app.router.add_get("/api/reminders", reminders_list)
+    app.router.add_post("/api/remind", reminders_set)
+
+    app.router.add_post("/api/consolidate", consolidate)
+    app.router.add_get("/api/consolidation/report", consolidation_report)
+    app.router.add_get("/api/consolidation/events", consolidation_events)
+
+    app.router.add_post("/api/backup/create", backup_create)
+    app.router.add_get("/api/backup/list", backup_list)
+    app.router.add_post("/api/backup/verify", backup_verify)
+
+    app.router.add_get("/api/users", users)
+    app.router.add_get("/api/users/{user_id}/stats", user_stats)
+    app.router.add_get("/api/events/sse", events_sse)
+
+    return app
+
+
+def run_server(
+    data_dir: str = "~/.shodh-tpu",
+    host: str = "127.0.0.1",
+    port: int = 8900,
+    maintenance_interval_secs: int = 3600,
+) -> None:
+    """Server entry: manager + schedulers + HTTP serve (server.rs:61 analog)."""
+    if not os.environ.get("SHODH_API_KEYS"):
+        print(
+            "WARNING: SHODH_API_KEYS unset — accepting the dev key only; "
+            "set real keys in production.",
+            file=sys.stderr,
+        )
+    manager = MultiUserMemoryManager(Path(data_dir).expanduser())
+    app = make_app(manager)
+
+    async def schedulers(app):
+        async def maintenance_loop():
+            while True:
+                await asyncio.sleep(maintenance_interval_secs)
+                await asyncio.to_thread(manager.run_maintenance_all_users)
+
+        async def reminder_loop():
+            from shodh_tpu.utils.clock import scoring_now
+
+            while True:
+                await asyncio.sleep(60)
+                for uid in manager.known_users():
+                    sys_ = manager.get_user_memory(uid)
+                    if sys_.prospective is None:
+                        continue
+                    due = await asyncio.to_thread(sys_.prospective.due_reminders, scoring_now())
+                    for intent in due:
+                        manager.audit(uid, "reminder_due", {"reminder_id": intent.id, "content": intent.content})
+
+        t1 = asyncio.create_task(maintenance_loop())
+        t2 = asyncio.create_task(reminder_loop())
+        yield
+        t1.cancel()
+        t2.cancel()
+        manager.close()
+
+    app.cleanup_ctx.append(schedulers)
+    web.run_app(app, host=host, port=port)

@@ -1,0 +1,194 @@
+"""HTTP API tests — real router over temp storage (the reference's
+TestHarness pattern, src/handlers/test_helpers.rs: no engine mocks)."""
+
+import asyncio
+import json
+
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from shodh_tpu.server.app import DEV_KEY, make_app
+from shodh_tpu.server.state import MultiUserMemoryManager
+
+HEADERS = {"X-API-Key": DEV_KEY, "X-User-ID": "tester"}
+
+
+@pytest.fixture()
+def client(tmp_path):
+    loop = asyncio.new_event_loop()
+    manager = MultiUserMemoryManager(tmp_path / "srv")
+    app = make_app(manager)
+    client = TestClient(TestServer(app), loop=loop)
+    loop.run_until_complete(client.start_server())
+
+    class Sync:
+        def request(self, method, path, body=None, headers=HEADERS):
+            async def go():
+                resp = await client.request(
+                    method, path, json=body, headers=headers
+                )
+                text = await resp.text()
+                try:
+                    return resp.status, json.loads(text)
+                except json.JSONDecodeError:
+                    return resp.status, text
+
+            return loop.run_until_complete(go())
+
+    yield Sync()
+    loop.run_until_complete(client.close())
+    manager.close()
+    loop.close()
+
+
+class TestAuth:
+    def test_probe_unauthenticated(self, client):
+        status, body = client.request("GET", "/health", headers={})
+        assert status == 200 and body["status"] == "ok"
+
+    def test_api_requires_key(self, client):
+        status, body = client.request("GET", "/api/stats", headers={})
+        assert status == 401
+
+    def test_metrics_gated(self, client):
+        status, _ = client.request("GET", "/metrics", headers={})
+        assert status == 401
+        status, text = client.request("GET", "/metrics")
+        assert status == 200 and "shodh_uptime_seconds" in text
+
+
+class TestMemoryRoutes:
+    def test_remember_recall_roundtrip(self, client):
+        status, body = client.request(
+            "POST", "/api/remember",
+            {"content": "We chose Rust for the backend because of memory safety"},
+        )
+        assert status == 200
+        mem_id = body["memory_id"]
+        status, body = client.request(
+            "POST", "/api/recall", {"query": "why rust backend"}
+        )
+        assert status == 200
+        assert body["memories"][0]["id"] == mem_id
+        assert body["memories"][0]["score"] > 0
+
+    def test_debug_recall_returns_timings(self, client):
+        client.request("POST", "/api/remember", {"content": "observability memo"})
+        status, body = client.request(
+            "POST", "/api/recall", {"query": "observability", "debug": True}
+        )
+        assert status == 200
+        assert "stage_timings_ms" in body and "diagnostics" in body
+
+    def test_get_and_list_and_forget(self, client):
+        _, body = client.request("POST", "/api/remember", {"content": "fetchable item"})
+        mem_id = body["memory_id"]
+        status, body = client.request("GET", f"/api/memory/{mem_id}")
+        assert status == 200 and body["id"] == mem_id
+        status, body = client.request("GET", "/api/memories")
+        assert body["count"] == 1
+        status, body = client.request("POST", "/api/forget", {"memory_id": mem_id})
+        assert body["forgotten"]
+        status, _ = client.request("GET", f"/api/memory/{mem_id}")
+        assert status == 404
+
+    def test_batch_remember(self, client):
+        status, body = client.request(
+            "POST", "/api/batch_remember",
+            {"memories": [{"content": f"batch item {i}"} for i in range(3)]},
+        )
+        assert body["count"] == 3
+
+    def test_forget_by_tags(self, client):
+        client.request("POST", "/api/remember", {"content": "tagged a", "tags": ["junk"]})
+        client.request("POST", "/api/remember", {"content": "tagged b", "tags": ["keep"]})
+        status, body = client.request("POST", "/api/forget/tags", {"tags": ["junk"]})
+        assert body["forgotten"] == 1
+
+    def test_user_isolation(self, client):
+        client.request("POST", "/api/remember", {"content": "secret of user A"})
+        other = {**HEADERS, "X-User-ID": "other"}
+        status, body = client.request(
+            "POST", "/api/recall", {"query": "secret"}, headers=other
+        )
+        assert body["count"] == 0
+
+    def test_reinforce(self, client):
+        _, body = client.request("POST", "/api/remember", {"content": "reinforce me"})
+        status, body = client.request(
+            "POST", "/api/reinforce", {"memory_ids": [body["memory_id"]], "helpful": True}
+        )
+        assert body["reinforced"] == 1
+
+
+class TestGraphRoutes:
+    def test_entity_and_traverse(self, client):
+        client.request(
+            "POST", "/api/remember",
+            {"content": "Alice works at Acme", "entities": ["Alice", "Acme"]},
+        )
+        status, body = client.request("POST", "/api/graph/entity/find", {"name": "Alice"})
+        assert status == 200 and body["id"] == "alice"
+        status, body = client.request("POST", "/api/graph/traverse", {"entity": "Alice"})
+        assert any(r["entity"] == "acme" for r in body["results"])
+
+    def test_graph_stats_and_dot(self, client):
+        client.request(
+            "POST", "/api/remember",
+            {"content": "Bob uses Kafka", "entities": ["Bob", "Kafka"]},
+        )
+        status, body = client.request("GET", "/api/graph/tester/stats")
+        assert body["entities"] >= 2
+        status, text = client.request("GET", "/api/graph/tester/export")
+        assert "bob" in text
+
+
+class TestAuxRoutes:
+    def test_reminders(self, client):
+        status, body = client.request(
+            "POST", "/api/reminders/set",
+            {"content": "check the deploy", "context_keywords": ["deploy"]},
+        )
+        assert status == 200
+        status, body = client.request("GET", "/api/reminders")
+        assert len(body["pending"]) == 1
+
+    def test_stats_and_users(self, client):
+        client.request("POST", "/api/remember", {"content": "stat seed"})
+        status, body = client.request("GET", "/api/stats")
+        assert body["total_memories"] == 1
+        status, body = client.request("GET", "/api/users")
+        assert "tester" in body["users"]
+
+    def test_consolidate(self, client):
+        client.request("POST", "/api/remember", {"content": "maintain me"})
+        status, body = client.request("POST", "/api/consolidate", {})
+        assert status == 200 and "promoted" in body
+
+    def test_backup_create_verify(self, client):
+        client.request("POST", "/api/remember", {"content": "backup payload"})
+        status, body = client.request("POST", "/api/backup/create", {})
+        assert status == 200
+        path = body["backup"]
+        status, body = client.request("POST", "/api/backup/verify", {"path": path})
+        assert body["valid"]
+
+    def test_lineage_routes(self, client):
+        _, a = client.request("POST", "/api/remember", {"content": "error: cache bug", "experience_type": "error", "entities": ["cache bug"]})
+        _, b = client.request("POST", "/api/remember", {"content": "fixed the cache bug", "entities": ["cache bug"]})
+        status, body = client.request(
+            "POST", "/api/lineage/trace", {"memory_id": b["memory_id"]}
+        )
+        assert status == 200
+
+
+class TestClientSDK:
+    def test_embedded_mode(self, tmp_path):
+        from shodh_tpu.clients.client import Memory
+
+        with Memory(embedded=True, data_dir=str(tmp_path / "emb")) as m:
+            mid = m.add("embedded mode memory about testing", memory_type="learning")
+            hits = m.search("embedded testing")
+            assert hits[0]["id"] == mid
+            assert m.stats()["total_memories"] == 1
+            assert m.delete(mid)
