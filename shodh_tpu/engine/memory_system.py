@@ -90,6 +90,9 @@ class MemorySystem:
         self.replay = None  # engine/replay.py
         self.prospective = None  # engine/prospective.py
         self.introspection = None  # engine/introspection.py
+        self.todos = None  # engine/todos.py
+        self.sessions = None  # engine/sessions.py
+        self.files = None  # engine/files.py
         self._pending_access: list[tuple[str, int, Optional[datetime]]] = []
         self._init_subsystems()
 
@@ -150,6 +153,16 @@ class MemorySystem:
             self.introspection = ConsolidationEventBuffer()
         except ImportError:
             pass
+        try:
+            from shodh_tpu.engine.files import FileMemoryStore
+            from shodh_tpu.engine.sessions import SessionStore
+            from shodh_tpu.engine.todos import TodoStore
+
+            self.todos = TodoStore(self.storage.kv, self.embedder)
+            self.sessions = SessionStore(self.storage.kv)
+            self.files = FileMemoryStore(self.storage.kv, self.embedder)
+        except ImportError:
+            self.todos = self.sessions = self.files = None
 
     # ------------------------------------------------------------------
     # Properties
@@ -211,6 +224,13 @@ class MemorySystem:
             tier=MemoryTier.WORKING,
             content_hash=chash,
         )
+
+        # 5.5 Session timeline tracking (sessions.rs) — before the durable
+        # store so the assigned session id lands in the indexed record.
+        if self.sessions is not None:
+            session = self.sessions.track(mem.id, now=now)
+            if experience.session_id is None:
+                experience.session_id = session.id
 
         # 6. Durable store + secondary indexes
         rows = self.index.add(vectors)

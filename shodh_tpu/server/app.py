@@ -490,6 +490,193 @@ def make_app(manager: MultiUserMemoryManager) -> web.Application:
             mgr(request).unsubscribe(q)
         return resp
 
+    # -- todos / projects ----------------------------------------------------------
+
+    async def todos_add(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        from shodh_tpu.utils.clock import scoring_now
+
+        todo = await run(
+            lambda: sys_.todos.add(
+                body.get("title") or body["content"],
+                scoring_now(),
+                description=body.get("description", ""),
+                priority=body.get("priority", "medium"),
+                due=parse_ts(body["due"]) if body.get("due") else None,
+                recurrence=body.get("recurrence"),
+                project_id=body.get("project_id"),
+                tags=body.get("tags"),
+                parent_id=body.get("parent_id"),
+            )
+        )
+        return web.json_response({"todo": todo.to_dict()})
+
+    async def todos_list(request):
+        uid = user_of(request)
+        sys_ = mgr(request).get_user_memory(uid)
+        todos = await run(
+            sys_.todos.list,
+            request.query.get("status"),
+            request.query.get("project_id"),
+            request.query.get("include_done") == "1",
+        )
+        return web.json_response({"todos": [t.to_dict() for t in todos]})
+
+    async def todos_complete(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        from shodh_tpu.utils.clock import scoring_now
+
+        todo_id = request.match_info.get("todo_id") or body.get("todo_id")
+        todo = await run(sys_.todos.complete, todo_id, scoring_now())
+        if todo is None:
+            return _err(404, "not_found", "todo not found")
+        return web.json_response({"todo": todo.to_dict()})
+
+    async def todos_update(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        todo_id = request.match_info.get("todo_id") or body.get("todo_id")
+        todo = sys_.todos.get(todo_id)
+        if todo is None:
+            return _err(404, "not_found", "todo not found")
+        for k in ("title", "description", "status", "priority", "recurrence", "tags"):
+            if k in body:
+                setattr(todo, k, body[k])
+        if "due" in body:
+            todo.due = parse_ts(body["due"]) if body["due"] else None
+        if "order" in body:
+            todo.order = float(body["order"])
+        sys_.todos.update(todo)
+        return web.json_response({"todo": todo.to_dict()})
+
+    async def todos_delete(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        todo_id = request.match_info.get("todo_id") or body.get("todo_id")
+        return web.json_response({"deleted": sys_.todos.delete(todo_id)})
+
+    async def todos_due(request):
+        uid = user_of(request)
+        sys_ = mgr(request).get_user_memory(uid)
+        from shodh_tpu.utils.clock import scoring_now
+
+        due = await run(sys_.todos.due_before, scoring_now())
+        return web.json_response({"due": [t.to_dict() for t in due]})
+
+    async def todos_stats(request):
+        uid = user_of(request)
+        sys_ = mgr(request).get_user_memory(uid)
+        return web.json_response(await run(sys_.todos.stats))
+
+    async def todos_comment(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        from shodh_tpu.utils.clock import scoring_now
+
+        c = await run(
+            sys_.todos.comment, request.match_info["todo_id"], body["text"], scoring_now()
+        )
+        if c is None:
+            return _err(404, "not_found", "todo not found")
+        return web.json_response({"comment": c.to_dict()})
+
+    async def projects_add(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        from shodh_tpu.utils.clock import scoring_now
+
+        p = sys_.todos.add_project(body["name"], scoring_now(), body.get("description", ""))
+        return web.json_response({"project": p.to_dict()})
+
+    async def projects_list(request):
+        uid = user_of(request)
+        sys_ = mgr(request).get_user_memory(uid)
+        return web.json_response({"projects": [p.to_dict() for p in sys_.todos.list_projects()]})
+
+    # -- sessions ------------------------------------------------------------------
+
+    async def sessions_history(request):
+        uid = user_of(request)
+        sys_ = mgr(request).get_user_memory(uid)
+        return web.json_response(
+            {"sessions": [s.to_dict() for s in sys_.sessions.history()]}
+        )
+
+    async def sessions_end(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        from shodh_tpu.utils.clock import scoring_now
+
+        s = sys_.sessions.end(scoring_now(), storage=sys_.storage)
+        return web.json_response({"session": s.to_dict() if s else None})
+
+    async def sessions_stats(request):
+        uid = user_of(request)
+        sys_ = mgr(request).get_user_memory(uid)
+        return web.json_response(await run(sys_.sessions.stats))
+
+    # -- files ------------------------------------------------------------------
+
+    async def files_learn(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        from shodh_tpu.utils.clock import scoring_now
+
+        fk = await run(
+            sys_.files.learn, body["path"], body["note"], scoring_now(), body.get("kind", "observation")
+        )
+        return web.json_response({"file": fk.to_dict()})
+
+    async def files_search(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        hits = await run(sys_.files.search, body["query"], int(body.get("limit", 10)))
+        return web.json_response(
+            {"files": [{**f.to_dict(), "score": s} for f, s in hits]}
+        )
+
+    async def files_stats(request):
+        uid = user_of(request)
+        sys_ = mgr(request).get_user_memory(uid)
+        return web.json_response(await run(sys_.files.stats))
+
+    # -- proactive context ---------------------------------------------------------
+
+    async def proactive_context(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        from shodh_tpu.engine.relevance import RelevanceEngine, WorkingContext
+
+        engine = getattr(sys_, "_relevance", None)
+        if engine is None:
+            engine = RelevanceEngine(sys_)
+            sys_._relevance = engine
+        ctx = WorkingContext(
+            text=body.get("text", body.get("context", "")),
+            current_file=body.get("current_file"),
+            entities=body.get("entities", []),
+            project_id=body.get("project_id"),
+        )
+        hits = await run(engine.proactive_context, ctx, int(body.get("limit", 5)))
+        out = []
+        for mid, score in hits:
+            mem = sys_.get(mid)
+            if mem is not None:
+                out.append({**mem_json(mem), "relevance": score})
+        return web.json_response({"memories": out})
+
     # -- routes ------------------------------------------------------------------
 
     app.router.add_get("/health", health)
@@ -547,6 +734,36 @@ def make_app(manager: MultiUserMemoryManager) -> web.Application:
     app.router.add_get("/api/users", users)
     app.router.add_get("/api/users/{user_id}/stats", user_stats)
     app.router.add_get("/api/events/sse", events_sse)
+
+    app.router.add_post("/api/todos/add", todos_add)
+    app.router.add_post("/api/todos", todos_add)
+    app.router.add_get("/api/todos", todos_list)
+    app.router.add_get("/api/todos/list", todos_list)
+    app.router.add_get("/api/todos/due", todos_due)
+    app.router.add_get("/api/todos/stats", todos_stats)
+    app.router.add_post("/api/todos/complete", todos_complete)
+    app.router.add_post("/api/todos/{todo_id}/complete", todos_complete)
+    app.router.add_post("/api/todos/update", todos_update)
+    app.router.add_post("/api/todos/{todo_id}/update", todos_update)
+    app.router.add_post("/api/todos/delete", todos_delete)
+    app.router.add_post("/api/todos/{todo_id}/comments", todos_comment)
+    app.router.add_post("/api/projects/add", projects_add)
+    app.router.add_post("/api/projects", projects_add)
+    app.router.add_get("/api/projects/list", projects_list)
+    app.router.add_get("/api/projects", projects_list)
+
+    app.router.add_get("/api/sessions/history", sessions_history)
+    app.router.add_get("/api/sessions", sessions_history)
+    app.router.add_post("/api/sessions/end", sessions_end)
+    app.router.add_get("/api/sessions/stats", sessions_stats)
+
+    app.router.add_post("/api/files/learn", files_learn)
+    app.router.add_post("/api/projects/files/search", files_search)
+    app.router.add_get("/api/files/stats", files_stats)
+
+    app.router.add_post("/api/proactive_context", proactive_context)
+    app.router.add_post("/api/context", proactive_context)
+    app.router.add_post("/api/relevant", proactive_context)
 
     return app
 

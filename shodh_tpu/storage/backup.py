@@ -29,7 +29,9 @@ def _digest(path: Path) -> str:
 def create_backup(data_dir: str | Path, backup_root: str | Path) -> str:
     """Snapshot ``data_dir`` into ``backup_root/<timestamp>``; returns the path."""
     data_dir = Path(data_dir)
-    stamp = time.strftime("%Y%m%dT%H%M%S") + f"-{int(time.time_ns() % 1_000_000):06d}"
+    # time_ns suffix keeps names lexicographically monotonic (19 digits
+    # until ~2033), so retention ordering is creation ordering.
+    stamp = time.strftime("%Y%m%dT%H%M%S") + f"-{time.time_ns()}"
     dest = Path(backup_root) / stamp
     dest.mkdir(parents=True, exist_ok=False)
     manifest: dict[str, str] = {}
