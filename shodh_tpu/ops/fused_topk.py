@@ -113,6 +113,26 @@ def groupmax_scores(queries, corpus, scales, valid):
     return gmax_t.T  # (B, G)
 
 
+def groupmax_scores_xla(queries, corpus, scales, valid):
+    """Pure-XLA pass 1 (no Pallas): materializes the (B, N) score matrix in
+    HBM, then reduces per group. Costs ~2x score-matrix HBM traffic vs the
+    fused kernel but has zero custom-kernel risk; selected via
+    SHODH_TOPK_IMPL=xla for A/B and as a fallback."""
+    from shodh_tpu.ops.distance import masked_scores
+
+    scores = masked_scores(queries, corpus, valid, scales)  # (B, N)
+    b, n = scores.shape
+    return jnp.max(scores.reshape(b, n // GROUP, GROUP), axis=-1)
+
+
+def _groupmax(queries, corpus, scales, valid):
+    import os
+
+    if os.environ.get("SHODH_TOPK_IMPL", "pallas").lower() == "xla":
+        return groupmax_scores_xla(queries, corpus, scales, valid)
+    return groupmax_scores(queries, corpus, scales, valid)
+
+
 @partial(jax.jit, static_argnames=("k",))
 def two_level_topk(queries, corpus, valid, k: int, scales=None):
     """Exact top-k via fused group-max + group rescoring.
@@ -123,7 +143,7 @@ def two_level_topk(queries, corpus, valid, k: int, scales=None):
     n = corpus.shape[0]
     if scales is None:
         scales = jnp.ones((n,), jnp.float32)
-    gmax = groupmax_scores(queries, corpus, scales, valid)  # (B, G)
+    gmax = _groupmax(queries, corpus, scales, valid)  # (B, G)
     g = gmax.shape[1]
     k_groups = min(k, g)
     _, top_groups = jax.lax.top_k(gmax, k_groups)  # (B, k_groups)

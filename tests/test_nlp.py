@@ -1,0 +1,186 @@
+"""NLP stack tests: YAKE, OpenIE, causal vocab, CATENA, relation typer,
+appositives, entity resolution, FS matcher, contrastive projector,
+query parser details."""
+
+from datetime import datetime, timezone
+
+import numpy as np
+
+from shodh_tpu.models.contrastive import ContrastiveProjector
+from shodh_tpu.models.hash_embedder import HashEmbedder
+from shodh_tpu.nlp.appositive import extract_aliases
+from shodh_tpu.nlp.catena import extract_event_links
+from shodh_tpu.nlp.causal_vocab import is_causal_predicate, predicate_family
+from shodh_tpu.nlp.entity_resolution import fs_match_score, resolve_entities
+from shodh_tpu.nlp.openie import extract_triples
+from shodh_tpu.nlp.query_parser import QueryParser
+from shodh_tpu.nlp.stemmer import stem
+from shodh_tpu.nlp.yake import discriminativeness, extract_keywords
+
+NOW = datetime(2025, 7, 1, tzinfo=timezone.utc)
+
+
+class TestStemmer:
+    def test_porter_examples(self):
+        assert stem("caresses") == "caress"
+        assert stem("ponies") == "poni"
+        assert stem("relational") == "relat"
+        assert stem("hopping") == "hop"
+        assert stem("databases") == "databas"
+
+    def test_inflection_consistency(self):
+        # what retrieval needs: inflected forms fold to one bucket
+        assert stem("deployed") == stem("deploying") == stem("deploys")
+        assert stem("migration") == stem("migrations")
+
+
+class TestYake:
+    def test_keywords_surface_salient_terms(self):
+        text = (
+            "The Kubernetes migration stalled on Friday. The Kubernetes operators "
+            "lacked RBAC permissions, and the migration rollback took three hours."
+        )
+        kws = [k.text for k in extract_keywords(text, top_k=8)]
+        assert any("kubernetes" in k for k in kws)
+        assert any("migration" in k for k in kws)
+
+    def test_discriminativeness_weights(self):
+        w = discriminativeness("why did the kubernetes migration fail")
+        assert w
+        assert all(0.5 <= v <= 2.0 for v in w.values())
+
+
+class TestCausalVocab:
+    def test_families(self):
+        assert predicate_family("caused") == "causal"
+        assert predicate_family("prevented") == "prevent"
+        assert predicate_family("built") == "creation"
+        assert predicate_family("zzz") is None
+
+    def test_causal_flag(self):
+        assert is_causal_predicate("triggered")
+        assert not is_causal_predicate("said")
+
+
+class TestOpenIE:
+    def test_svo(self):
+        triples = extract_triples("The migration caused the outage.")
+        assert any(
+            t.subject.lower() == "migration" and "caus" in t.predicate and t.obj.lower() == "outage"
+            for t in triples
+        )
+
+    def test_passive_normalization(self):
+        triples = extract_triples("The outage was caused by the migration.")
+        assert any(
+            t.subject.lower() == "migration" and t.obj.lower() == "outage" for t in triples
+        )
+
+
+class TestCatena:
+    def test_because_inverts_direction(self):
+        links = extract_event_links("The deploy failed because the disk filled up.")
+        causal = [l for l in links if l.kind == "causal"]
+        assert causal and "disk" in causal[0].from_event.lower()
+
+    def test_leading_to(self):
+        links = extract_event_links("The disk filled up, leading to the crash.")
+        causal = [l for l in links if l.kind == "causal"]
+        assert causal and "disk" in causal[0].from_event.lower()
+
+    def test_temporal(self):
+        links = extract_event_links("We shipped the fix after we wrote the tests.")
+        temporal = [l for l in links if l.kind == "temporal"]
+        assert temporal and "tests" in temporal[0].from_event.lower()
+
+
+class TestRelationTyper:
+    def test_types_known_relations(self):
+        rt_embedder = HashEmbedder()
+        from shodh_tpu.nlp.relation_typer import RelationTyper
+
+        rt = RelationTyper(rt_embedder, threshold=0.2)
+        got = rt.type_relation("Alice works at Acme", "Alice", "Acme")
+        assert got is not None and got[0] == "works_at"
+
+    def test_normalize(self):
+        from shodh_tpu.nlp.relation_typer import RelationTyper
+
+        rt = RelationTyper(HashEmbedder(), threshold=0.2)
+        assert rt.normalize("Alice works at Acme Corp", "Alice", "Acme Corp") == "x works at y"
+
+
+class TestAppositive:
+    def test_forward(self):
+        pairs = extract_aliases("Apple, the iPhone maker, reported earnings.")
+        assert ("Apple", "iPhone maker") in [(a, b) for a, b in pairs]
+
+    def test_parenthetical(self):
+        pairs = extract_aliases("The National Aeronautics and Space Administration (NASA) launched.")
+        assert any(b == "NASA" for _, b in pairs)
+
+
+class TestEntityResolution:
+    def test_head_block_merge(self):
+        surfaces = ["the payment service", "payment service", "legacy payment service", "user database"]
+        m = resolve_entities(surfaces)
+        assert m["payment service"] == m["the payment service"] == m["legacy payment service"]
+        assert m["user database"] != m["payment service"]
+
+    def test_fs_matcher(self):
+        assert fs_match_score("Acme Corporation", "Acme Corp") > fs_match_score(
+            "Acme Corporation", "Globex Inc"
+        )
+        assert fs_match_score("payment service", "the payment service") > 2.0
+
+
+class TestContrastive:
+    def test_identity_init_and_learning(self, tmp_path):
+        proj = ContrastiveProjector(dim=16, lr=0.1, path=tmp_path / "proj")
+        rng = np.random.default_rng(0)
+        a = rng.standard_normal(16).astype(np.float32)
+        p = rng.standard_normal(16).astype(np.float32)
+        a /= np.linalg.norm(a)
+        p /= np.linalg.norm(p)
+        before = float(proj.project(a) @ proj.project(p))
+        for _ in range(30):
+            proj.learn_pair(a, p)
+        after = float(proj.project(a) @ proj.project(p))
+        assert after > before
+        proj.save()
+        proj2 = ContrastiveProjector(dim=16, path=tmp_path / "proj")
+        assert proj2.updates == proj.updates
+
+
+class TestQueryParserDetails:
+    def test_ic_weights_pos(self):
+        qp = QueryParser()
+        a = qp.analyze("Why did we pick the fast database", now=NOW)
+        assert a.ic_weights[stem("database")] == 2.3  # noun
+        assert a.ic_weights[stem("pick")] == 1.0  # verb
+
+    def test_polar_negated_form(self):
+        qp = QueryParser()
+        a = qp.analyze("Did we deploy the search service", now=NOW)
+        assert a.is_polar
+        assert a.negated_form is not None and "not" in a.negated_form
+
+    def test_temporal_filter_vs_seeking(self):
+        qp = QueryParser()
+        filt = qp.analyze("what did we ship last week", now=NOW)
+        assert filt.is_temporal_filtering and filt.date_range is not None
+        seek = qp.analyze("when did we ship the search feature", now=NOW)
+        assert seek.is_temporal_seeking
+
+    def test_multihop_detection(self):
+        qp = QueryParser()
+        a = qp.analyze(
+            "What is the connection between Alice and the Kafka outage", now=NOW
+        )
+        assert a.multihop
+
+    def test_entity_extraction(self):
+        qp = QueryParser()
+        ents = qp.extract_entities("Alice deployed RocksDB at Acme Corp in Berlin")
+        lows = [e.lower() for e in ents]
+        assert "acme corp" in lows and "berlin" in lows
