@@ -1,0 +1,149 @@
+"""A/B testing, learning history, compression, MIF interchange tests."""
+
+import json
+from datetime import datetime, timedelta, timezone
+
+import pytest
+
+from shodh_tpu.engine.ab_testing import ABTestManager, chi_squared_2x2
+from shodh_tpu.engine.compression import (
+    COMPRESSED_MARKER,
+    CompressionPipeline,
+    compress_content,
+    decompress_content,
+    extractive_summary,
+)
+from shodh_tpu.engine.learning_history import LearningHistory
+from shodh_tpu.storage.kv import KvStore
+from shodh_tpu.storage.mif import export_mif, import_mif
+
+NOW = datetime(2025, 7, 1, tzinfo=timezone.utc)
+
+
+@pytest.fixture()
+def kv(tmp_path):
+    store = KvStore(tmp_path / "kv.db")
+    yield store
+    store.close()
+
+
+class TestABTesting:
+    def test_consistent_assignment(self, kv):
+        ab = ABTestManager(kv)
+        exp = ab.create("weights-v2", {"control": {}, "treatment": {"recency": 0.7}}, NOW)
+        a1 = ab.assign(exp, "user-1")
+        assert all(ab.assign(exp, "user-1") == a1 for _ in range(5))
+        # different subjects spread across variants
+        assigns = {ab.assign(exp, f"user-{i}") for i in range(50)}
+        assert assigns == {"control", "treatment"}
+
+    def test_chi_squared(self):
+        # clearly different proportions -> significant
+        assert chi_squared_2x2(90, 1000, 140, 1000) > 3.84
+        # identical -> zero
+        assert chi_squared_2x2(50, 500, 50, 500) == 0.0
+
+    def test_winner_detection(self, kv):
+        ab = ABTestManager(kv)
+        exp = ab.create("t", {"a": {}, "b": {}}, NOW)
+        for _ in range(500):
+            ab.record(exp.id, "a", "impression")
+            ab.record(exp.id, "b", "impression")
+        for _ in range(60):
+            ab.record(exp.id, "a", "click")
+        for _ in range(120):
+            ab.record(exp.id, "b", "click")
+        analysis = ab.analyze(exp.id)
+        assert analysis["winner"] == "b"
+        assert ab.get(exp.id).status == "complete"
+
+    def test_no_winner_with_few_impressions(self, kv):
+        ab = ABTestManager(kv)
+        exp = ab.create("t2", {"a": {}, "b": {}}, NOW)
+        for _ in range(10):
+            ab.record(exp.id, "a", "impression")
+            ab.record(exp.id, "b", "impression")
+        ab.record(exp.id, "b", "click")
+        assert ab.analyze(exp.id)["winner"] is None
+
+
+class TestLearningHistory:
+    def test_record_query_velocity(self, kv):
+        lh = LearningHistory(kv)
+        lh.record("insight", "WAL mode fixes sqlite lock contention", NOW - timedelta(days=1))
+        lh.record("correction", "the cache bug was a TTL issue not memory", NOW)
+        hits = lh.query("sqlite lock", NOW)
+        assert hits and "WAL" in hits[0][0].summary
+        # recency weighting: a fresher event with equal overlap wins
+        lh.record("insight", "sqlite lock contention returns under load", NOW)
+        hits2 = lh.query("sqlite lock contention", NOW)
+        assert hits2[0][0].at == NOW
+        assert lh.velocity(NOW, window_days=7) == pytest.approx(3 / 7)
+
+
+class TestCompression:
+    def test_roundtrip(self):
+        text = "the quick brown fox jumps over the lazy dog " * 50
+        blob = compress_content(text)
+        assert len(blob) < len(text.encode())
+        assert decompress_content(blob) == text
+
+    def test_extractive_summary(self):
+        text = (
+            "The payment service failed again. Totally unrelated filler sentence here. "
+            "The payment service retry logic needs a circuit breaker. Another filler."
+        )
+        summary = extractive_summary(text, max_sentences=2)
+        assert "payment service" in summary
+        assert len(summary) < len(text)
+
+    def test_pipeline_policy(self, tmp_path):
+        from shodh_tpu.storage.store import MemoryStorage
+        from shodh_tpu.types import Experience, Memory, new_memory_id
+
+        storage = MemoryStorage(tmp_path / "s")
+        old = Memory(
+            id=new_memory_id(),
+            experience=Experience(content="ancient log line detail " * 30),
+            created_at=NOW - timedelta(days=90),
+            importance=0.1,
+        )
+        fresh = Memory(
+            id=new_memory_id(),
+            experience=Experience(content="fresh important detail " * 30),
+            created_at=NOW,
+            importance=0.9,
+        )
+        storage.store(old)
+        storage.store(fresh)
+        pipe = CompressionPipeline(storage)
+        assert pipe.run(NOW) == 1
+        got = storage.get(old.id)
+        assert COMPRESSED_MARKER in got.experience.metadata
+        assert "ancient log line detail" in pipe.decompress(got)
+        assert COMPRESSED_MARKER not in storage.get(fresh.id).experience.metadata
+
+
+class TestMIF:
+    def test_export_import_roundtrip(self, tmp_path):
+        from shodh_tpu.engine.memory_system import MemorySystem
+        from shodh_tpu.types import Experience, Query
+
+        src = MemorySystem(tmp_path / "src")
+        src.remember(Experience(content="Alice chose Rust at Acme", entities=["Alice", "Acme", "Rust"]))
+        src.todos.add("migrate the index", NOW)
+        doc = export_mif(src, NOW)
+        assert doc["mif_version"] == 2
+        assert len(doc["memories"]) == 1
+        assert len(doc["entities"]) >= 2
+        # round-trip through JSON (interchange contract)
+        doc = json.loads(json.dumps(doc))
+        dst = MemorySystem(tmp_path / "dst")
+        counts = import_mif(dst, doc)
+        assert counts["memories"] == 1
+        res = dst.recall(Query(query_text="who chose rust"))
+        assert len(res.ids) == 1
+        assert dst.graph.get_edge("Alice", "Acme") is not None
+        assert len(dst.todos.list()) == 1
+        src.close()
+        dst.close()
