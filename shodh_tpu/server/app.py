@@ -765,6 +765,33 @@ def make_app(manager: MultiUserMemoryManager) -> web.Application:
     app.router.add_post("/api/context", proactive_context)
     app.router.add_post("/api/relevant", proactive_context)
 
+    from shodh_tpu.server.streaming import stream_handler
+    from shodh_tpu.server.webhooks import register_webhook_routes
+
+    app.router.add_get("/api/stream", stream_handler)
+    register_webhook_routes(app)
+
+    # MIF interchange
+    async def export_mif_route(request):
+        uid = user_of(request)
+        sys_ = mgr(request).get_user_memory(uid)
+        from shodh_tpu.storage.mif import export_mif
+        from shodh_tpu.utils.clock import scoring_now
+
+        return web.json_response(await run(export_mif, sys_, scoring_now()))
+
+    async def import_mif_route(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        from shodh_tpu.storage.mif import import_mif
+
+        doc = body.get("document", body)
+        return web.json_response(await run(import_mif, sys_, doc))
+
+    app.router.add_get("/api/export/mif", export_mif_route)
+    app.router.add_post("/api/import/mif", import_mif_route)
+
     return app
 
 

@@ -1,0 +1,208 @@
+"""Streaming ingest, local IPC, webhooks tests."""
+
+import asyncio
+import hashlib
+import hmac
+import json
+
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from shodh_tpu.server.app import DEV_KEY, make_app
+from shodh_tpu.server.state import MultiUserMemoryManager
+
+HEADERS = {"X-API-Key": DEV_KEY, "X-User-ID": "tester"}
+
+
+@pytest.fixture()
+def harness(tmp_path):
+    loop = asyncio.new_event_loop()
+    manager = MultiUserMemoryManager(tmp_path / "srv")
+    app = make_app(manager)
+    client = TestClient(TestServer(app), loop=loop)
+    loop.run_until_complete(client.start_server())
+    yield loop, client, manager, app
+    loop.run_until_complete(client.close())
+    manager.close()
+    loop.close()
+
+
+class TestStreaming:
+    def test_buffer_flush_policy(self):
+        from shodh_tpu.server.streaming import FLUSH_EVENTS, StreamBuffer
+
+        buf = StreamBuffer()
+        assert not buf.should_flush()
+        for i in range(FLUSH_EVENTS):
+            buf.add({"content": f"msg {i}"})
+        assert buf.should_flush()
+        assert len(buf.drain()) == FLUSH_EVENTS
+        assert not buf.items
+
+    def test_flush_segments_conversation(self, tmp_path):
+        from shodh_tpu.engine.memory_system import MemorySystem
+        from shodh_tpu.server.streaming import StreamBuffer, flush_to_memory
+
+        sys_ = MemorySystem(tmp_path / "m")
+        buf = StreamBuffer()
+        buf.add({"content": "We decided to use sqlite.", "role": "user"})
+        buf.add({"content": "The first deploy failed with a permissions error.", "role": "user"})
+        ids = flush_to_memory(sys_, buf)
+        assert len(ids) == 2  # decision + error segments
+        types = {sys_.get(i).experience.experience_type.value for i in ids}
+        assert types == {"decision", "error"}
+        # auto-captured tag penalty applied downstream
+        assert all("auto-captured" in sys_.get(i).experience.tags for i in ids)
+        sys_.close()
+
+    def test_sensor_mode(self, tmp_path):
+        from shodh_tpu.engine.memory_system import MemorySystem
+        from shodh_tpu.server.streaming import StreamBuffer, flush_to_memory
+
+        sys_ = MemorySystem(tmp_path / "m")
+        buf = StreamBuffer(mode="sensor")
+        buf.add({"content": "lidar ping", "data": {"range_m": 4.2}, "robot_id": "r2"})
+        ids = flush_to_memory(sys_, buf)
+        mem = sys_.get(ids[0])
+        assert mem.experience.sensor_data == {"range_m": 4.2}
+        assert mem.experience.robot_id == "r2"
+        sys_.close()
+
+    def test_websocket_roundtrip(self, harness):
+        loop, client, manager, app = harness
+
+        async def go():
+            ws = await client.ws_connect("/api/stream", headers=HEADERS)
+            await ws.send_json({"type": "message", "content": "We chose Kafka for events.", "role": "user"})
+            ack = await ws.receive_json()
+            assert ack["type"] == "ack"
+            await ws.send_json({"type": "flush"})
+            flushed = await ws.receive_json()
+            assert flushed["type"] == "flushed" and flushed["memory_ids"]
+            await ws.close()
+
+        loop.run_until_complete(go())
+        sys_ = manager.get_user_memory("tester")
+        assert sys_.stats().total_memories >= 1
+
+
+class TestLocalIpc:
+    def test_handshake_and_dispatch(self, harness, tmp_path, monkeypatch):
+        loop, client, manager, app = harness
+        from shodh_tpu.server.local_ipc import LocalIpcClient, LocalIpcServer
+
+        monkeypatch.delenv("SHODH_IPC_SECRET", raising=False)
+        sock = tmp_path / "ipc.sock"
+        server = LocalIpcServer(app, sock)
+        loop.run_until_complete(server.start())
+
+        def client_work():
+            ipc = LocalIpcClient(sock)
+            out = ipc.exchange(
+                [
+                    {"method": "POST", "path": "/api/remember",
+                     "body": {"content": "ipc memory"}, "user_id": "ipcuser"},
+                    {"method": "GET", "path": "/api/stats", "user_id": "ipcuser"},
+                ]
+            )
+            return out
+
+        out = loop.run_until_complete(asyncio.to_thread(client_work))
+        assert out[0]["status"] == 200 and "memory_id" in out[0]["body"]
+        assert out[1]["body"]["total_memories"] == 1
+        loop.run_until_complete(server.stop())
+
+    def test_bad_mac_rejected(self, harness, tmp_path, monkeypatch):
+        loop, client, manager, app = harness
+        from shodh_tpu.server.local_ipc import LocalIpcClient, LocalIpcServer
+
+        monkeypatch.delenv("SHODH_IPC_SECRET", raising=False)
+        sock = tmp_path / "ipc2.sock"
+        server = LocalIpcServer(app, sock)
+        loop.run_until_complete(server.start())
+
+        def client_work():
+            ipc = LocalIpcClient(sock, secret=b"wrong-secret")
+            with pytest.raises(PermissionError):
+                ipc.exchange([{"method": "GET", "path": "/health"}])
+
+        loop.run_until_complete(asyncio.to_thread(client_work))
+        loop.run_until_complete(server.stop())
+
+
+class TestWebhooks:
+    def test_github_pr_merged(self, harness):
+        loop, client, manager, app = harness
+        payload = {
+            "action": "closed",
+            "pull_request": {"merged": True, "title": "Add retries", "body": "adds retry logic",
+                             "html_url": "https://github.com/x/y/pull/1", "user": {"login": "alice"}},
+            "repository": {"full_name": "acme/backend"},
+        }
+
+        async def go():
+            resp = await client.post(
+                "/api/sync/github?user_id=tester",
+                data=json.dumps(payload),
+                headers={**HEADERS, "X-GitHub-Event": "pull_request",
+                         "Content-Type": "application/json"},
+            )
+            return resp.status, await resp.json()
+
+        status, body = loop.run_until_complete(go())
+        assert status == 200 and body["stored"]
+        mem = manager.get_user_memory("tester").get(body["memory_id"])
+        assert mem.experience.experience_type.value == "decision"
+
+    def test_github_signature_enforced(self, harness, monkeypatch):
+        loop, client, manager, app = harness
+        monkeypatch.setenv("SHODH_GITHUB_WEBHOOK_SECRET", "topsecret")
+        body = json.dumps({"action": "opened", "repository": {}}).encode()
+
+        async def go(sig):
+            resp = await client.post(
+                "/api/sync/github",
+                data=body,
+                headers={**HEADERS, "X-GitHub-Event": "issues",
+                         "X-Hub-Signature-256": sig, "Content-Type": "application/json"},
+            )
+            return resp.status
+
+        bad = loop.run_until_complete(go("sha256=deadbeef"))
+        assert bad == 401
+        good_sig = "sha256=" + hmac.new(b"topsecret", body, hashlib.sha256).hexdigest()
+        ok = loop.run_until_complete(go(good_sig))
+        assert ok == 200
+
+    def test_linear_issue(self, harness):
+        loop, client, manager, app = harness
+        payload = {"type": "Issue", "action": "create",
+                   "data": {"title": "Fix login", "state": {"name": "Todo"}, "url": "https://linear.app/x"}}
+
+        async def go():
+            resp = await client.post(
+                "/api/sync/linear?user_id=tester",
+                data=json.dumps(payload),
+                headers={**HEADERS, "Content-Type": "application/json"},
+            )
+            return await resp.json()
+
+        body = loop.run_until_complete(go())
+        assert body["stored"]
+
+
+class TestMifRoutes:
+    def test_export_import_over_http(self, harness):
+        loop, client, manager, app = harness
+
+        async def go():
+            await client.post("/api/remember", json={"content": "mif payload"}, headers=HEADERS)
+            resp = await client.get("/api/export/mif", headers=HEADERS)
+            doc = await resp.json()
+            other = {**HEADERS, "X-User-ID": "importer"}
+            resp2 = await client.post("/api/import/mif", json={"document": doc}, headers=other)
+            return doc, await resp2.json()
+
+        doc, counts = loop.run_until_complete(go())
+        assert doc["mif_version"] == 2
+        assert counts["memories"] == 1
