@@ -367,6 +367,13 @@ class MemorySystem:
                     mem_scores[mid] = float(val)
         timings["vector_ms"] = (time.perf_counter() - t0) * 1000
 
+        from shodh_tpu.harness import diagnostics as _diag
+
+        if _diag.is_armed():
+            _diag.observe_stage(
+                "vector", [m for m, _ in sorted(mem_scores.items(), key=lambda kv: (-kv[1], kv[0]))]
+            )
+
         # L2 graph spreading activation
         graph_activation: dict[str, float] = {}
         if (
@@ -434,6 +441,19 @@ class MemorySystem:
                             if mid in fused:
                                 fused[mid] *= 1.0 + 0.1 * fact.confidence
 
+        if _diag.is_armed():
+            if bm25_scores:
+                _diag.observe_stage(
+                    "bm25", [m for m, _ in sorted(bm25_scores.items(), key=lambda kv: (-kv[1], kv[0]))]
+                )
+            if graph_activation:
+                _diag.observe_stage(
+                    "graph",
+                    [m for m, _ in sorted(graph_activation.items(), key=lambda kv: (-kv[1], kv[0]))],
+                )
+            _diag.observe_stage(
+                "fused", [m for m, _ in sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))]
+            )
         timings["fusion_ms"] = (time.perf_counter() - t0) * 1000
 
         # Load candidates + hard filters
@@ -456,6 +476,8 @@ class MemorySystem:
         # Deterministic order: score desc -> created_at desc -> id asc
         scored.sort(key=lambda s: (-s.score, s.memory.created_at.isoformat(), s.memory.id))
         out = scored[query.offset : query.offset + k]
+        if _diag.is_armed():
+            _diag.observe_stage("final", [s.memory.id for s in scored])
 
         # Usage writes (gated by SHODH_RECALL_READONLY — mod.rs:49-105)
         if not C.recall_readonly():
