@@ -1,0 +1,386 @@
+// shodh_native — C++ host-runtime kernels for the hot non-device paths.
+//
+// The reference implements its entire host runtime in Rust; this module is
+// the equivalent native layer for this build's host-side hot loops:
+//   - Porter stemming + tokenization (called per document AND per query)
+//   - an inverted-index BM25 engine (upsert/delete/search) with IC term
+//     weights — the lexical leg of hybrid recall (hybrid_search.rs analog)
+//
+// Exposed through a plain C ABI consumed via ctypes (no pybind11 in the
+// image). Strings cross the boundary as UTF-8; result buffers are
+// caller-freed via shodh_free.
+//
+// Build: make -C native   (produces libshodh_native.so)
+
+#include <algorithm>
+#include <cctype>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <mutex>
+#include <string>
+#include <unordered_map>
+#include <unordered_set>
+#include <vector>
+
+// ---------------------------------------------------------------------------
+// Porter stemmer (Porter 1980) — mirrors shodh_tpu/nlp/stemmer.py exactly so
+// host and native tokenization agree byte-for-byte.
+// ---------------------------------------------------------------------------
+
+namespace porter {
+
+static bool is_cons(const std::string& w, size_t i) {
+    char c = w[i];
+    if (c == 'a' || c == 'e' || c == 'i' || c == 'o' || c == 'u') return false;
+    if (c == 'y') return i == 0 ? true : !is_cons(w, i - 1);
+    return true;
+}
+
+static int measure(const std::string& w) {
+    int m = 0;
+    bool prev_cons = true, started = false;
+    for (size_t i = 0; i < w.size(); i++) {
+        bool c = is_cons(w, i);
+        if (!c) started = true;
+        else if (started && !prev_cons) m++;
+        prev_cons = c;
+    }
+    return m;
+}
+
+static bool has_vowel(const std::string& w) {
+    for (size_t i = 0; i < w.size(); i++)
+        if (!is_cons(w, i)) return true;
+    return false;
+}
+
+static bool ends_double_cons(const std::string& w) {
+    size_t n = w.size();
+    return n >= 2 && w[n - 1] == w[n - 2] && is_cons(w, n - 1);
+}
+
+static bool cvc(const std::string& w) {
+    size_t n = w.size();
+    if (n < 3) return false;
+    if (!(is_cons(w, n - 3) && !is_cons(w, n - 2) && is_cons(w, n - 1))) return false;
+    char last = w[n - 1];
+    return last != 'w' && last != 'x' && last != 'y';
+}
+
+static bool ends_with(const std::string& w, const char* suf) {
+    size_t sl = strlen(suf);
+    return w.size() >= sl && w.compare(w.size() - sl, sl, suf) == 0;
+}
+
+static std::string stem(std::string w) {
+    if (w.size() <= 2) return w;
+
+    // Step 1a
+    if (ends_with(w, "sses")) w.resize(w.size() - 2);
+    else if (ends_with(w, "ies")) w.resize(w.size() - 2);
+    else if (ends_with(w, "ss")) {}
+    else if (ends_with(w, "s")) w.resize(w.size() - 1);
+
+    // Step 1b
+    if (ends_with(w, "eed")) {
+        if (measure(w.substr(0, w.size() - 3)) > 0) w.resize(w.size() - 1);
+    } else {
+        bool flag = false;
+        if (ends_with(w, "ed") && has_vowel(w.substr(0, w.size() - 2))) {
+            w.resize(w.size() - 2); flag = true;
+        } else if (ends_with(w, "ing") && has_vowel(w.substr(0, w.size() - 3))) {
+            w.resize(w.size() - 3); flag = true;
+        }
+        if (flag) {
+            if (ends_with(w, "at") || ends_with(w, "bl") || ends_with(w, "iz")) w += 'e';
+            else if (ends_double_cons(w) && !ends_with(w, "l") && !ends_with(w, "s") && !ends_with(w, "z"))
+                w.resize(w.size() - 1);
+            else if (measure(w) == 1 && cvc(w)) w += 'e';
+        }
+    }
+
+    // Step 1c
+    if (ends_with(w, "y") && has_vowel(w.substr(0, w.size() - 1))) w[w.size() - 1] = 'i';
+
+    // Step 2
+    static const std::pair<const char*, const char*> step2[] = {
+        {"ational", "ate"}, {"tional", "tion"}, {"enci", "ence"}, {"anci", "ance"},
+        {"izer", "ize"}, {"abli", "able"}, {"alli", "al"}, {"entli", "ent"},
+        {"eli", "e"}, {"ousli", "ous"}, {"ization", "ize"}, {"ation", "ate"},
+        {"ator", "ate"}, {"alism", "al"}, {"iveness", "ive"}, {"fulness", "ful"},
+        {"ousness", "ous"}, {"aliti", "al"}, {"iviti", "ive"}, {"biliti", "ble"},
+    };
+    for (auto& [suf, rep] : step2) {
+        if (ends_with(w, suf)) {
+            std::string base = w.substr(0, w.size() - strlen(suf));
+            if (measure(base) > 0) w = base + rep;
+            break;
+        }
+    }
+
+    // Step 3
+    static const std::pair<const char*, const char*> step3[] = {
+        {"icate", "ic"}, {"ative", ""}, {"alize", "al"}, {"iciti", "ic"},
+        {"ical", "ic"}, {"ful", ""}, {"ness", ""},
+    };
+    for (auto& [suf, rep] : step3) {
+        if (ends_with(w, suf)) {
+            std::string base = w.substr(0, w.size() - strlen(suf));
+            if (measure(base) > 0) w = base + rep;
+            break;
+        }
+    }
+
+    // Step 4
+    static const char* step4[] = {
+        "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+        "ment", "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+    };
+    bool matched4 = false;
+    for (const char* suf : step4) {
+        if (ends_with(w, suf)) {
+            std::string base = w.substr(0, w.size() - strlen(suf));
+            if (measure(base) > 1) w = base;
+            matched4 = true;
+            break;
+        }
+    }
+    if (!matched4 && ends_with(w, "ion") && w.size() > 3) {
+        char before = w[w.size() - 4];
+        if ((before == 's' || before == 't') && measure(w.substr(0, w.size() - 3)) > 1)
+            w.resize(w.size() - 3);
+    }
+
+    // Step 5a
+    if (ends_with(w, "e")) {
+        std::string base = w.substr(0, w.size() - 1);
+        int m = measure(base);
+        if (m > 1 || (m == 1 && !cvc(base))) w = base;
+    }
+    // Step 5b
+    if (measure(w) > 1 && ends_double_cons(w) && ends_with(w, "l")) w.resize(w.size() - 1);
+
+    return w;
+}
+
+}  // namespace porter
+
+// ---------------------------------------------------------------------------
+// Tokenizer: lowercase word chars, stopword filter, Porter stem.
+// Stopword list mirrors nlp/stopwords.py.
+// ---------------------------------------------------------------------------
+
+static const std::unordered_set<std::string>& stopwords() {
+    static const std::unordered_set<std::string> s = {
+        "a","about","above","after","again","against","all","am","an","and","any","are",
+        "aren't","as","at","be","because","been","before","being","below","between","both",
+        "but","by","can","cannot","can't","could","couldn't","did","didn't","do","does",
+        "doesn't","doing","don't","down","during","each","few","for","from","further","had",
+        "hadn't","has","hasn't","have","haven't","having","he","he'd","he'll","he's","her",
+        "here","here's","hers","herself","him","himself","his","how","how's","i","i'd",
+        "i'll","i'm","i've","if","in","into","is","isn't","it","it's","its","itself",
+        "let's","me","more","most","mustn't","my","myself","no","nor","not","of","off",
+        "on","once","only","or","other","ought","our","ours","ourselves","out","over","own",
+        "same","shan't","she","she'd","she'll","she's","should","shouldn't","so","some",
+        "such","than","that","that's","the","their","theirs","them","themselves","then",
+        "there","there's","these","they","they'd","they'll","they're","they've","this",
+        "those","through","to","too","under","until","up","very","was","wasn't","we","we'd",
+        "we'll","we're","we've","were","weren't","what","what's","when","when's","where",
+        "where's","which","while","who","who's","whom","why","why's","with","won't","would",
+        "wouldn't","you","you'd","you'll","you're","you've","your","yours","yourself",
+        "yourselves","will","just","also","got","get","one","two","via","etc",
+    };
+    return s;
+}
+
+static std::vector<std::string> tokenize(const char* text) {
+    std::vector<std::string> out;
+    std::string cur;
+    bool started = false;
+    for (const char* p = text; ; p++) {
+        char c = *p;
+        char lc = (c >= 'A' && c <= 'Z') ? c - 'A' + 'a' : c;
+        bool word_char;
+        if (!started) {
+            word_char = (lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9');
+        } else {
+            word_char = (lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9') ||
+                        lc == '_' || lc == '-' || lc == '.' || lc == '/';
+        }
+        if (c != '\0' && word_char) {
+            cur += lc;
+            started = true;
+        } else if (started) {
+            if (cur.size() > 1 && !stopwords().count(cur)) out.push_back(porter::stem(cur));
+            cur.clear();
+            started = false;
+        }
+        if (c == '\0') break;
+    }
+    return out;
+}
+
+// ---------------------------------------------------------------------------
+// BM25 engine (Okapi, k1=1.2 b=0.75) with tag/entity field boosts and
+// per-term external weights — hybrid_search.rs semantics.
+// ---------------------------------------------------------------------------
+
+struct Bm25Index {
+    std::unordered_map<std::string, std::unordered_map<uint64_t, float>> postings;
+    std::unordered_map<uint64_t, float> doc_len;
+    double total_len = 0.0;
+    std::mutex mu;
+};
+
+static constexpr float K1 = 1.2f;
+static constexpr float B = 0.75f;
+
+extern "C" {
+
+void* shodh_bm25_new() { return new Bm25Index(); }
+
+void shodh_bm25_free(void* h) { delete static_cast<Bm25Index*>(h); }
+
+void shodh_bm25_remove(void* h, uint64_t doc) {
+    auto* idx = static_cast<Bm25Index*>(h);
+    std::lock_guard<std::mutex> lock(idx->mu);
+    auto it = idx->doc_len.find(doc);
+    if (it == idx->doc_len.end()) return;
+    idx->total_len -= it->second;
+    idx->doc_len.erase(it);
+    for (auto pit = idx->postings.begin(); pit != idx->postings.end();) {
+        pit->second.erase(doc);
+        if (pit->second.empty()) pit = idx->postings.erase(pit);
+        else ++pit;
+    }
+}
+
+// weighted term list: "term\tweight\n..." (pre-tokenized by caller or via
+// shodh_bm25_upsert_text below)
+void shodh_bm25_upsert_text(void* h, uint64_t doc, const char* content,
+                            const char* tags, const char* entities) {
+    auto* idx = static_cast<Bm25Index*>(h);
+    shodh_bm25_remove(h, doc);
+    std::unordered_map<std::string, float> tf;
+    for (auto& t : tokenize(content)) tf[t] += 1.0f;
+    if (tags && *tags)
+        for (auto& t : tokenize(tags)) tf[t] += 1.5f;  // TAG_BOOST
+    if (entities && *entities)
+        for (auto& t : tokenize(entities)) tf[t] += 1.3f;  // ENTITY_BOOST
+    float len = 0.0f;
+    for (auto& [_, f] : tf) len += f;
+    std::lock_guard<std::mutex> lock(idx->mu);
+    idx->doc_len[doc] = len;
+    idx->total_len += len;
+    for (auto& [term, f] : tf) idx->postings[term][doc] = f;
+}
+
+// Pre-tokenized upsert: terms as "term\tweight\n" lines. Gives the caller
+// (the Python index, which owns persistence) byte-exact control of the
+// weighted term frequencies in both engines.
+void shodh_bm25_upsert_terms(void* h, uint64_t doc, const char* term_lines) {
+    auto* idx = static_cast<Bm25Index*>(h);
+    shodh_bm25_remove(h, doc);
+    std::unordered_map<std::string, float> tf;
+    const char* p = term_lines;
+    while (p && *p) {
+        const char* tab = strchr(p, '\t');
+        if (!tab) break;
+        const char* nl = strchr(tab + 1, '\n');
+        if (!nl) nl = tab + 1 + strlen(tab + 1);
+        tf[std::string(p, tab - p)] += strtof(tab + 1, nullptr);
+        p = (*nl) ? nl + 1 : nl;
+    }
+    float len = 0.0f;
+    for (auto& [_, f] : tf) len += f;
+    std::lock_guard<std::mutex> lock(idx->mu);
+    idx->doc_len[doc] = len;
+    idx->total_len += len;
+    for (auto& [term, f] : tf) idx->postings[term][doc] = f;
+}
+
+int shodh_bm25_doc_count(void* h) {
+    auto* idx = static_cast<Bm25Index*>(h);
+    std::lock_guard<std::mutex> lock(idx->mu);
+    return (int)idx->doc_len.size();
+}
+
+// query: raw text; term_weights: "term\tweight\n" pairs over STEMMED terms
+// (may be empty). Writes up to `limit` (doc, score) pairs into out arrays.
+// Returns the number written. Deterministic order: score desc, doc asc.
+int shodh_bm25_search(void* h, const char* query, const char* term_weights,
+                      uint64_t* out_docs, float* out_scores, int limit) {
+    auto* idx = static_cast<Bm25Index*>(h);
+    std::lock_guard<std::mutex> lock(idx->mu);
+    size_t n_docs = idx->doc_len.size();
+    if (n_docs == 0 || limit <= 0) return 0;
+    double avg_len = idx->total_len / (double)n_docs;
+
+    std::unordered_map<std::string, float> weights;
+    if (term_weights && *term_weights) {
+        const char* p = term_weights;
+        while (*p) {
+            const char* tab = strchr(p, '\t');
+            if (!tab) break;
+            const char* nl = strchr(tab + 1, '\n');
+            if (!nl) nl = tab + 1 + strlen(tab + 1);
+            weights[std::string(p, tab - p)] = strtof(tab + 1, nullptr);
+            p = (*nl) ? nl + 1 : nl;
+        }
+    }
+
+    std::vector<std::string> q = tokenize(query);
+    std::unordered_set<std::string> seen;
+    std::unordered_map<uint64_t, float> scores;
+    for (auto& term : q) {
+        if (!seen.insert(term).second) continue;
+        auto pit = idx->postings.find(term);
+        if (pit == idx->postings.end()) continue;
+        size_t df = pit->second.size();
+        float idf = std::log(1.0f + ((float)n_docs - df + 0.5f) / (df + 0.5f));
+        float w = 1.0f;
+        auto wit = weights.find(term);
+        if (wit != weights.end()) w = wit->second;
+        for (auto& [doc, tf] : pit->second) {
+            float dl = idx->doc_len[doc];
+            float tf_norm = (tf * (K1 + 1.0f)) / (tf + K1 * (1.0f - B + B * dl / (float)avg_len));
+            scores[doc] += w * idf * tf_norm;
+        }
+    }
+    std::vector<std::pair<uint64_t, float>> ranked(scores.begin(), scores.end());
+    std::sort(ranked.begin(), ranked.end(), [](auto& a, auto& b) {
+        if (a.second != b.second) return a.second > b.second;
+        return a.first < b.first;
+    });
+    int n = std::min((int)ranked.size(), limit);
+    for (int i = 0; i < n; i++) {
+        out_docs[i] = ranked[i].first;
+        out_scores[i] = ranked[i].second;
+    }
+    return n;
+}
+
+// Tokenize text -> newline-joined stemmed tokens (caller frees).
+char* shodh_tokenize(const char* text) {
+    auto toks = tokenize(text);
+    std::string joined;
+    for (size_t i = 0; i < toks.size(); i++) {
+        if (i) joined += '\n';
+        joined += toks[i];
+    }
+    char* out = (char*)malloc(joined.size() + 1);
+    memcpy(out, joined.c_str(), joined.size() + 1);
+    return out;
+}
+
+char* shodh_stem(const char* word) {
+    std::string s = porter::stem(std::string(word));
+    char* out = (char*)malloc(s.size() + 1);
+    memcpy(out, s.c_str(), s.size() + 1);
+    return out;
+}
+
+void shodh_free(char* p) { free(p); }
+
+}  // extern "C"

@@ -42,11 +42,26 @@ def tokenize(text: str) -> list[str]:
 
 
 class BM25Index:
-    def __init__(self, path: str | Path | None = None):
+    def __init__(self, path: str | Path | None = None, use_native: bool = True):
         self._postings: dict[str, dict[str, float]] = defaultdict(dict)  # term -> {doc: tf}
         self._doc_len: dict[str, float] = {}
         self._total_len = 0.0
         self.kv: Optional[KvStore] = None
+        # Native C++ scorer (retrieval/native.py): same tokenizer + math,
+        # ~10x faster scoring loop. Python postings stay authoritative for
+        # persistence; the native engine mirrors them.
+        self._native = None
+        self._handle_of: dict[str, int] = {}
+        self._id_of: dict[int, str] = {}
+        self._next_handle = 1
+        if use_native:
+            try:
+                from shodh_tpu.retrieval.native import NativeBM25, available
+
+                if available():
+                    self._native = NativeBM25()
+            except Exception:
+                self._native = None
         if path is not None:
             self.kv = KvStore(Path(path) / "bm25.db")
             self._load()
@@ -64,6 +79,8 @@ class BM25Index:
         self._total_len += length
         for term, f in tf.items():
             self._postings[term][doc_id] = f
+        if self._native is not None:
+            self._native.upsert_terms(self._handle(doc_id), tf)
 
     def _remove(self, doc_id: str) -> None:
         if doc_id not in self._doc_len:
@@ -76,6 +93,15 @@ class BM25Index:
                     del self._postings[term]
 
     # -- write path -----------------------------------------------------------
+
+    def _handle(self, doc_id: str) -> int:
+        h = self._handle_of.get(doc_id)
+        if h is None:
+            h = self._next_handle
+            self._next_handle += 1
+            self._handle_of[doc_id] = h
+            self._id_of[h] = doc_id
+        return h
 
     def upsert(
         self,
@@ -99,6 +125,8 @@ class BM25Index:
 
     def delete(self, doc_id: str) -> None:
         self._remove(doc_id)
+        if self._native is not None and doc_id in self._handle_of:
+            self._native.remove(self._handle_of[doc_id])
         if self.kv is not None:
             self.kv.delete("bm25doc", doc_id)
 
@@ -119,6 +147,13 @@ class BM25Index:
         n_docs = len(self._doc_len)
         if n_docs == 0:
             return []
+        # Native scorer fast path (identical math; phrase boost needs the
+        # Python per-doc term sets, so phrase queries stay on the host impl)
+        if self._native is not None and not phrase_terms:
+            hits = self._native.search(query, limit=limit, term_weights=term_weights)
+            out = [(self._id_of[h], s) for h, s in hits if h in self._id_of]
+            out.sort(key=lambda kv: (-kv[1], kv[0]))  # doc-id tie-break parity
+            return out
         avg_len = self._total_len / n_docs
         q_terms = tokenize(query)
         if not q_terms:

@@ -1,0 +1,125 @@
+"""ctypes bindings for the native host-runtime kernels (native/shodh_native.cpp).
+
+Auto-builds the shared library on first use when a compiler is available;
+falls back cleanly (callers check ``available()``) to the pure-Python
+implementations otherwise. The native BM25 engine is a drop-in for the hot
+lexical-scoring loop; the Python BM25Index remains the persistence layer.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libshodh_native.so"
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", str(_NATIVE_DIR)],
+            check=True, capture_output=True, timeout=120,
+        )
+        return _LIB_PATH.exists()
+    except Exception:
+        return False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not _LIB_PATH.exists() and not _build():
+        return None
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.shodh_bm25_new.restype = ctypes.c_void_p
+    lib.shodh_bm25_free.argtypes = [ctypes.c_void_p]
+    lib.shodh_bm25_remove.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+    lib.shodh_bm25_upsert_text.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint64, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p
+    ]
+    lib.shodh_bm25_upsert_terms.argtypes = [ctypes.c_void_p, ctypes.c_uint64, ctypes.c_char_p]
+    lib.shodh_bm25_doc_count.argtypes = [ctypes.c_void_p]
+    lib.shodh_bm25_doc_count.restype = ctypes.c_int
+    lib.shodh_bm25_search.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+    ]
+    lib.shodh_bm25_search.restype = ctypes.c_int
+    lib.shodh_tokenize.argtypes = [ctypes.c_char_p]
+    lib.shodh_tokenize.restype = ctypes.c_void_p
+    lib.shodh_stem.argtypes = [ctypes.c_char_p]
+    lib.shodh_stem.restype = ctypes.c_void_p
+    lib.shodh_free.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def native_stem(word: str) -> str:
+    lib = load()
+    ptr = lib.shodh_stem(word.encode())
+    out = ctypes.string_at(ptr).decode()
+    lib.shodh_free(ptr)
+    return out
+
+
+def native_tokenize(text: str) -> list[str]:
+    lib = load()
+    ptr = lib.shodh_tokenize(text.encode())
+    raw = ctypes.string_at(ptr).decode()
+    lib.shodh_free(ptr)
+    return raw.split("\n") if raw else []
+
+
+class NativeBM25:
+    """Thin OO wrapper over the C BM25 engine. Doc ids are uint64 handles;
+    the caller maintains the handle<->string-id mapping."""
+
+    def __init__(self):
+        self._lib = load()
+        if self._lib is None:
+            raise RuntimeError("native library unavailable")
+        self._h = self._lib.shodh_bm25_new()
+
+    def __del__(self):
+        if getattr(self, "_h", None) and self._lib is not None:
+            self._lib.shodh_bm25_free(self._h)
+            self._h = None
+
+    def upsert(self, doc: int, content: str, tags: str = "", entities: str = "") -> None:
+        self._lib.shodh_bm25_upsert_text(
+            self._h, doc, content.encode(), tags.encode(), entities.encode()
+        )
+
+    def upsert_terms(self, doc: int, weighted_terms: dict[str, float]) -> None:
+        lines = "".join(f"{t}\t{w}\n" for t, w in weighted_terms.items())
+        self._lib.shodh_bm25_upsert_terms(self._h, doc, lines.encode())
+
+    def remove(self, doc: int) -> None:
+        self._lib.shodh_bm25_remove(self._h, doc)
+
+    def __len__(self) -> int:
+        return self._lib.shodh_bm25_doc_count(self._h)
+
+    def search(
+        self, query: str, limit: int = 10, term_weights: dict[str, float] | None = None
+    ) -> list[tuple[int, float]]:
+        docs = (ctypes.c_uint64 * limit)()
+        scores = (ctypes.c_float * limit)()
+        tw = ""
+        if term_weights:
+            tw = "".join(f"{t}\t{w}\n" for t, w in term_weights.items())
+        n = self._lib.shodh_bm25_search(
+            self._h, query.encode(), tw.encode(), docs, scores, limit
+        )
+        return [(int(docs[i]), float(scores[i])) for i in range(n)]
