@@ -350,6 +350,14 @@ ENTITY_COOCCURRENCE_THRESHOLD = 0.4
 SELECTIVITY_STOP_WORD_THRESHOLD = 0.5
 SELECTIVITY_HALF_SAT = 0.5
 
+# Topology protection for decay (constants.rs:1701-1726, 2837-2842)
+TOPOLOGY_HYSTERESIS_DECAY = 0.5
+TOPOLOGY_RESCUE_ALPHA = 0.6
+TOPOLOGY_RESCUE_BUDGET_FRAC = 0.05
+TOPOLOGY_RESCUE_MIN_PROTECTION = 1e-3
+CURVATURE_MIN_EDGES = 10
+CURVATURE_PATH_BOOST_SCALE = 0.05
+
 # IC weights for query terms by POS (constants.rs:2071-2089)
 IC_NOUN = 2.3
 IC_ADJECTIVE = 1.7

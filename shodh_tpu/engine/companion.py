@@ -1,0 +1,72 @@
+"""Companion rerank: multihop-intent-gated deep-pool reranking.
+
+Reference: ``mod.rs:1557-1841`` — when a query shows multihop intent, the
+funnel retrieves a deep pool (k x 5) and reranks it by graph structure:
+shared-entity mode (memories sharing entities with the query's entity set
+or its typed 1-hop neighborhood rise) with frozen anchors (the top
+candidates keep their seats — rerank refines the tail, it never evicts a
+confident head). Weights env-tunable (SHODH_COMPANION_*).
+"""
+
+from __future__ import annotations
+
+from shodh_tpu.constants import env_float
+from shodh_tpu.types import ScoredMemory
+
+DEEP_POOL_MULTIPLIER = 5
+FROZEN_ANCHORS = 2
+DEFAULT_WEIGHT = 0.35
+
+
+def companion_rerank(
+    scored: list[ScoredMemory],
+    query_entities: list[str],
+    graph,
+    k: int,
+) -> list[ScoredMemory]:
+    """Rerank scored candidates (sorted desc) by entity-overlap bonus.
+
+    Anchors (top FROZEN_ANCHORS) keep their positions; the rest re-sort by
+    score * (1 + w * overlap_ratio).
+    """
+    if graph is None or not query_entities or len(scored) <= FROZEN_ANCHORS:
+        return scored
+    weight = env_float("SHODH_COMPANION_WEIGHT", DEFAULT_WEIGHT)
+
+    # Expand query entities with their typed 1-hop neighborhood
+    expanded: set[str] = set()
+    for name in query_entities[:6]:
+        ent = graph.find_entity(name)
+        if ent is None:
+            continue
+        expanded.add(ent.id)
+        for nid, _hop, strength in graph.traverse_from_entity(name, hops=1, limit=10):
+            if strength > 0.2:
+                expanded.add(nid)
+    if not expanded:
+        return scored
+
+    anchors = scored[:FROZEN_ANCHORS]
+    tail = scored[FROZEN_ANCHORS:]
+
+    def overlap(sm: ScoredMemory) -> float:
+        from shodh_tpu.graph.graph_memory import canonical_name
+
+        mem_ents = {canonical_name(e) for e in sm.memory.experience.entities}
+        if not mem_ents:
+            return 0.0
+        return len(mem_ents & expanded) / len(mem_ents)
+
+    reranked = []
+    for sm in tail:
+        ov = overlap(sm)
+        new_score = sm.score * (1.0 + weight * ov)
+        reranked.append(
+            ScoredMemory(
+                memory=sm.memory,
+                score=new_score,
+                attribution={**sm.attribution, "companion_overlap": ov},
+            )
+        )
+    reranked.sort(key=lambda s: (-s.score, s.memory.created_at.isoformat(), s.memory.id))
+    return anchors + reranked

@@ -314,12 +314,25 @@ class MemorySystem:
 
         k = max(1, query.max_results)
         pool_k = k * C.VECTOR_SEARCH_CANDIDATE_MULTIPLIER + query.offset
+        companion_gate = False  # set after query analysis (multihop intent)
 
         # Query analysis (L0: linguistic features, temporal parsing)
         analysis = None
         if self.query_parser is not None and query.query_text:
             analysis = self.query_parser.analyze(query.query_text, now=now)
         timings["analyze_ms"] = (time.perf_counter() - t_start) * 1000
+
+        # Companion rerank gate (mod.rs:1557): multihop intent -> deep pool
+        if (
+            query.layers >= LayerMode.PLUS_RERANK
+            and analysis is not None
+            and analysis.multihop
+            and self.graph is not None
+        ):
+            from shodh_tpu.engine.companion import DEEP_POOL_MULTIPLIER
+
+            companion_gate = True
+            pool_k = k * DEEP_POOL_MULTIPLIER + query.offset
 
         # L0.4 temporal pre-filter candidates
         temporal_ids: set[str] = set()
@@ -475,6 +488,14 @@ class MemorySystem:
 
         # Deterministic order: score desc -> created_at desc -> id asc
         scored.sort(key=lambda s: (-s.score, s.memory.created_at.isoformat(), s.memory.id))
+
+        # Companion rerank over the deep pool (frozen anchors keep seats)
+        if companion_gate and analysis is not None:
+            from shodh_tpu.engine.companion import companion_rerank
+
+            q_entities = analysis.entities or analysis.focal_terms[:4]
+            scored = companion_rerank(scored, q_entities, self.graph, k)
+
         out = scored[query.offset : query.offset + k]
         if _diag.is_armed():
             _diag.observe_stage("final", [s.memory.id for s in scored])

@@ -558,9 +558,38 @@ class GraphMemory:
 
     def run_maintenance(self, now: Optional[datetime] = None) -> dict:
         now = now or scoring_now()
+
+        # Topology protection: bridge edges (Tarjan) earn decay rescue —
+        # forgetting must not sever the graph (decay.rs topology_keep_score)
+        protection: dict[tuple[str, str], float] = {}
+        if len(self.edges) >= C.CURVATURE_MIN_EDGES:
+            from shodh_tpu.graph.topology import topology_keep_scores
+
+            def strength_of(u: str, v: str) -> float:
+                e = self.edges.get(_edge_key(u, v))
+                return e.strength if e else 0.0
+
+            protection = topology_keep_scores(
+                self.adjacency, strength_of,
+                rescue_budget_frac=C.TOPOLOGY_RESCUE_BUDGET_FRAC,
+                min_protection=C.TOPOLOGY_RESCUE_MIN_PROTECTION,
+            )
+
         pruned = 0
+        protected = 0
         for key in list(self.edges.keys()):
             edge = self.edges[key]
+            pair = (min(edge.src, edge.dst), max(edge.src, edge.dst))
+            keep = protection.get(pair, 0.0)
+            if keep > 0.0:
+                # protected: decay on a slowed clock, never prune this cycle
+                saved_last = edge.last_activated
+                elapsed = now - saved_last
+                edge.last_activated = now - elapsed * (1.0 - C.TOPOLOGY_RESCUE_ALPHA * keep)
+                plasticity.decay(edge, now)
+                protected += 1
+                self._dirty_edges.add(key)
+                continue
             _, prune = plasticity.decay(edge, now)
             if prune:
                 del self.edges[key]
@@ -603,6 +632,7 @@ class GraphMemory:
             "edges": len(self.edges),
             "pruned": pruned,
             "inhibited": inhibited,
+            "topology_protected": protected,
         }
 
     # -- stats / export ---------------------------------------------------------
