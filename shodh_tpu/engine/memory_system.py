@@ -82,6 +82,8 @@ class MemorySystem:
         self.bm25 = None  # retrieval/bm25.py
         self.graph = None  # graph/graph_memory.py
         self.query_parser = None  # nlp/query_parser.py
+        self.ner = None  # nlp/ner.py
+        self.gazetteer = None  # nlp/gazetteer.py
         self.facts = None  # engine/facts.py
         self.temporal_facts = None  # engine/temporal_facts.py
         self.feedback = None  # engine/feedback.py
@@ -98,10 +100,14 @@ class MemorySystem:
 
     def _init_subsystems(self) -> None:
         """Attach optional subsystems. Split out so tests can build bare cores."""
+        from shodh_tpu.nlp.gazetteer import Gazetteer
+        from shodh_tpu.nlp.ner import NeuralNer
         from shodh_tpu.nlp.query_parser import QueryParser
         from shodh_tpu.retrieval.bm25 import BM25Index
 
         self.query_parser = QueryParser()
+        self.ner = NeuralNer()
+        self.gazetteer = Gazetteer()
         self.bm25 = BM25Index(self.data_dir / "bm25")
         try:
             from shodh_tpu.graph.graph_memory import GraphMemory
@@ -206,9 +212,18 @@ class MemorySystem:
             chunks = chunk_content(experience.content)
             vectors = self.embedder.encode_batch(chunks)
 
-        # 4. Entity extraction (NER seam; rule-based fallback)
-        if not experience.entities and self.query_parser is not None:
-            experience.entities = self.query_parser.extract_entities(experience.content)
+        # 4. Entity extraction (NER: neural when plugged, rules otherwise)
+        entity_labels: dict[str, str] = {}
+        if self.ner is not None:
+            mentions = self.ner.extract(experience.content)
+            entity_labels = {
+                m.text: m.label for m in mentions if m.confidence >= C.NER_GRAPH_CONFIDENCE_FLOOR
+            }
+            if not experience.entities:
+                experience.entities = [m.text for m in mentions]
+        # 4.5 Toponym extraction (gazetteer — textual places, NOT the geo index)
+        if self.gazetteer is not None and not experience.toponyms:
+            experience.toponyms = [t.name for t in self.gazetteer.extract_toponyms(experience.content)]
 
         # 5. Temporal reference extraction (temporal_facts.rs)
         if self.query_parser is not None and not experience.temporal_refs:
@@ -251,7 +266,7 @@ class MemorySystem:
 
         # 9. Graph ingest (entities, co-occurrence edges, episode nodes)
         if self.graph is not None and experience.entities:
-            self.graph.ingest_experience(mem, now=now)
+            self.graph.ingest_experience(mem, now=now, entity_labels=entity_labels)
 
         # 10. Temporal fact extraction
         if self.temporal_facts is not None:

@@ -282,12 +282,18 @@ class GraphMemory:
 
     # -- ingest (state.rs:2612 process_experience_into_graph) -------------------
 
-    def ingest_experience(self, mem: Memory, now: Optional[datetime] = None) -> None:
+    def ingest_experience(
+        self,
+        mem: Memory,
+        now: Optional[datetime] = None,
+        entity_labels: Optional[dict[str, str]] = None,
+    ) -> None:
         now = now or scoring_now()
         exp = mem.experience
+        labels = entity_labels or {}
         eids: list[str] = []
         for name in exp.entities[:16]:
-            eid = self.add_entity(name, now=now)
+            eid = self.add_entity(name, label=labels.get(name, "concept"), now=now)
             if eid is not None:
                 eids.append(eid)
                 mems = self.entity_memories.setdefault(eid, [])
