@@ -76,6 +76,12 @@ class MemorySystem:
             self.index = DeviceVectorIndex.load(index_path)
         else:
             self.index = DeviceVectorIndex(dim=self.embedder.dimension, dtype=index_dtype)
+        # Multimodal vector namespaces (storage.rs:3481-3711 modality mappings)
+        self.modality_indexes: dict[str, DeviceVectorIndex] = {}
+        for modality in ("image", "audio", "video"):
+            mpath = self.data_dir / "index" / modality
+            if mpath.with_suffix(".json").exists():
+                self.modality_indexes[modality] = DeviceVectorIndex.load(mpath)
         self.working = WorkingMemory()
         self.session = SessionMemory()
         # Subsystem seams (filled by later construction stages)
@@ -252,6 +258,23 @@ class MemorySystem:
         mem.vector_row = rows[0]
         self.storage.store(mem)
         self.storage.set_vector_rows(mem.id, rows)
+
+        # 6.5 Multimodal embeddings -> per-modality indexes
+        for modality, emb in (
+            ("image", experience.image_embeddings),
+            ("audio", experience.audio_embeddings),
+            ("video", experience.video_embeddings),
+        ):
+            if emb is None:
+                continue
+            vec = np.asarray(emb, np.float32)
+            vec = vec / max(float(np.linalg.norm(vec)), 1e-12)
+            midx = self.modality_indexes.get(modality)
+            if midx is None:
+                midx = DeviceVectorIndex(dim=vec.shape[0])
+                self.modality_indexes[modality] = midx
+            mrows = midx.add(vec[None, :])
+            self.storage.set_vector_rows(mem.id, mrows, modality=modality)
 
         # 7. BM25 leg
         if self.bm25 is not None:
@@ -452,6 +475,52 @@ class MemorySystem:
                     fused[mid] *= 1.0 + C.TEMPORAL_PREFILTER_BOOST
                 else:
                     fused[mid] = C.TEMPORAL_PREFILTER_BOOST * 0.5
+
+        # L0.5 attribute-query boost (classify_query -> entity index boost)
+        if (
+            query.layers >= LayerMode.FULL
+            and analysis is not None
+            and analysis.attribute_query is not None
+        ):
+            ent, attr = analysis.attribute_query
+            attr_ids = set(self.storage.ids_by_entity(ent, limit=100))
+            if attr_ids:
+                from shodh_tpu.nlp.stemmer import stem as _stem
+
+                attr_stem = _stem(attr)
+                for mid in attr_ids:
+                    mem_ = self.storage.get(mid)
+                    if mem_ is None:
+                        continue
+                    content_stems = {
+                        _stem(w) for w in mem_.experience.content.lower().split()
+                    }
+                    if attr_stem in content_stems:
+                        fused[mid] = fused.get(mid, 0.0) * C.ATTRIBUTE_QUERY_BOOST + (
+                            0.05 if mid not in fused else 0.0
+                        )
+
+        # L4.9 ontological re-rank: gated on intent confidence + graph density
+        if (
+            query.layers >= LayerMode.FULL
+            and analysis is not None
+            and analysis.ontological_intent is not None
+            and self.graph is not None
+        ):
+            rel, conf = analysis.ontological_intent
+            if (
+                conf >= C.ONTOLOGICAL_MIN_CONFIDENCE
+                and self.graph.edge_density() < C.ONTOLOGICAL_DENSITY_THRESHOLD
+            ):
+                matching_mems: set[str] = set()
+                for edge in self.graph.edges.values():
+                    if edge.rel_type == rel:
+                        matching_mems.update(edge.provenance)
+                boost_left = C.ONTOLOGICAL_RERANK_MAX
+                for mid in matching_mems:
+                    if mid in fused and boost_left > 0:
+                        fused[mid] *= 1.0 + min(C.ONTOLOGICAL_RERANK_BOOST, boost_left)
+                        boost_left -= C.ONTOLOGICAL_RERANK_BOOST
 
         # L0.6 temporal facts + L0.7 fact-source boosts (PLUS_FACTS and up)
         if query.layers >= LayerMode.PLUS_FACTS and analysis is not None:
@@ -692,6 +761,27 @@ class MemorySystem:
     # CRUD / misc (handlers surface)
     # ------------------------------------------------------------------
 
+    def search_modality(
+        self, embedding, modality: str = "image", k: int = 10
+    ) -> list[ScoredMemory]:
+        """Multimodal search: caller-provided embedding against one modality
+        namespace (handlers search/multimodal analog)."""
+        midx = self.modality_indexes.get(modality)
+        if midx is None or midx.n_active == 0:
+            return []
+        vec = np.asarray(embedding, np.float32)
+        vec = vec / max(float(np.linalg.norm(vec)), 1e-12)
+        vals, rows = midx.search(vec[None, :], k=k)
+        out = []
+        for val, row in zip(vals[0], rows[0]):
+            if row < 0:
+                continue
+            mid = self.storage.memory_for_row(int(row), modality=modality)
+            mem = self.storage.get(mid) if mid else None
+            if mem is not None:
+                out.append(ScoredMemory(memory=mem, score=float(val)))
+        return out
+
     def get(self, memory_id: str) -> Optional[Memory]:
         return self.storage.get(memory_id)
 
@@ -711,7 +801,10 @@ class MemorySystem:
             return False
         vm = self.storage.get_vector_map(memory_id)
         for modality, rows in vm.items():
-            self.index.delete_rows(rows)
+            if modality == "text":
+                self.index.delete_rows(rows)
+            elif modality in self.modality_indexes:
+                self.modality_indexes[modality].delete_rows(rows)
         if self.bm25 is not None:
             self.bm25.delete(memory_id)
         self.working.remove(memory_id)
@@ -838,6 +931,8 @@ class MemorySystem:
     def save(self) -> None:
         self.flush()
         self.index.save(self.data_dir / "index" / "text")
+        for modality, midx in self.modality_indexes.items():
+            midx.save(self.data_dir / "index" / modality)
 
     def close(self) -> None:
         self.save()

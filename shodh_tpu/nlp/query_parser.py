@@ -78,6 +78,10 @@ class QueryAnalysis:
     negated_form: Optional[str] = None
     multihop: bool = False
     phrase_terms: list[str] = field(default_factory=list)
+    # L0.5 attribute query: (entity, attribute) e.g. ("acme", "headquarters")
+    attribute_query: Optional[tuple[str, str]] = None
+    # Ontological intent: relation the query asks about, with confidence
+    ontological_intent: Optional[tuple[str, float]] = None
 
 
 class QueryParser:
@@ -153,6 +157,30 @@ class QueryParser:
         a.multihop = len(a.entities) >= 2 and any(c in lowered for c in _MULTIHOP_CUES)
         if not a.multihop:
             a.multihop = len(a.entities) >= 3
+
+        # L0.5 attribute-query classification (classify_query analog):
+        # "what is X's Y" / "what Y does X ..." / "where does X work"
+        m = re.search(r"what(?:'s| is| was| are)?\s+(?:the\s+)?(\w+)\s+(?:of|for)\s+([\w .-]+?)[?.]?$", lowered)
+        if m and m.group(1) not in STOPWORDS:
+            a.attribute_query = (m.group(2).strip(), m.group(1))
+        else:
+            m = re.search(r"what(?:'s| is)?\s+([\w .-]+?)'s\s+(\w+)", lowered)
+            if m:
+                a.attribute_query = (m.group(1).strip(), m.group(2))
+
+        # Ontological intent (infer_ontological_intent analog): the typed
+        # relation a question is about, from interrogative shape + cues.
+        from shodh_tpu.graph.relations import predicate_from_cues
+
+        cue = predicate_from_cues(lowered)
+        if cue is not None:
+            a.ontological_intent = (cue[0], 0.6)
+        elif re.match(r"^\s*where\b", lowered):
+            a.ontological_intent = ("located_in", 0.5)
+        elif re.match(r"^\s*who\b", lowered) and ("work" in lowered or "manage" in lowered):
+            a.ontological_intent = ("works_at", 0.5)
+        elif "why" in lowered.split()[:1]:
+            a.ontological_intent = ("causes", 0.4)
 
         return a
 
