@@ -765,6 +765,206 @@ def make_app(manager: MultiUserMemoryManager) -> web.Application:
     app.router.add_post("/api/context", proactive_context)
     app.router.add_post("/api/relevant", proactive_context)
 
+    # -- A/B testing ------------------------------------------------------------
+
+    def _ab(request):
+        from shodh_tpu.engine.ab_testing import ABTestManager
+
+        uid = user_of(request)
+        sys_ = mgr(request).get_user_memory(uid)
+        return ABTestManager(sys_.storage.kv)
+
+    async def ab_create(request):
+        body = await body_json(request)
+        from shodh_tpu.utils.clock import scoring_now
+
+        exp = _ab(request).create(body["name"], body.get("variants", {"control": {}, "treatment": {}}), scoring_now())
+        return web.json_response({"experiment": exp.to_dict()})
+
+    async def ab_list(request):
+        return web.json_response({"experiments": [e.to_dict() for e in _ab(request).list()]})
+
+    async def ab_event(request):
+        body = await body_json(request)
+        event = request.match_info["event"]
+        mapped = {"click": "click", "impression": "impression", "feedback": "positive"}[event]
+        if event == "feedback" and not body.get("helpful", True):
+            mapped = "negative"
+        _ab(request).record(request.match_info["test_id"], body["variant"], mapped)
+        return web.json_response({"ok": True})
+
+    async def ab_analyze(request):
+        return web.json_response(_ab(request).analyze(request.match_info["test_id"]))
+
+    async def ab_status(request):
+        body = await body_json(request)
+        status = {"start": "running", "pause": "paused", "resume": "running", "complete": "complete"}[
+            request.match_info["action"]
+        ]
+        exp = _ab(request).set_status(request.match_info["test_id"], status)
+        return web.json_response({"experiment": exp.to_dict() if exp else None})
+
+    # -- visualization / anomalies -------------------------------------------------
+
+    async def universe(request):
+        uid = request.match_info.get("user_id") or user_of(request)
+        sys_ = mgr(request).get_user_memory(validate_user_id(uid))
+        from shodh_tpu.engine.visualization import memory_universe
+
+        return web.json_response(await run(memory_universe, sys_))
+
+    async def anomalies(request):
+        uid = user_of(request)
+        sys_ = mgr(request).get_user_memory(uid)
+        from shodh_tpu.engine.visualization import detect_anomalies
+
+        return web.json_response({"anomalies": await run(detect_anomalies, sys_)})
+
+    # -- multimodal / advanced search ---------------------------------------------
+
+    async def search_multimodal(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        hits = await run(
+            sys_.search_modality, body["embedding"], body.get("modality", "image"),
+            int(body.get("max_results", 10)),
+        )
+        return web.json_response({"memories": [mem_json(sm) for sm in hits]})
+
+    async def search_robotics(request):
+        body = await body_json(request)
+        body.setdefault("retrieval_mode", "mission" if body.get("mission_id") else "spatial")
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        from shodh_tpu.types import Query as _Q
+
+        result = await run(sys_.recall, _Q.from_dict(body))
+        return web.json_response({"memories": [mem_json(sm) for sm in result.memories]})
+
+    # -- index / storage ops --------------------------------------------------------
+
+    async def index_verify(request):
+        uid = user_of(request)
+        sys_ = mgr(request).get_user_memory(uid)
+
+        def check():
+            inconsistent = 0
+            mapped = 0
+            for mid in sys_.storage.iter_ids():
+                for modality, rows in sys_.storage.get_vector_map(mid).items():
+                    for r in rows:
+                        mapped += 1
+                        if sys_.storage.memory_for_row(r, modality) != mid:
+                            inconsistent += 1
+            return {"mapped_rows": mapped, "inconsistent": inconsistent, "ok": inconsistent == 0}
+
+        return web.json_response(await run(check))
+
+    async def index_rebuild(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+
+        def rebuild():
+            from shodh_tpu.index.device_index import DeviceVectorIndex
+            from shodh_tpu.models.chunking import chunk_content
+
+            new_index = DeviceVectorIndex(dim=sys_.embedder.dimension, dtype=sys_.index.dtype)
+            n = 0
+            for mem in sys_.storage.iter_memories():
+                chunks = chunk_content(mem.experience.content)
+                vecs = sys_.embedder.encode_batch(chunks)
+                rows = new_index.add(vecs)
+                sys_.storage.set_vector_rows(mem.id, rows)
+                n += 1
+            sys_.index = new_index
+            return n
+
+        n = await run(rebuild)
+        return web.json_response({"rebuilt": n})
+
+    async def storage_stats(request):
+        uid = user_of(request)
+        sys_ = mgr(request).get_user_memory(uid)
+        import os as _os
+
+        def du(p):
+            total = 0
+            for root, _, files in _os.walk(p):
+                for f in files:
+                    try:
+                        total += _os.path.getsize(_os.path.join(root, f))
+                    except OSError:
+                        pass
+            return total
+
+        return web.json_response(
+            {"memories": sys_.storage.count(), "disk_bytes": await run(du, str(sys_.data_dir))}
+        )
+
+    async def storage_cleanup(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        removed = await run(sys_.storage.cleanup_corrupted)
+        return web.json_response({"removed": removed})
+
+    async def memories_clear(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        if not body.get("confirm"):
+            return _err(400, "confirmation_required", "pass confirm=true to clear all memories")
+        sys_ = mgr(request).get_user_memory(uid)
+
+        def clear():
+            ids = list(sys_.storage.iter_ids())
+            for mid in ids:
+                sys_.forget(mid)
+            return len(ids)
+
+        n = await run(clear)
+        mgr(request).audit(uid, "memories_clear", {"count": n})
+        return web.json_response({"cleared": n})
+
+    async def context_summary(request):
+        uid = user_of(request)
+        sys_ = mgr(request).get_user_memory(uid)
+
+        def summarize():
+            recent = sorted(sys_.get_all(limit=50), key=lambda m: m.created_at, reverse=True)[:10]
+            facts = sys_.facts.all_facts()[:5] if sys_.facts else []
+            todos = sys_.todos.list()[:5] if sys_.todos else []
+            return {
+                "recent": [m.experience.content[:120] for m in recent],
+                "facts": [f.statement[:120] for f in facts],
+                "open_todos": [t.title for t in todos],
+                "stats": sys_.stats().to_dict(),
+            }
+
+        return web.json_response(await run(summarize))
+
+    app.router.add_post("/api/ab/tests", ab_create)
+    app.router.add_get("/api/ab/tests", ab_list)
+    app.router.add_get("/api/ab/summary", ab_list)
+    app.router.add_post("/api/ab/tests/{test_id}/{event:(impression|click|feedback)}", ab_event)
+    app.router.add_post("/api/ab/tests/{test_id}/analyze", ab_analyze)
+    app.router.add_get("/api/ab/tests/{test_id}/analyze", ab_analyze)
+    app.router.add_post("/api/ab/tests/{test_id}/{action:(start|pause|resume|complete)}", ab_status)
+
+    app.router.add_get("/api/graph/{user_id}/universe", universe)
+    app.router.add_get("/api/anomalies", anomalies)
+    app.router.add_post("/api/search/multimodal", search_multimodal)
+    app.router.add_post("/api/search/robotics", search_robotics)
+    app.router.add_post("/api/search/advanced", recall)
+
+    app.router.add_get("/api/index/verify", index_verify)
+    app.router.add_post("/api/index/rebuild", index_rebuild)
+    app.router.add_get("/api/storage/stats", storage_stats)
+    app.router.add_post("/api/storage/cleanup", storage_cleanup)
+    app.router.add_post("/api/memories/clear", memories_clear)
+    app.router.add_get("/api/context_summary", context_summary)
+
     from shodh_tpu.server.streaming import stream_handler
     from shodh_tpu.server.webhooks import register_webhook_routes
 
