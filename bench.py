@@ -134,8 +134,11 @@ def main() -> None:
             "vs_baseline": 0.0,
         }
     print(json.dumps(result), flush=True)
-    # A hung remote-TPU call must not wedge the caller: exit hard.
-    os._exit(0)
+    if worker.is_alive():
+        # Worker is hung on a remote call: a clean interpreter exit would
+        # block on it, so exit hard. (Only on this path — os._exit skips
+        # PJRT teardown, which delays the next process's device claim.)
+        os._exit(0)
 
 
 if __name__ == "__main__":

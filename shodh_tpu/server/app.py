@@ -67,6 +67,44 @@ async def auth_middleware(request: web.Request, handler):
     return await handler(request)
 
 
+class TokenBucket:
+    """Per-IP token bucket (the reference's governor layer, server.rs:196)."""
+
+    def __init__(self, rate_per_sec: float = 50.0, burst: float = 100.0):
+        self.rate = rate_per_sec
+        self.burst = burst
+        self._state: dict[str, tuple[float, float]] = {}  # ip -> (tokens, last)
+
+    def allow(self, ip: str) -> bool:
+        now = time.monotonic()
+        tokens, last = self._state.get(ip, (self.burst, now))
+        tokens = min(self.burst, tokens + (now - last) * self.rate)
+        if tokens < 1.0:
+            self._state[ip] = (tokens, now)
+            return False
+        self._state[ip] = (tokens - 1.0, now)
+        if len(self._state) > 10_000:
+            self._state.clear()
+        return True
+
+
+_BUCKET = TokenBucket(
+    rate_per_sec=float(os.environ.get("SHODH_RATE_LIMIT_PER_SEC", "50")),
+    burst=float(os.environ.get("SHODH_RATE_LIMIT_BURST", "100")),
+)
+
+
+@web.middleware
+async def rate_limit_middleware(request: web.Request, handler):
+    if request.path in PROBE_ROUTES:  # probes never throttled (router.rs:42)
+        return await handler(request)
+    ip = request.remote or "local"
+    if not _BUCKET.allow(ip):
+        METRICS.inc("shodh_http_rate_limited_total")
+        return _err(429, "rate_limited", "too many requests")
+    return await handler(request)
+
+
 @web.middleware
 async def observability_middleware(request: web.Request, handler):
     t0 = time.perf_counter()
@@ -80,7 +118,7 @@ async def observability_middleware(request: web.Request, handler):
 
 def make_app(manager: MultiUserMemoryManager) -> web.Application:
     app = web.Application(
-        middlewares=[observability_middleware, auth_middleware],
+        middlewares=[observability_middleware, rate_limit_middleware, auth_middleware],
         client_max_size=MAX_BODY,
     )
     app["manager"] = manager
@@ -139,6 +177,12 @@ def make_app(manager: MultiUserMemoryManager) -> web.Application:
 
     async def remember(request):
         body = await body_json(request)
+        from shodh_tpu.server.validation import ValidationError, validate_experience_payload
+
+        try:
+            validate_experience_payload(body)
+        except ValidationError as exc:
+            return _err(422, "validation", str(exc))
         uid = user_of(request, body)
         sys_ = mgr(request).get_user_memory(uid)
         created_at = parse_ts(body["created_at"]) if body.get("created_at") else None
@@ -169,6 +213,12 @@ def make_app(manager: MultiUserMemoryManager) -> web.Application:
 
     async def recall(request):
         body = await body_json(request)
+        from shodh_tpu.server.validation import ValidationError, validate_query_payload
+
+        try:
+            validate_query_payload(body)
+        except ValidationError as exc:
+            return _err(422, "validation", str(exc))
         uid = user_of(request, body)
         sys_ = mgr(request).get_user_memory(uid)
         q = Query.from_dict(body)
