@@ -1,0 +1,174 @@
+"""Fleet transport, migration, gazetteer, entity types, NER, integrations."""
+
+import json
+from datetime import datetime, timezone
+
+import pytest
+
+from shodh_tpu.nlp.entity_type import coarse_of, is_compatible, register_fine_type
+from shodh_tpu.nlp.gazetteer import Gazetteer
+from shodh_tpu.nlp.ner import NeuralNer, RuleBasedExtractor
+
+NOW = datetime(2025, 7, 1, tzinfo=timezone.utc)
+
+
+class TestNer:
+    def test_rule_extractor_labels(self):
+        ext = RuleBasedExtractor()
+        mentions = {m.text.lower(): m.label for m in ext.extract(
+            "Dr. Alice Chen from Acme Corp deployed rust in Berlin"
+        )}
+        assert mentions.get("alice chen") == "person"
+        assert mentions.get("acme corp") == "organization"
+        assert mentions.get("rust") == "technology"
+
+    def test_neural_fallback_on_error(self):
+        ner = NeuralNer()
+
+        def broken(text):
+            raise RuntimeError("model died")
+
+        ner.set_model(broken)
+        out = ner.extract("Alice works at Acme Corp")
+        assert out  # degraded to rules, never empty-on-error
+        assert ner.degraded
+
+    def test_model_path_used_when_healthy(self):
+        from shodh_tpu.nlp.ner import EntityMention
+
+        ner = NeuralNer()
+        ner.set_model(lambda text: [EntityMention(text="X9", label="product", confidence=0.99)])
+        assert ner.extract_names("anything") == ["X9"]
+
+
+class TestEntityTypes:
+    def test_coarse_rollup(self):
+        assert coarse_of("programming_language") == "technology"
+        assert coarse_of("city") == "location"
+        assert coarse_of("unknown_thing") == "other"
+
+    def test_register(self):
+        register_fine_type("llm", "technology")
+        assert coarse_of("llm") == "technology"
+
+    def test_compat(self):
+        assert is_compatible("company", "startup")
+        assert not is_compatible("city", "scientist")
+
+
+class TestGazetteer:
+    def test_resolve_and_extract(self):
+        g = Gazetteer()
+        top = g.resolve("Berlin")
+        assert top is not None and abs(top.lat - 52.52) < 0.1
+        tops = g.extract_toponyms("The team met in Berlin and then flew to New York")
+        names = {t.name for t in tops}
+        assert names == {"berlin", "new york"}
+
+    def test_longest_match_wins(self):
+        g = Gazetteer()
+        tops = g.extract_toponyms("landing in new york tonight")
+        assert {t.name for t in tops} == {"new york"}
+
+    def test_tsv_load(self, tmp_path):
+        tsv = tmp_path / "cities.tsv"
+        tsv.write_text("springfield\t39.8\t-89.6\t110000\nspringfield\t42.1\t-72.6\t155000\n")
+        g = Gazetteer(tsv)
+        top = g.resolve("springfield")
+        assert top.population == 155000  # population-weighted homonym pick
+
+
+class TestFleet:
+    def test_remember_recall_over_bus(self, tmp_path):
+        from shodh_tpu.server.fleet import FleetTransport, InProcessBus, KEY_PREFIX
+        from shodh_tpu.server.state import MultiUserMemoryManager
+
+        manager = MultiUserMemoryManager(tmp_path / "fleet")
+        bus = InProcessBus()
+        transport = FleetTransport(manager, bus)
+        acks = []
+        bus.subscribe(f"{KEY_PREFIX}/*/remember/ack", lambda k, p: acks.append(json.loads(p)))
+        results = []
+        bus.subscribe(f"{KEY_PREFIX}/*/recall/result", lambda k, p: results.append(json.loads(p)))
+
+        bus.publish(
+            f"{KEY_PREFIX}/robot1/remember",
+            json.dumps({"content": "obstacle at dock A", "robot_id": "r1"}).encode(),
+        )
+        assert acks and "memory_id" in acks[0]
+        bus.publish(
+            f"{KEY_PREFIX}/robot1/recall",
+            json.dumps({"query": "obstacle dock"}).encode(),
+        )
+        assert results and results[0]["memories"]
+        manager.close()
+
+    def test_auth_rejects_bad_mac(self, tmp_path, monkeypatch):
+        from shodh_tpu.server.fleet import FleetTransport, InProcessBus, KEY_PREFIX
+        from shodh_tpu.server.state import MultiUserMemoryManager
+
+        manager = MultiUserMemoryManager(tmp_path / "fleet2")
+        bus = InProcessBus()
+        transport = FleetTransport(manager, bus, auth_key="secret")
+        acks = []
+        bus.subscribe(f"{KEY_PREFIX}/*/remember/ack", lambda k, p: acks.append(p))
+        bus.publish(
+            f"{KEY_PREFIX}/r/remember",
+            json.dumps({"content": "spoofed", "auth": "bad"}).encode(),
+        )
+        assert not acks
+        # signed payload accepted
+        signed = transport.sign({"content": "legit"})
+        bus.publish(f"{KEY_PREFIX}/r/remember", json.dumps(signed).encode())
+        assert acks
+        manager.close()
+
+    def test_liveliness(self, tmp_path):
+        from shodh_tpu.server.fleet import FleetTransport, InProcessBus
+        from shodh_tpu.server.state import MultiUserMemoryManager
+
+        manager = MultiUserMemoryManager(tmp_path / "fleet3")
+        t = FleetTransport(manager, InProcessBus())
+        t.announce("spot-1")
+        t.announce("spot-2")
+        assert t.fleet_members() == ["spot-1", "spot-2"]
+        manager.close()
+
+
+class TestMigration:
+    def test_legacy_records_upgraded(self, tmp_path):
+        import msgpack
+
+        from shodh_tpu.storage.kv import KvStore
+        from shodh_tpu.storage.migration import migrate_kv
+        from shodh_tpu.storage.serialization import decode, encode
+
+        kv = KvStore(tmp_path / "old.db")
+        kv.put("ns", "modern", encode({"v": 1}))
+        kv.put("ns", "legacy_msgpack", msgpack.packb({"v": 2}))
+        kv.put("ns", "legacy_json", json.dumps({"v": 3}).encode())
+        kv.put("ns", "garbage", b"\x00\xff\x00corrupt")
+        kv.close()
+        report = migrate_kv(tmp_path / "old.db")
+        assert report["ns"]["ok"] == 1
+        assert report["ns"]["migrated"] == 2
+        assert report["ns"]["corrupt"] == 1
+        kv2 = KvStore(tmp_path / "old.db")
+        assert decode(kv2.get("ns", "legacy_msgpack")) == {"v": 2}
+        kv2.close()
+
+
+class TestIntegrations:
+    def test_store_adapter(self, tmp_path):
+        from shodh_tpu.clients.client import Memory
+        from shodh_tpu.clients.integrations import ShodhMemoryStore, openai_agent_tools
+
+        m = Memory(embedded=True, data_dir=str(tmp_path / "int"))
+        store = ShodhMemoryStore(m)
+        store.save("the deploy pipeline uses blue-green", {"tags": ["ci"]})
+        hits = store.query("deploy pipeline")
+        assert hits and "blue-green" in hits[0]["experience"]["content"]
+        tools = openai_agent_tools(m)[0]
+        out = tools["dispatch"]("recall", {"query": "deploy"})
+        assert "blue-green" in out
+        m.close()
