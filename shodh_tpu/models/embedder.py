@@ -53,12 +53,22 @@ class MiniLMEmbedder:
 
     name = "minilm-l6-v2-jax"
 
-    def __init__(self, ckpt_dir: str | Path, compute_dtype: str = "float32"):
-        from shodh_tpu.models.minilm import CONFIG, load_checkpoint
+    def __init__(
+        self,
+        ckpt_dir: str | Path,
+        compute_dtype: str = "float32",
+        int8_weights: bool | None = None,
+    ):
+        from shodh_tpu.models.minilm import CONFIG, load_checkpoint, quantize_params_int8
         from shodh_tpu.models.tokenizer import WordPieceTokenizer
 
         ckpt_dir = Path(ckpt_dir)
         self.params = load_checkpoint(ckpt_dir)
+        if int8_weights is None:
+            int8_weights = os.environ.get("SHODH_MINILM_INT8", "1") != "0"
+        if int8_weights:
+            # reference default: the INT8-quantized model (minilm.rs:172-186)
+            self.params = quantize_params_int8(self.params)
         self.tokenizer = WordPieceTokenizer.from_vocab_file(ckpt_dir / "vocab.txt")
         self.dimension = int(CONFIG["hidden"])
         self.compute_dtype = compute_dtype

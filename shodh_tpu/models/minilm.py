@@ -179,6 +179,42 @@ def load_checkpoint(ckpt_dir: str | Path, cfg: dict = CONFIG) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# INT8 weight quantization (reference serves model_quantized.onnx ~22 MB;
+# same scheme here: per-output-channel symmetric int8 on every matmul weight,
+# dequantized into the compute dtype at use — weight-only quantization, f32
+# activations, so accuracy loss stays sub-percent while HBM traffic drops 4x)
+# ---------------------------------------------------------------------------
+
+_QUANT_KEYS = ("q_w", "k_w", "v_w", "o_w", "ffn_in_w", "ffn_out_w")
+
+
+def quantize_params_int8(params: dict) -> dict:
+    """Per-channel symmetric int8 for transformer matmul weights."""
+
+    def quant(w):
+        absmax = jnp.max(jnp.abs(w), axis=0)  # per output channel
+        scale = jnp.where(absmax > 0, absmax / 127.0, 1.0).astype(jnp.float32)
+        q = jnp.clip(jnp.round(w / scale[None, :]), -127, 127).astype(jnp.int8)
+        return {"q": q, "s": scale}
+
+    out = dict(params)
+    out["layers"] = []
+    for lp in params["layers"]:
+        nl = dict(lp)
+        for key in _QUANT_KEYS:
+            nl[key] = quant(lp[key])
+        out["layers"].append(nl)
+    return out
+
+
+def _weight(w, dtype):
+    """Dequantize-or-cast a (possibly int8-quantized) weight for matmul."""
+    if isinstance(w, dict):
+        return (w["q"].astype(dtype) * w["s"].astype(dtype)[None, :])
+    return w.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
 
@@ -195,7 +231,7 @@ def _encoder_layer(x, mask_bias, lp, heads: int, eps: float, dtype):
 
     def lin(v, w_, b_):
         return (
-            jnp.dot(v, w_.astype(dtype), preferred_element_type=jnp.float32) + b_
+            jnp.dot(v, _weight(w_, dtype), preferred_element_type=jnp.float32) + b_
         )
 
     b, L, _ = x.shape

@@ -106,6 +106,25 @@ class TestMiniLMArchitecture:
         assert out.shape == (1, cfg["hidden"])
         assert np.isclose(np.linalg.norm(out[0]), 1.0, atol=1e-5)
 
+    def test_int8_weight_quantization(self):
+        """Weight-only int8 must keep the embedding geometry (cos > 0.99)."""
+        from shodh_tpu.models.minilm import (
+            CONFIG,
+            encode_tokens,
+            init_params,
+            quantize_params_int8,
+        )
+
+        cfg = dict(CONFIG, vocab_size=100, max_position=32)
+        params = init_params(0, cfg)
+        qparams = quantize_params_int8(params)
+        ids = np.array([[2, 5, 6, 3, 7, 8]], np.int32)
+        mask = np.ones((1, 6), np.float32)
+        full = np.asarray(encode_tokens(params, ids, mask))
+        quant = np.asarray(encode_tokens(qparams, ids, mask))
+        cos = float((full * quant).sum())
+        assert cos > 0.99, f"int8 quantization broke geometry: cos={cos}"
+
     def test_padding_invariance(self):
         """Extra padding must not change the embedding (mask correctness)."""
         from shodh_tpu.models.minilm import CONFIG, encode_tokens, init_params
