@@ -563,6 +563,30 @@ class MemorySystem:
             if not self._passes_filters(mem, query):
                 continue
             candidates.append((mem, base))
+
+        # Temporal-neighborhood prefetch + boost (PREFETCH_TEMPORAL_WINDOW /
+        # SAME_EPISODE_BOOST family): conversational context travels together,
+        # so neighbors-in-time of the strongest hits JOIN the pool at a floor
+        # score, and in-pool neighbors get boosted.
+        if query.layers >= LayerMode.FULL and len(candidates) > 3:
+            window = timedelta(hours=2)
+            ranked_cand = sorted(candidates, key=lambda t: -t[1])
+            top_times = [mem.created_at for mem, _ in ranked_cand[:3]]
+            floor = ranked_cand[min(len(ranked_cand) - 1, 10)][1]
+            in_pool = {mem.id for mem, _ in candidates}
+            for t in top_times:
+                crit = SearchCriteria(date_range=(t - window, t + window), limit=20)
+                for mid in self.storage.search(crit):
+                    if mid in in_pool:
+                        continue
+                    mem = self.storage.get(mid)
+                    if mem is None or not self._passes_filters(mem, query):
+                        continue
+                    in_pool.add(mid)
+                    candidates.append((mem, floor * 0.9))
+            for i, (mem, base) in enumerate(candidates):
+                if any(abs(mem.created_at - t) <= window and mem.created_at != t for t in top_times):
+                    candidates[i] = (mem, base * (1.0 + C.SAME_EPISODE_BOOST * 0.5))
         timings["load_ms"] = (time.perf_counter() - t0) * 1000
 
         # L5 unified scoring (vectorized)
