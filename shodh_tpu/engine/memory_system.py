@@ -360,6 +360,10 @@ class MemorySystem:
             analysis = self.query_parser.analyze(query.query_text, now=now)
         timings["analyze_ms"] = (time.perf_counter() - t_start) * 1000
 
+        # Ablation kill-switches (SHODH_DISABLE_BOOSTS — 18 families in the
+        # reference; each boost block below is gated by its family name)
+        disabled = C.disabled_boosts()
+
         # Companion rerank gate (mod.rs:1557): multihop intent -> deep pool
         if (
             query.layers >= LayerMode.PLUS_RERANK
@@ -376,6 +380,7 @@ class MemorySystem:
         temporal_ids: set[str] = set()
         if (
             query.layers >= LayerMode.FULL
+            and "temporal_prefilter" not in disabled
             and analysis is not None
             and analysis.date_range is not None
         ):
@@ -479,6 +484,7 @@ class MemorySystem:
         # L0.5 attribute-query boost (classify_query -> entity index boost)
         if (
             query.layers >= LayerMode.FULL
+            and "attribute" not in disabled
             and analysis is not None
             and analysis.attribute_query is not None
         ):
@@ -503,6 +509,7 @@ class MemorySystem:
         # L4.9 ontological re-rank: gated on intent confidence + graph density
         if (
             query.layers >= LayerMode.FULL
+            and "ontological" not in disabled
             and analysis is not None
             and analysis.ontological_intent is not None
             and self.graph is not None
@@ -525,13 +532,17 @@ class MemorySystem:
         # L0.6 temporal facts + L0.7 fact-source boosts (PLUS_FACTS and up)
         if query.layers >= LayerMode.PLUS_FACTS and analysis is not None:
             q_entities = analysis.entities or analysis.focal_terms[:4]
-            if self.temporal_facts is not None and q_entities and analysis.is_temporal_seeking:
+            if "temporal_facts" in disabled:
+                q_entities_tf = []
+            else:
+                q_entities_tf = q_entities
+            if self.temporal_facts is not None and q_entities_tf and analysis.is_temporal_seeking:
                 for tf in self.temporal_facts.lookup(q_entities, limit=10):
                     if tf.source_memory in fused:
                         fused[tf.source_memory] *= 1.0 + 0.25 * C.TEMPORAL_FACT_BOOST
                     else:
                         fused[tf.source_memory] = 0.1 * C.TEMPORAL_FACT_BOOST
-            if self.facts is not None and q_entities:
+            if self.facts is not None and q_entities and "fact_sources" not in disabled:
                 for ent in q_entities[:4]:
                     for fact in self.facts.by_entity(ent, limit=5):
                         for mid in fact.source_memories[:4]:
@@ -568,7 +579,11 @@ class MemorySystem:
         # SAME_EPISODE_BOOST family): conversational context travels together,
         # so neighbors-in-time of the strongest hits JOIN the pool at a floor
         # score, and in-pool neighbors get boosted.
-        if query.layers >= LayerMode.FULL and len(candidates) > 3:
+        if (
+            query.layers >= LayerMode.FULL
+            and "temporal_neighborhood" not in disabled
+            and len(candidates) > 3
+        ):
             window = timedelta(hours=2)
             ranked_cand = sorted(candidates, key=lambda t: -t[1])
             top_times = [mem.created_at for mem, _ in ranked_cand[:3]]
@@ -598,7 +613,7 @@ class MemorySystem:
         scored.sort(key=lambda s: (-s.score, s.memory.created_at.isoformat(), s.memory.id))
 
         # Companion rerank over the deep pool (frozen anchors keep seats)
-        if companion_gate and analysis is not None:
+        if companion_gate and analysis is not None and "companion" not in disabled:
             from shodh_tpu.engine.companion import companion_rerank
 
             q_entities = analysis.entities or analysis.focal_terms[:4]
