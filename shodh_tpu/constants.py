@@ -99,7 +99,7 @@ TIER_PROMOTION_SESSION_AGE_SECS = 86400
 # ---------------------------------------------------------------------------
 
 DEFAULT_MAX_RESULTS = 10
-VECTOR_SEARCH_CANDIDATE_MULTIPLIER = 3  # recall pools k*3 (mod.rs L3)
+VECTOR_SEARCH_CANDIDATE_MULTIPLIER = 3  # recall pools k*3 (mod.rs L3; k*5 measured worse: pool noise dilutes fusion)
 HYBRID_SEMANTIC_WEIGHT = 0.5
 HYBRID_GRAPH_WEIGHT = 0.35
 HYBRID_LINGUISTIC_WEIGHT = 0.15
