@@ -68,5 +68,7 @@ def companion_rerank(
                 attribution={**sm.attribution, "companion_overlap": ov},
             )
         )
-    reranked.sort(key=lambda s: (-s.score, s.memory.created_at.isoformat(), s.memory.id))
+    reranked.sort(
+        key=lambda s: (-s.score, s.memory.created_at.isoformat(), s.memory.content_hash)
+    )
     return anchors + reranked

@@ -19,7 +19,9 @@ import numpy as np
 from shodh_tpu import constants as C
 from shodh_tpu.retrieval.bm25 import tokenize
 from shodh_tpu.storage.serialization import decode, encode
-from shodh_tpu.types import format_ts, new_memory_id, parse_ts
+import uuid
+
+from shodh_tpu.types import format_ts, parse_ts
 
 NS_FACT = "fact"
 NS_FACT_ENT = "factent"
@@ -184,7 +186,7 @@ class SemanticFactStore:
                 e for mid in cluster for e in by_id[mid].experience.entities
             ))[:8]
             fact = SemanticFact(
-                id=new_memory_id(),
+                id=str(uuid.uuid5(uuid.NAMESPACE_OID, "fact:" + ":".join(sorted(cluster)))),
                 statement=statement,
                 entities=entities,
                 fact_type="distilled",

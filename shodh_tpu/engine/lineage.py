@@ -18,7 +18,9 @@ import numpy as np
 
 from shodh_tpu import constants as C
 from shodh_tpu.storage.serialization import decode, encode
-from shodh_tpu.types import format_ts, new_memory_id, parse_ts
+import uuid
+
+from shodh_tpu.types import format_ts, parse_ts
 
 NS_LEDGE = "ledge"
 NS_LFROM = "lfrom"  # from_memory -> edge ids
@@ -70,7 +72,8 @@ class LineageStore:
         if conf < C.LINEAGE_MIN_STORE_CONFIDENCE:
             return None
         edge = LineageEdge(
-            id=new_memory_id(), from_memory=from_memory, to_memory=to_memory,
+            id=str(uuid.uuid5(uuid.NAMESPACE_OID, f"ledge:{from_memory}:{to_memory}:{relation}")),
+            from_memory=from_memory, to_memory=to_memory,
             relation=relation, confidence=conf, created_at=now, inferred=inferred,
         )
         self.kv.write_batch(

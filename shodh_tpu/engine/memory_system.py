@@ -40,7 +40,7 @@ from shodh_tpu.types import (
     RecallResult,
     RetrievalMode,
     ScoredMemory,
-    new_memory_id,
+    deterministic_memory_id,
 )
 from shodh_tpu.utils.clock import days_between, hours_between, scoring_now
 from shodh_tpu.utils.hashing import content_hash
@@ -238,7 +238,7 @@ class MemorySystem:
             )
 
         mem = Memory(
-            id=new_memory_id(),
+            id=deterministic_memory_id(chash, now),
             experience=experience,
             created_at=now,
             importance=importance,
@@ -609,8 +609,12 @@ class MemorySystem:
         scored = self._score_candidates(candidates, query, analysis, graph_activation, now)
         timings["score_ms"] = (time.perf_counter() - t0) * 1000
 
-        # Deterministic order: score desc -> created_at desc -> id asc
-        scored.sort(key=lambda s: (-s.score, s.memory.created_at.isoformat(), s.memory.id))
+        # Deterministic order: score desc -> created_at -> content hash.
+        # The hash (not the id) is the final key so fresh ingests of the same
+        # corpus rank identically — ids are random per ingest, content is not.
+        scored.sort(
+            key=lambda s: (-s.score, s.memory.created_at.isoformat(), s.memory.content_hash)
+        )
 
         # Companion rerank over the deep pool (frozen anchors keep seats)
         if companion_gate and analysis is not None and "companion" not in disabled:
@@ -778,7 +782,9 @@ class MemorySystem:
             if mem is not None and self._passes_filters(mem, query):
                 candidates.append((mem, 1.0))
         scored = self._score_candidates(candidates, query, None, {}, now)
-        scored.sort(key=lambda s: (-s.score, s.memory.created_at.isoformat(), s.memory.id))
+        scored.sort(
+            key=lambda s: (-s.score, s.memory.created_at.isoformat(), s.memory.content_hash)
+        )
         out = scored[query.offset : query.offset + max(1, query.max_results)]
         if not C.recall_readonly():
             self._record_usage(out, now)

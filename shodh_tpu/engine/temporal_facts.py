@@ -16,7 +16,9 @@ from typing import Optional
 from shodh_tpu.nlp.query_parser import QueryParser
 from shodh_tpu.nlp.stemmer import stem
 from shodh_tpu.storage.serialization import decode, encode
-from shodh_tpu.types import Memory, format_ts, new_memory_id, parse_ts
+import uuid
+
+from shodh_tpu.types import Memory, format_ts, parse_ts
 
 NS_TFACT = "tfact"
 NS_TFACT_ENT = "tfactent"
@@ -83,7 +85,7 @@ class TemporalFactStore:
             if _FUTURE_CUES.fullmatch(w)
         ]
         fact = TemporalFact(
-            id=new_memory_id(),
+            id=str(uuid.uuid5(uuid.NAMESPACE_OID, f"tfact:{mem.id}")),
             statement=content[:300],
             entities=entities,
             event_stems=list(dict.fromkeys(stems)),

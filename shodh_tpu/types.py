@@ -41,6 +41,18 @@ def new_memory_id() -> str:
     return str(uuid.uuid4())
 
 
+_MEMORY_NS = uuid.UUID("6b7a2f90-5c1e-4b4a-9e6f-3d2a1c0b9e8d")
+
+
+def deterministic_memory_id(content_hash: str, created_at: datetime) -> str:
+    """Memory ids derive from (content hash, timestamp): two ingests of the
+    same corpus mint identical ids, so every downstream id-ordered cap and
+    tie-break is reproducible across fresh systems (the harness's
+    byte-identical-repeats contract). Content-hash dedup guarantees
+    uniqueness within a store."""
+    return str(uuid.uuid5(_MEMORY_NS, f"{content_hash}:{format_ts(created_at)}"))
+
+
 class ExperienceType(str, enum.Enum):
     """Reference: types.rs:35 — type drives the importance base score."""
 
