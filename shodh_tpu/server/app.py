@@ -31,7 +31,10 @@ from shodh_tpu.types import Experience, Query, parse_ts
 DEV_KEY = "dev-key-shodh-tpu"
 MAX_BODY = 8 * 1024 * 1024  # 8 MiB frame cap (local_ipc.rs parity)
 
-PROBE_ROUTES = {"/health", "/health/live", "/health/ready", "/health/index", "/version"}
+PROBE_ROUTES = {
+    "/health", "/health/live", "/health/ready", "/health/index", "/version",
+    "/dashboard", "/",  # static page; the data it fetches is still key-gated
+}
 
 
 def _api_keys() -> list[str]:
@@ -1015,9 +1018,93 @@ def make_app(manager: MultiUserMemoryManager) -> web.Application:
     app.router.add_post("/api/memories/clear", memories_clear)
     app.router.add_get("/api/context_summary", context_summary)
 
+    # -- graph maintenance routes ---------------------------------------------------
+
+    async def graph_invalidate(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        edge = sys_.graph.get_edge(body["from"], body["to"])
+        if edge is None:
+            return _err(404, "not_found", "edge not found")
+        from shodh_tpu.graph.graph_memory import _edge_key
+
+        key = _edge_key(edge.src, edge.dst)
+        del sys_.graph.edges[key]
+        sys_.graph.adjacency.get(edge.src, set()).discard(edge.dst)
+        sys_.graph.adjacency.get(edge.dst, set()).discard(edge.src)
+        sys_.graph._dirty_edges.add(key)
+        sys_.graph.flush()
+        return web.json_response({"invalidated": True})
+
+    async def graph_tier_census(request):
+        uid = validate_user_id(request.match_info["user_id"])
+        sys_ = mgr(request).get_user_memory(uid)
+        return web.json_response(sys_.graph.stats())
+
+    async def graph_clear(request):
+        body = await body_json(request)
+        uid = validate_user_id(request.match_info["user_id"])
+        if not body.get("confirm"):
+            return _err(400, "confirmation_required", "pass confirm=true")
+        sys_ = mgr(request).get_user_memory(uid)
+        g = sys_.graph
+        for eid in list(g.entities):
+            g._dirty_entities.add(eid)
+        for key in list(g.edges):
+            g._dirty_edges.add(key)
+        g.entities.clear()
+        g.edges.clear()
+        g.adjacency.clear()
+        g.entity_memories.clear()
+        g.alias_table.clear()
+        g.flush()
+        return web.json_response({"cleared": True})
+
+    async def graph_canonicalize(request):
+        """Merge coreferent entity surfaces (entity_resolution union-find)."""
+        uid = validate_user_id(request.match_info["user_id"])
+        sys_ = mgr(request).get_user_memory(uid)
+
+        def run_canon():
+            from shodh_tpu.nlp.entity_resolution import resolve_entities
+
+            g = sys_.graph
+            surfaces = [e.name for e in g.entities.values()]
+            mapping = resolve_entities(surfaces)
+            merged = 0
+            for surface, canonical in mapping.items():
+                if surface == canonical:
+                    continue
+                src = g.find_entity(surface)
+                dst = g.find_entity(canonical)
+                if src is None or dst is None or src.id == dst.id:
+                    continue
+                g.add_alias(surface, dst.id)
+                # move memory links
+                mems = g.entity_memories.pop(src.id, [])
+                dst_mems = g.entity_memories.setdefault(dst.id, [])
+                for m in mems:
+                    if m not in dst_mems:
+                        dst_mems.append(m)
+                g._dirty_entities.add(dst.id)
+                merged += 1
+            g.flush()
+            return merged
+
+        merged = await run(run_canon)
+        return web.json_response({"merged": merged})
+
+    app.router.add_post("/api/graph/relationship/invalidate", graph_invalidate)
+    app.router.add_get("/api/graph/{user_id}/tier-census", graph_tier_census)
+    app.router.add_post("/api/graph/{user_id}/clear", graph_clear)
+    app.router.add_post("/api/graph/{user_id}/canonicalize", graph_canonicalize)
+
+    from shodh_tpu.server.dashboard import register_dashboard
     from shodh_tpu.server.streaming import stream_handler
     from shodh_tpu.server.webhooks import register_webhook_routes
 
+    register_dashboard(app)
     app.router.add_get("/api/stream", stream_handler)
     register_webhook_routes(app)
 

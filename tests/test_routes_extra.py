@@ -24,7 +24,11 @@ def client(tmp_path):
         def request(self, method, path, body=None, headers=HEADERS):
             async def go():
                 resp = await client.request(method, path, json=body, headers=headers)
-                return resp.status, json.loads(await resp.text())
+                text = await resp.text()
+                try:
+                    return resp.status, json.loads(text)
+                except json.JSONDecodeError:
+                    return resp.status, text
 
             return loop.run_until_complete(go())
 
@@ -100,3 +104,38 @@ class TestIndexOps:
         client.request("POST", "/api/remember", {"content": "summary fodder"})
         status, body = client.request("GET", "/api/context_summary")
         assert body["recent"] and "stats" in body
+
+
+class TestDashboardAndGraphOps:
+    def test_dashboard_served_unauthenticated(self, client):
+        status, text = client.request("GET", "/dashboard", headers={})
+        assert status == 200 and "shodh-tpu" in text
+
+    def test_graph_invalidate_and_census(self, client):
+        client.request(
+            "POST", "/api/remember",
+            {"content": "Alice met Bob at the office", "entities": ["Alice", "Bob"]},
+        )
+        status, body = client.request("GET", "/api/graph/tester/tier-census")
+        assert body["edges"] >= 1
+        status, body = client.request(
+            "POST", "/api/graph/relationship/invalidate", {"from": "Alice", "to": "Bob"}
+        )
+        assert body["invalidated"]
+        status, body = client.request("GET", "/api/graph/tester/tier-census")
+        assert body["edges"] == 0
+
+    def test_graph_canonicalize(self, client):
+        client.request(
+            "POST", "/api/remember",
+            {"content": "note one", "entities": ["payment service", "the payment service"]},
+        )
+        status, body = client.request("POST", "/api/graph/tester/canonicalize", {})
+        assert status == 200 and body["merged"] >= 1
+
+    def test_graph_clear_requires_confirm(self, client):
+        client.request("POST", "/api/remember", {"content": "graph fodder", "entities": ["Zed"]})
+        status, _ = client.request("POST", "/api/graph/tester/clear", {})
+        assert status == 400
+        status, body = client.request("POST", "/api/graph/tester/clear", {"confirm": True})
+        assert body["cleared"]
