@@ -91,15 +91,16 @@ def run_scales() -> None:
             return total
 
         seed = jax.random.PRNGKey(42)
+        # Warm up the EXACT variant being timed (static iters => its own
+        # compilation; timing a cold variant measures the compiler)
         t0 = time.perf_counter()
-        sink = float(scan_batches(corpus, scales, valid, seed, 1))
+        sink = float(scan_batches(corpus, scales, valid, seed, iters))
         compile_s = time.perf_counter() - t0
-        log(f"{label}: compile+1 batch {compile_s:.1f}s (sink {sink:.2f})")
+        log(f"{label}: compile+{iters} batches {compile_s:.1f}s (sink {sink:.2f})")
         t0 = time.perf_counter()
-        sink = float(scan_batches(corpus, scales, valid, seed, iters + 1))
+        sink = float(scan_batches(corpus, scales, valid, seed, iters))
         total_s = time.perf_counter() - t0
-        # subtract one-batch cost approximated from the (iters+1) vs 1 ratio
-        per_batch = total_s / (iters + 1)
+        per_batch = total_s / iters
         qps = b / per_batch
         log(f"{label}: {per_batch*1e3:.2f} ms/batch -> {qps:,.0f} QPS/chip")
         record(
