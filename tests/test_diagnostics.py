@@ -106,3 +106,32 @@ class TestUniverse:
         system.remember(Experience(content="normal operation"))
         out = detect_anomalies(system)
         assert any(a["reason"] == "flagged" for a in out)
+
+
+class TestAgentLoop:
+    def test_loop_closes_learning_and_reverts(self, system):
+        from shodh_tpu.harness.agent_loop import AgentLoop
+
+        loop = AgentLoop(system)
+        mid = loop.observe("the retry queue backs up when redis restarts",
+                           entities=["retry queue", "redis"])
+        loop.observe("lunch was fine")
+        r1 = loop.turn("what happens to the retry queue when redis restarts?")
+        assert r1.recalled and r1.recalled[0]["id"] == mid
+        assert "attribution" in r1.recalled[0]
+        # follow-up mentioning same entities -> implicit positive feedback
+        r2 = loop.turn("so the redis restart is what backs up the retry queue")
+        assert r2.feedback_signals >= 1
+        assert system.feedback.momentum(mid) > 0
+        # explicit feedback + revert restores importance
+        imp0 = system.get(mid).importance
+        loop.mark_helpful([mid])
+        assert system.get(mid).importance > imp0
+        loop.revert_last(1)
+        assert system.get(mid).importance == pytest.approx(imp0)
+        # ledger accounting
+        s = loop.ledger_summary()
+        assert s["by_kind"]["remember"] == 2
+        # full rollback forgets observed memories
+        loop.revert_last(10)
+        assert system.get(mid) is None
