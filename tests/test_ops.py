@@ -64,7 +64,10 @@ def test_brute_topk_int8():
         assert len(want & got) >= 4  # allow 1 swap at quant boundary
 
 
-def test_two_level_topk_exact_parity():
+@pytest.mark.parametrize("impl", ["pallas", "xla"])
+def test_two_level_topk_exact_parity(impl, monkeypatch):
+    monkeypatch.setenv("SHODH_TOPK_IMPL", impl)
+    two_level_topk._clear_cache()
     n = 4 * TILE_N  # 4096 rows
     corpus = _random_unit(n, 128)
     queries = _random_unit(4, 128, seed=3)
@@ -75,6 +78,7 @@ def test_two_level_topk_exact_parity():
     fv, fr = two_level_topk(jnp.asarray(queries), jnp.asarray(corpus), jnp.asarray(valid), k)
     np.testing.assert_array_equal(np.asarray(br), np.asarray(fr))
     np.testing.assert_allclose(np.asarray(bv), np.asarray(fv), rtol=1e-5)
+    two_level_topk._clear_cache()
 
 
 def test_two_level_topk_int8():
