@@ -135,6 +135,69 @@ class IVFIndex:
                 valid[r] = 0.0
         self._valid = jnp.asarray(valid)
 
+    # -- persistence (vamana_persist.rs analog) --------------------------------
+
+    def save(self, path) -> None:
+        import hashlib
+        import json
+        from pathlib import Path
+
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        np.savez(
+            path.with_suffix(".npz"),
+            centroids=np.asarray(self._centroids),
+            postings=np.asarray(self._postings),
+            overflow=np.asarray(self._overflow),
+            corpus=np.asarray(self._corpus),
+            scales=np.asarray(self._scales),
+            valid=np.asarray(self._valid),
+            vectors=self._vectors_np,
+        )
+        payload = path.with_suffix(".npz").read_bytes()
+        meta = {
+            "format": "shodh-tpu-ivf-v1",
+            "n": self.n, "dim": self.dim, "dtype": self.dtype,
+            "n_clusters": self.n_clusters, "pad_width": self.pad_width,
+            "sha256": hashlib.sha256(payload).hexdigest(),
+        }
+        path.with_suffix(".json").write_text(json.dumps(meta))
+
+    @classmethod
+    def load(cls, path) -> "IVFIndex":
+        import hashlib
+        import json
+        from pathlib import Path
+
+        path = Path(path)
+        meta = json.loads(path.with_suffix(".json").read_text())
+        payload = path.with_suffix(".npz").read_bytes()
+        if hashlib.sha256(payload).hexdigest() != meta["sha256"]:
+            raise ValueError(f"IVF index checksum mismatch for {path}")
+        data = np.load(path.with_suffix(".npz"))
+        idx = cls.__new__(cls)
+        idx.n, idx.dim, idx.dtype = meta["n"], meta["dim"], meta["dtype"]
+        idx.n_clusters, idx.pad_width = meta["n_clusters"], meta["pad_width"]
+        idx._centroids = jnp.asarray(data["centroids"])
+        idx._postings = jnp.asarray(data["postings"])
+        idx._overflow = jnp.asarray(data["overflow"])
+        idx._corpus = jnp.asarray(data["corpus"])
+        idx._scales = jnp.asarray(data["scales"])
+        idx._valid = jnp.asarray(data["valid"])
+        idx._vectors_np = data["vectors"]
+        return idx
+
+    def health(self) -> dict:
+        """IndexHealth analog (vamana.rs:1661): occupancy + sampled recall."""
+        valid = np.asarray(self._valid)
+        return {
+            "vectors": self.n,
+            "deleted": int((valid[: self.n] == 0).sum()),
+            "clusters": self.n_clusters,
+            "overflow_rows": int((np.asarray(self._overflow) >= 0).sum()),
+            "sampled_recall@10": round(self.estimate_recall(n_samples=32, k=10), 4),
+        }
+
     # -- recall estimation / tuning (vamana.rs:1128 analog) --------------------
 
     def estimate_recall(

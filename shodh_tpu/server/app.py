@@ -239,6 +239,30 @@ def make_app(manager: MultiUserMemoryManager) -> web.Application:
             resp["diagnostics"] = result.diagnostics
         return web.json_response(resp)
 
+    async def recall_tracked(request):
+        """Recall with a tracking id + per-memory attribution (recall.rs:3099);
+        the id correlates later feedback with this specific recall event."""
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        q = Query.from_dict(body)
+        result = await run(sys_.recall_with_diagnostics, q)
+        import uuid as _uuid
+
+        tracking_id = str(_uuid.uuid4())
+        mgr(request).audit(
+            uid, "recall_tracked",
+            {"tracking_id": tracking_id, "memory_ids": [sm.memory.id for sm in result.memories]},
+        )
+        return web.json_response(
+            {
+                "tracking_id": tracking_id,
+                "memories": [mem_json(sm) for sm in result.memories],
+                "stage_timings_ms": result.stage_timings_ms,
+                "diagnostics": result.diagnostics,
+            }
+        )
+
     async def recall_by_tags(request):
         body = await body_json(request)
         uid = user_of(request, body)
@@ -744,6 +768,7 @@ def make_app(manager: MultiUserMemoryManager) -> web.Application:
     app.router.add_post("/api/remember/batch", batch_remember)
     app.router.add_post("/api/upsert", upsert)
     app.router.add_post("/api/recall", recall)
+    app.router.add_post("/api/recall/tracked", recall_tracked)
     app.router.add_post("/api/recall/by-tags", recall_by_tags)
     app.router.add_post("/api/recall/tags", recall_by_tags)
     app.router.add_get("/api/memory/{memory_id}", get_memory)

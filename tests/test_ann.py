@@ -126,3 +126,24 @@ class TestShardedIndex:
         sharded = ShardedVectorIndex(v, mesh, dtype="int8")
         _, rows = sharded.search(v[:3], k=1)
         np.testing.assert_array_equal(rows[:, 0], np.arange(3))
+
+
+class TestIVFPersistence:
+    def test_save_load_health(self, tmp_path):
+        v = _clustered_data(n_clusters=8, per_cluster=16)
+        idx = IVFIndex(v)
+        idx.save(tmp_path / "ivf")
+        idx2 = IVFIndex.load(tmp_path / "ivf")
+        _, a = idx.search(v[:3], k=2, nprobe=4)
+        _, b = idx2.search(v[:3], k=2, nprobe=4)
+        np.testing.assert_array_equal(a, b)
+        h = idx2.health()
+        assert h["vectors"] == len(v) and h["sampled_recall@10"] > 0.5
+
+    def test_checksum(self, tmp_path):
+        v = _clustered_data(n_clusters=4, per_cluster=8)
+        idx = IVFIndex(v)
+        idx.save(tmp_path / "ivf")
+        (tmp_path / "ivf.npz").write_bytes(b"junk")
+        with pytest.raises(ValueError, match="checksum"):
+            IVFIndex.load(tmp_path / "ivf")

@@ -139,3 +139,14 @@ class TestDashboardAndGraphOps:
         assert status == 400
         status, body = client.request("POST", "/api/graph/tester/clear", {"confirm": True})
         assert body["cleared"]
+
+
+class TestRecallTracked:
+    def test_tracking_id_and_attribution(self, client):
+        client.request("POST", "/api/remember", {"content": "tracked recall target"})
+        status, body = client.request(
+            "POST", "/api/recall/tracked", {"query": "tracked recall"}
+        )
+        assert status == 200 and body["tracking_id"]
+        assert body["memories"][0]["attribution"]
+        assert "stage_timings_ms" in body
