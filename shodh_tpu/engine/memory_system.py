@@ -15,6 +15,8 @@ device/numpy passes, never per-candidate Python loops over embeddings.
 
 from __future__ import annotations
 
+import functools
+import threading
 import time
 from dataclasses import dataclass
 from datetime import datetime, timedelta
@@ -45,6 +47,17 @@ from shodh_tpu.types import (
 from shodh_tpu.utils.clock import days_between, hours_between, scoring_now
 from shodh_tpu.utils.hashing import content_hash
 
+
+
+def _locked(fn):
+    """Serialize an engine entry point on the per-system lock."""
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kw):
+        with self._lock:
+            return fn(self, *args, **kw)
+
+    return wrapper
 
 @dataclass
 class SystemStats:
@@ -102,6 +115,11 @@ class MemorySystem:
         self.sessions = None  # engine/sessions.py
         self.files = None  # engine/files.py
         self._pending_access: list[tuple[str, int, Optional[datetime]]] = []
+        # Engine lock: the reference serializes per-user mutation under a
+        # parking_lot RwLock with documented ordering (retrieval.rs:33-48).
+        # One reentrant lock per system gives the same safety under the
+        # server's thread pool; users parallelize across systems.
+        self._lock = threading.RLock()
         self._init_subsystems()
 
     def _init_subsystems(self) -> None:
@@ -188,6 +206,7 @@ class MemorySystem:
     # remember (reference: mod.rs:908)
     # ------------------------------------------------------------------
 
+    @_locked
     def remember(
         self,
         experience: Experience | dict,
@@ -315,6 +334,7 @@ class MemorySystem:
     def batch_remember(self, experiences: list[Experience | dict]) -> list[Memory]:
         return [self.remember(e) for e in experiences]
 
+    @_locked
     def upsert(self, experience: Experience | dict, memory_id: Optional[str] = None) -> Memory:
         """Update-or-insert by id or content hash (mod.rs:8382)."""
         if isinstance(experience, dict):
@@ -335,6 +355,7 @@ class MemorySystem:
     def recall_with_diagnostics(self, query: Query | dict) -> RecallResult:
         return self._recall_impl(query, diagnostics=True)
 
+    @_locked
     def _recall_impl(self, query: Query | dict, diagnostics: bool) -> RecallResult:
         if isinstance(query, dict):
             query = Query.from_dict(query)
@@ -840,6 +861,7 @@ class MemorySystem:
                 break
         return out
 
+    @_locked
     def forget(self, memory_id: str) -> bool:
         mem = self.storage.get(memory_id)
         if mem is None:
@@ -856,6 +878,7 @@ class MemorySystem:
         self.session.remove(memory_id)
         return self.storage.delete(memory_id)
 
+    @_locked
     def reinforce_recall(self, memory_ids: list[str], helpful: bool = True) -> int:
         """Explicit feedback: strengthen/weaken recalled memories (mod.rs:10040)."""
         n = 0
@@ -881,6 +904,7 @@ class MemorySystem:
     # Maintenance (reference: run_maintenance mod.rs:8757)
     # ------------------------------------------------------------------
 
+    @_locked
     def run_maintenance(self) -> dict[str, Any]:
         now = scoring_now()
         report: dict[str, Any] = {}
@@ -973,12 +997,14 @@ class MemorySystem:
         if self.bm25 is not None:
             self.bm25.flush()
 
+    @_locked
     def save(self) -> None:
         self.flush()
         self.index.save(self.data_dir / "index" / "text")
         for modality, midx in self.modality_indexes.items():
             midx.save(self.data_dir / "index" / modality)
 
+    @_locked
     def close(self) -> None:
         self.save()
         self.storage.close()
