@@ -184,3 +184,40 @@ class TestQueryParserDetails:
         ents = qp.extract_entities("Alice deployed RocksDB at Acme Corp in Berlin")
         lows = [e.lower() for e in ents]
         assert "acme corp" in lows and "berlin" in lows
+
+
+class TestDepParser:
+    def test_pos_and_lemmas(self):
+        from shodh_tpu.nlp.dep_parser import DepParser
+
+        dp = DepParser()
+        tokens = dp.parse("The migration caused the outage.")
+        by_text = {t.text.lower(): t for t in tokens}
+        assert by_text["caused"].pos == "VERB"
+        assert by_text["caused"].lemma == "caus"
+        assert by_text["migration"].pos == "NOUN"
+        assert by_text["the"].pos == "DET"
+
+    def test_root_and_heads(self):
+        from shodh_tpu.nlp.dep_parser import DepParser
+
+        dp = DepParser()
+        tokens = dp.parse("Alice deployed the new service.")
+        root = [t for t in tokens if t.dep == "ROOT"]
+        assert root and root[0].text == "deployed"
+        subj = [t for t in tokens if t.dep == "nsubj"]
+        assert subj and subj[0].text == "Alice"
+
+    def test_noun_phrases(self):
+        from shodh_tpu.nlp.dep_parser import DepParser
+
+        dp = DepParser()
+        nps = dp.noun_phrases("The legacy payment service failed during the deploy")
+        assert any("payment service" in np for np in nps)
+
+    def test_pluggable_backend(self):
+        from shodh_tpu.nlp.dep_parser import DepParser, Token
+
+        dp = DepParser()
+        dp.set_backend(lambda s: [Token(text="x", pos="NOUN", lemma="x", head=0, dep="ROOT")])
+        assert dp.parse("whatever")[0].text == "x"
