@@ -63,6 +63,11 @@ def _pos_of(tok: str, prev: Optional[str]) -> str:
         return "PRON"
     if tok[0].isupper() and prev not in (None, "."):
         return "PROPN"
+    # past-tense verbs: -ed words without noun morphology
+    if low.endswith("ed") and len(low) > 4 and not low.endswith(("eed", "ased")):
+        return "VERB"
+    if low in IRREGULAR:
+        return "VERB"
     heuristic = _qp._pos_of(tok)
     return {"noun": "NOUN", "verb": "VERB", "adj": "ADJ", "adv": "ADV"}[heuristic]
 
