@@ -161,9 +161,20 @@ class LineageStore:
         vm = storage.get_vector_map(mem.id)
         rows = vm.get("text", [])
         new_vec = index.get_vectors(rows[:1])[0] if rows else None
+        # Candidate pool via the entity index (O(matches), not O(corpus))
+        cand_ids: list[str] = []
+        seen: set[str] = set()
+        for ent in mem.experience.entities[:6]:
+            for mid in storage.ids_by_entity(ent, limit=C.LINEAGE_MAX_CANDIDATES * 4):
+                if mid not in seen:
+                    seen.add(mid)
+                    cand_ids.append(mid)
         candidates = 0
         created = 0
-        for other in storage.iter_memories():
+        for mid in cand_ids:
+            other = storage.get(mid)
+            if other is None:
+                continue
             if candidates >= C.LINEAGE_MAX_CANDIDATES:
                 break
             if other.id == mem.id or other.created_at >= mem.created_at:

@@ -332,7 +332,22 @@ class MemorySystem:
         return mem
 
     def batch_remember(self, experiences: list[Experience | dict]) -> list[Memory]:
-        return [self.remember(e) for e in experiences]
+        """Batched ingest: all contents encode in ONE device batch, then each
+        experience takes the precomputed-embedding fast path (the streaming-
+        ingest throughput shape — BASELINE config 5)."""
+        exps = [
+            Experience.from_dict(e) if isinstance(e, dict) else e for e in experiences
+        ]
+        to_encode = [
+            (i, e.content)
+            for i, e in enumerate(exps)
+            if e.embeddings is None and not chunk_content(e.content)[1:]
+        ]
+        if len(to_encode) > 1:
+            vectors = self.embedder.encode_batch([c for _, c in to_encode])
+            for (i, _), vec in zip(to_encode, vectors):
+                exps[i].embeddings = vec.tolist()
+        return [self.remember(e) for e in exps]
 
     @_locked
     def upsert(self, experience: Experience | dict, memory_id: Optional[str] = None) -> Memory:
