@@ -70,8 +70,15 @@ def _ranked(leg: Mapping[str, float]) -> list[tuple[str, float]]:
 
 
 def adaptive_vec_trust(semantic: Mapping[str, float], bm25: Mapping[str, float]) -> float:
-    """Per-query vector trust from vector<->BM25 top-k agreement."""
-    if not env_flag("SHODH_FLAT_ADAPTIVE", True):
+    """Per-query vector trust from vector<->BM25 top-k agreement.
+
+    Default OFF here (the reference defaults its fitted gate on): the
+    agreement feature was tuned against a trained-MiniLM leg distribution;
+    with this build's embedders it measured strictly worse on both suites
+    (smoke p@1 0.824->0.787, locomo r@10 0.519->0.503). Enable with
+    SHODH_FLAT_ADAPTIVE=1.
+    """
+    if not env_flag("SHODH_FLAT_ADAPTIVE", False):
         return 1.0
     trust_max = env_float("SHODH_ADAPT_TRUST_MAX", ADAPT_TRUST_MAX)
     if not bm25:
