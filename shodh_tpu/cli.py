@@ -42,6 +42,10 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--baseline", default=None)
     e.add_argument("--layers", default="full")
 
+    m = sub.add_parser("migrate", help="migrate storage formats in a data dir")
+    m.add_argument("--data-dir", default="~/.shodh-tpu")
+    m.add_argument("--backup-dir", default=None)
+
     sub.add_parser("doctor", help="environment diagnosis")
     sub.add_parser("version")
 
@@ -91,6 +95,17 @@ def main(argv: list[str] | None = None) -> int:
             ok, diffs = compare_to_baseline(report, args.baseline)
             print(json.dumps(diffs, indent=1), file=sys.stderr)
             return 0 if ok else 1
+        return 0
+
+    if args.cmd == "migrate":
+        from pathlib import Path
+
+        from shodh_tpu.storage.migration import migrate_data_dir
+
+        report = migrate_data_dir(
+            Path(args.data_dir).expanduser(), args.backup_dir
+        )
+        print(json.dumps(report, indent=1))
         return 0
 
     if args.cmd == "doctor":

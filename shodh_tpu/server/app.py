@@ -271,6 +271,34 @@ def make_app(manager: MultiUserMemoryManager) -> web.Application:
         result = await run(sys_.recall, q)
         return web.json_response({"memories": [mem_json(sm) for sm in result.memories]})
 
+    async def recall_by_date(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        q = Query(
+            query_text=body.get("query"),
+            time_range=(parse_ts(body["start"]), parse_ts(body["end"])),
+            max_results=int(body.get("max_results", 10)),
+        )
+        result = await run(sys_.recall, q)
+        return web.json_response({"memories": [mem_json(sm) for sm in result.memories]})
+
+    async def recall_paginated(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        q = Query.from_dict(body)
+        page = int(body.get("page", 0))
+        q.offset = page * q.max_results
+        result = await run(sys_.recall, q)
+        return web.json_response(
+            {
+                "memories": [mem_json(sm) for sm in result.memories],
+                "page": page,
+                "has_more": len(result.memories) == q.max_results,
+            }
+        )
+
     async def get_memory(request):
         uid = user_of(request)
         mem = await run(mgr(request).get_user_memory(uid).get, request.match_info["memory_id"])
@@ -771,10 +799,22 @@ def make_app(manager: MultiUserMemoryManager) -> web.Application:
     app.router.add_post("/api/recall/tracked", recall_tracked)
     app.router.add_post("/api/recall/by-tags", recall_by_tags)
     app.router.add_post("/api/recall/tags", recall_by_tags)
+    app.router.add_post("/api/recall/date", recall_by_date)
+    app.router.add_post("/api/recall/paginated", recall_paginated)
     app.router.add_get("/api/memory/{memory_id}", get_memory)
     app.router.add_get("/api/memories/{memory_id}", get_memory)
     app.router.add_get("/api/memories", list_memories)
     app.router.add_post("/api/forget", forget)
+
+    async def forget_by_id(request):
+        uid = user_of(request)
+        sys_ = mgr(request).get_user_memory(uid)
+        ok = await run(sys_.forget, request.match_info["memory_id"])
+        return web.json_response({"forgotten": ok})
+
+    app.router.add_post("/api/forget/one/{memory_id}", forget_by_id)
+    app.router.add_delete("/api/memory/{memory_id}", forget_by_id)
+    app.router.add_delete("/api/memories/{memory_id}", forget_by_id)
     app.router.add_post("/api/forget/{mode}", forget_by)
     app.router.add_post("/api/reinforce", reinforce)
     app.router.add_post("/api/feedback", reinforce)
