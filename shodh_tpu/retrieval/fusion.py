@@ -111,9 +111,17 @@ def flat_fuse(
     vec_trust = adaptive_vec_trust(semantic, bm25)
     consensus = env_float("SHODH_FLAT_CONSENSUS", FLAT_CONSENSUS)
 
+    # Vector-leg calibration: cosine is already in [0,1]; raw scores keep
+    # the real margins (max-normalization compresses them and lets L5
+    # noise flip near-ties). SHODH_FLAT_VEC_RAW=0 restores query-relative
+    # normalization (the reference's form).
+    vec_raw = env_flag("SHODH_FLAT_VEC_RAW", True)
     fused: dict[str, float] = {}
     for mid in set(semantic) | set(bm25):
-        vn = min(1.0, max(0.0, semantic.get(mid, 0.0) / max_vec)) * vec_trust
+        if vec_raw:
+            vn = min(1.0, max(0.0, semantic.get(mid, 0.0))) * vec_trust
+        else:
+            vn = min(1.0, max(0.0, semantic.get(mid, 0.0) / max_vec)) * vec_trust
         bn = min(1.0, max(0.0, bm25.get(mid, 0.0) / max_bm))
         hi, lo = (vn, bn) if vn >= bn else (bn, vn)
         fused[mid] = hybrid_w * (hi + consensus * lo)
