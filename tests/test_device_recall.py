@@ -1,0 +1,127 @@
+"""Fused device recall: parity with the host funnel math."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from shodh_tpu import constants as C
+from shodh_tpu.engine.scoring import ScoreInputs, unified_score
+from shodh_tpu.ops.device_recall import fused_recall
+from shodh_tpu.retrieval.fusion import flat_fuse
+
+
+def _host_reference(query, corpus, bm25, graph, meta, density, k):
+    """The host funnel composed from its real pieces on the same inputs."""
+    cos = corpus @ query
+    semantic = {str(i): float(cos[i]) for i in range(len(corpus)) if cos[i] > -2}
+    bm = {str(i): float(bm25[i]) for i in range(len(corpus)) if bm25[i] > 0}
+    gr = {str(i): float(graph[i]) for i in range(len(corpus)) if graph[i] > 0}
+    fused = flat_fuse(semantic, bm, gr, density)
+    n = len(corpus)
+    s = ScoreInputs.zeros(n)
+    for i in range(n):
+        s.base[i] = fused.get(str(i), 0.0)
+        s.importance[i] = meta["importance"][i]
+        s.hours_old[i] = meta["hours_old"][i]
+        s.arousal[i] = meta["arousal"][i]
+        s.credibility[i] = meta["credibility"][i]
+        s.momentum[i] = meta["momentum"][i]
+        s.tag_penalty[i] = meta["tag_penalty"][i]
+    finals = unified_score(s)
+    order = np.argsort(-finals, kind="stable")[:k]
+    return finals, order
+
+
+def test_fused_recall_matches_host_funnel():
+    rng = np.random.default_rng(0)
+    n, d, k = 256, 64, 10
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    query = corpus[7] * 0.9 + 0.1 * rng.standard_normal(d).astype(np.float32)
+    query /= np.linalg.norm(query)
+    bm25 = np.where(rng.random(n) < 0.3, rng.random(n) * 5, 0.0).astype(np.float32)
+    graph = np.where(rng.random(n) < 0.2, rng.random(n), 0.0).astype(np.float32)
+    meta = {
+        "importance": rng.random(n).astype(np.float32),
+        "hours_old": (rng.random(n) * 500).astype(np.float32),
+        "arousal": rng.random(n).astype(np.float32) * 0.5,
+        "credibility": (0.5 + rng.random(n) * 0.5).astype(np.float32),
+        "momentum": (rng.random(n) - 0.5).astype(np.float32),
+        "tag_penalty": np.where(rng.random(n) < 0.1, 0.85, 1.0).astype(np.float32),
+    }
+    density = 1.2
+    host_scores, host_order = _host_reference(query, corpus, bm25, graph, meta, density, k)
+
+    vals, rows = fused_recall(
+        jnp.asarray(query), jnp.asarray(corpus), jnp.ones(n, jnp.float32),
+        jnp.ones(n, jnp.float32), jnp.asarray(bm25), jnp.asarray(graph),
+        jnp.asarray(meta["importance"]), jnp.asarray(meta["hours_old"]),
+        jnp.asarray(meta["arousal"]), jnp.asarray(meta["credibility"]),
+        jnp.asarray(meta["momentum"]), jnp.asarray(meta["tag_penalty"]),
+        jnp.float32(density), k=k,
+    )
+    np.testing.assert_array_equal(np.asarray(rows), host_order)
+    np.testing.assert_allclose(np.asarray(vals), host_scores[host_order], rtol=2e-4)
+
+
+def test_fused_recall_masks_invalid():
+    rng = np.random.default_rng(1)
+    n, d = 64, 32
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    valid = np.ones(n, np.float32)
+    valid[:32] = 0.0
+    zeros = np.zeros(n, np.float32)
+    vals, rows = fused_recall(
+        jnp.asarray(corpus[0]), jnp.asarray(corpus), jnp.ones(n, jnp.float32),
+        jnp.asarray(valid), zeros, zeros,
+        np.full(n, 0.5, np.float32), zeros, zeros,
+        np.full(n, 0.5, np.float32), zeros, np.ones(n, np.float32),
+        jnp.float32(0.0), k=8,
+    )
+    assert (np.asarray(rows) >= 32).all()
+
+
+def test_int8_corpus_path():
+    from shodh_tpu.ops.quant import quantize_int8
+
+    rng = np.random.default_rng(2)
+    n, d = 128, 32
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    q8, scales = quantize_int8(jnp.asarray(corpus))
+    zeros = np.zeros(n, np.float32)
+    vals, rows = fused_recall(
+        jnp.asarray(corpus[5]), q8, scales, jnp.ones(n, jnp.float32),
+        zeros, zeros, np.full(n, 0.5, np.float32), zeros, zeros,
+        np.full(n, 0.5, np.float32), zeros, np.ones(n, np.float32),
+        jnp.float32(0.0), k=1,
+    )
+    assert int(np.asarray(rows)[0]) == 5
+
+
+class TestDeviceRecallEngine:
+    def test_end_to_end_against_host_funnel(self, tmp_path):
+        import jax
+        from shodh_tpu.engine.device_funnel import DeviceRecallEngine
+        from shodh_tpu.engine.memory_system import MemorySystem
+        from shodh_tpu.types import Experience, Query
+
+        sys_ = MemorySystem(tmp_path / "m")
+        target = sys_.remember(Experience(
+            content="we chose rust for the backend because of memory safety",
+            entities=["Rust", "Backend"],
+        ))
+        for i in range(20):
+            sys_.remember(Experience(content=f"filler note {i} about topic{i % 5}"))
+        engine = DeviceRecallEngine(sys_)
+        hits = engine.recall("why rust backend memory safety", k=5)
+        assert hits and hits[0][0] == target.id
+        # host funnel agrees on the winner
+        host = sys_.recall(Query(query_text="why rust backend memory safety", max_results=5))
+        assert host.ids[0] == target.id
+        # mirrors rebuild when the corpus grows
+        sys_.remember(Experience(content="new memory about rust tooling", entities=["Rust"]))
+        hits2 = engine.recall("rust tooling", k=3)
+        assert hits2
+        sys_.close()
