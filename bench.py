@@ -113,12 +113,56 @@ def run_scales() -> None:
         )
         del corpus, scales, valid
 
+    def measure_funnel(n, label, iters=8):
+        """Full hybrid funnel (config 4): fusion + L5 + top-k in one program."""
+        import functools
+
+        from shodh_tpu.ops.device_recall import fused_recall
+
+        corpus, scales = build_corpus(n)
+        valid = jnp.ones((n,), jnp.float32)
+        key = jax.random.PRNGKey(5)
+        meta = {
+            name: jnp.clip(jax.random.uniform(jax.random.fold_in(key, i), (n,)), 0.0, 1.0)
+            for i, name in enumerate(
+                ("bm25", "graph", "importance", "arousal", "credibility", "momentum")
+            )
+        }
+        hours = jax.random.uniform(jax.random.fold_in(key, 9), (n,)) * 500
+        penalty = jnp.ones((n,), jnp.float32)
+
+        @functools.partial(jax.jit, static_argnames=("iters",))
+        def scan_funnel(corpus, scales, valid, seed, iters):
+            def body(c, i):
+                q = jax.random.normal(jax.random.fold_in(seed, i), (d,), jnp.float32)
+                q = q / jnp.linalg.norm(q)
+                vals, rows = fused_recall(
+                    q, corpus, scales, valid, meta["bm25"], meta["graph"],
+                    meta["importance"], hours, meta["arousal"], meta["credibility"],
+                    meta["momentum"], penalty, jnp.float32(1.2), k=10,
+                )
+                return c + vals[0], None
+
+            total, _ = jax.lax.scan(body, 0.0, jnp.arange(iters))
+            return total
+
+        seed = jax.random.PRNGKey(77)
+        float(scan_funnel(corpus, scales, valid, seed, iters))  # compile
+        t0 = time.perf_counter()
+        sink = float(scan_funnel(corpus, scales, valid, seed, iters))
+        per_query = (time.perf_counter() - t0) / iters
+        log(
+            f"{label} fused hybrid funnel (single query/program): "
+            f"{per_query*1e3:.2f} ms/query -> {1/per_query:,.0f} QPS (sink {sink:.2f})"
+        )
+
     if "--small" in sys.argv:
         measure(64 * TILE_N, "65k", iters=4)
         return
     measure(64 * TILE_N, "65k")
     measure(256 * TILE_N, "262k")
     measure(1024 * TILE_N, "1M")
+    measure_funnel(1024 * TILE_N, "1M")
 
 
 def main() -> None:

@@ -204,3 +204,46 @@ class TestGraphMemory:
         assert st["entities"] == 2 and st["edges"] == 1
         dot = graph.to_dot()
         assert "alice" in dot and "--" in dot
+
+
+class TestDeviceSpreading:
+    def test_matches_host_on_chain(self, tmp_path):
+        from shodh_tpu.graph.device_spreading import DeviceSpreader
+
+        g = GraphMemory(tmp_path / "gd")
+        for m in (
+            _mem("Rust used in backend", ["Rust", "Backend"], mem_id="m1"),
+            _mem("Backend deployed to Kubernetes", ["Backend", "Kubernetes"], mem_id="m2"),
+            _mem("Pizza lunch", ["Pizza"], mem_id="m3"),
+        ):
+            g.ingest_experience(m, now=NOW)
+        from shodh_tpu.utils import clock
+
+        clock.pin_now(NOW)
+        try:
+            host = g.spreading_activation(["Rust"], now=NOW)
+            dev = DeviceSpreader(g).spreading_activation(["Rust"])
+        finally:
+            clock.pin_now(None)
+        # same reachable set, same ordering
+        assert set(dev) == set(host) == {"m1", "m2"}
+        assert dev["m1"] > dev["m2"]
+        g.close()
+
+    def test_rebuild_on_graph_growth(self, tmp_path):
+        from shodh_tpu.graph.device_spreading import DeviceSpreader
+
+        g = GraphMemory(tmp_path / "gd2")
+        g.ingest_experience(_mem("a b", ["Alpha", "Beta"], mem_id="m1"), now=NOW)
+        sp = DeviceSpreader(g)
+        from shodh_tpu.utils import clock
+
+        clock.pin_now(NOW)
+        try:
+            assert sp.spreading_activation(["Alpha"])
+            g.ingest_experience(_mem("b c", ["Beta", "Gamma"], mem_id="m2"), now=NOW)
+            out = sp.spreading_activation(["Alpha"])
+        finally:
+            clock.pin_now(None)
+        assert "m2" in out  # new edge visible after rebuild
+        g.close()
