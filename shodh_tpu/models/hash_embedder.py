@@ -40,8 +40,10 @@ _STOP = frozenset(
     across behind beyond plus except up down off above below we you they he she it
     i me my our your their his her its this that these those is are was were be
     been being have has had do does did will would can could should may might must
-    shall am not no nor so too very just than as because s t don won""".split()
+    shall am so too very just than as because s t don won""".split()
 )
+# NB: negation markers (not/no/nor/never) are deliberately NOT stopwords here —
+# polar negated-form embeddings (RH-14) must differ from the affirmative form.
 
 
 def _hash_token(tok: str) -> int:
