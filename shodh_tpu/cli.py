@@ -38,7 +38,7 @@ def main(argv: list[str] | None = None) -> int:
     e = sub.add_parser("eval", help="run the recall-quality harness")
     e.add_argument("--corpus", default="tests/recall/corpora/shodh-smoke.jsonl")
     e.add_argument("--cases", default="tests/recall/smoke_cases.jsonl")
-    e.add_argument("--eval-now", default="2025-07-01T00:00:00Z")
+    e.add_argument("--eval-now", default="2026-05-01T00:00:00Z")  # after the smoke corpus max date
     e.add_argument("--baseline", default=None)
     e.add_argument("--layers", default="full")
 
