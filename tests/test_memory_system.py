@@ -198,3 +198,54 @@ class TestLifecycle:
         st = system.stats()
         assert st.total_memories == 1
         assert st.index_rows == 1
+
+
+class TestLayerLadder:
+    def test_ladder_gates_stages(self, system):
+        """Each LayerMode step enables strictly more machinery (diagnostics
+        prove the gates fire) — the reference's ablation attribution."""
+        system.remember(_exp("Alice uses Kafka for the event bus", entities=["Alice", "Kafka"]))
+        system.remember(_exp("Kafka consumer lag fixed by rebalance", entities=["Kafka"]))
+        q = "how does alice handle events with kafka"
+        res_vec = system.recall_with_diagnostics(
+            Query(query_text=q, layers=LayerMode.VECTOR_ONLY)
+        )
+        assert res_vec.diagnostics["bm25_candidates"] == 0
+        assert res_vec.diagnostics["graph_candidates"] == 0
+        res_spread = system.recall_with_diagnostics(
+            Query(query_text=q, layers=LayerMode.PLUS_SPREADING)
+        )
+        assert res_spread.diagnostics["graph_candidates"] > 0
+        assert res_spread.diagnostics["bm25_candidates"] == 0
+        res_full = system.recall_with_diagnostics(Query(query_text=q, layers=LayerMode.FULL))
+        assert res_full.diagnostics["bm25_candidates"] > 0
+        assert res_full.diagnostics["graph_candidates"] > 0
+
+
+class TestCliEvalContract:
+    def test_eval_exit_codes(self, tmp_path, capsys):
+        """cli eval returns 0 on pass and 1 on baseline regression."""
+        import json
+
+        from shodh_tpu.cli import main
+
+        # a baseline the current engine beats easily
+        easy = tmp_path / "easy.json"
+        easy.write_text(json.dumps({"layers": {"full": {"recall@10": 0.1, "p@1": 0.1}}}))
+        rc = main([
+            "eval", "--corpus", "tests/recall/corpora/shodh-smoke.jsonl",
+            "--cases", "tests/recall/smoke_cases.jsonl",
+            "--eval-now", "2026-05-01T00:00:00Z",
+            "--baseline", str(easy),
+        ])
+        assert rc == 0
+        # an impossible baseline forces the regression exit code
+        hard = tmp_path / "hard.json"
+        hard.write_text(json.dumps({"layers": {"full": {"recall@10": 1.5}}}))
+        rc = main([
+            "eval", "--corpus", "tests/recall/corpora/shodh-smoke.jsonl",
+            "--cases", "tests/recall/smoke_cases.jsonl",
+            "--eval-now", "2026-05-01T00:00:00Z",
+            "--baseline", str(hard),
+        ])
+        assert rc == 1
