@@ -61,7 +61,9 @@ _CHAR_NGRAM_WEIGHT = float(os.environ.get("SHODH_HASH_CHAR_WEIGHT", "1.0"))
 
 
 def _features(text: str) -> dict[int, float]:
-    words = _WORD_RE.findall(text.lower())
+    from shodh_tpu.nlp.normalize import fold_abbreviations
+
+    words = _WORD_RE.findall(fold_abbreviations(text).lower())
     content = [w for w in words if w not in _STOP]
     stems = [stem(w) for w in content]
     feats: dict[int, float] = {}

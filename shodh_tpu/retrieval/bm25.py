@@ -37,7 +37,9 @@ ENTITY_BOOST = 1.3
 
 
 def tokenize(text: str) -> list[str]:
-    words = _WORD_RE.findall(text.lower())
+    from shodh_tpu.nlp.normalize import fold_abbreviations
+
+    words = _WORD_RE.findall(fold_abbreviations(text).lower())
     return [stem(w) for w in words if w not in STOPWORDS and len(w) > 1]
 
 
