@@ -197,15 +197,18 @@ def make_app(manager: MultiUserMemoryManager) -> web.Application:
 
     async def batch_remember(request):
         body = await body_json(request)
+        from shodh_tpu.server.validation import ValidationError, validate_batch
+
+        items = body.get("memories") or body.get("experiences") or []
+        try:
+            validate_batch(items)
+        except ValidationError as exc:
+            return _err(422, "validation", str(exc))
         uid = user_of(request, body)
         sys_ = mgr(request).get_user_memory(uid)
-        items = body.get("memories") or body.get("experiences") or []
-        out = []
-        for item in items:
-            mem = await run(sys_.remember, Experience.from_dict(item))
-            out.append(mem.id)
-        METRICS.inc("shodh_remember_total", len(out))
-        return web.json_response({"memory_ids": out, "count": len(out)})
+        mems = await run(sys_.batch_remember, items)
+        METRICS.inc("shodh_remember_total", len(mems))
+        return web.json_response({"memory_ids": [m.id for m in mems], "count": len(mems)})
 
     async def upsert(request):
         body = await body_json(request)
