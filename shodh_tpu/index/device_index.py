@@ -119,7 +119,13 @@ class DeviceVectorIndex:
         self._device = None
 
     def flush(self) -> None:
-        """Materialize pending adds into the host mirror (device refresh lazy)."""
+        """Materialize pending adds into the host mirror.
+
+        When capacity is unchanged and device arrays exist, the new rows are
+        written in place with dynamic_update_slice (streaming ingest never
+        re-uploads the whole corpus); growth or deletion invalidates the
+        device copy for a full refresh.
+        """
         if not self._pending:
             return
         new = np.concatenate(self._pending, axis=0)
@@ -128,7 +134,8 @@ class DeviceVectorIndex:
         n_new = len(new)
         end = self._count
         start = end - n_new
-        if end > self._capacity:
+        grew = end > self._capacity
+        if grew:
             self._grow(end)
         if self.dtype == "int8":
             q, s = _quantize_int8_np(new)
@@ -137,7 +144,24 @@ class DeviceVectorIndex:
         else:
             self._vecs_np[start:end] = new
         self._valid_np[start:end] = 1.0
-        self._device = None
+        if grew or self._device is None:
+            self._device = None
+            return
+        # In-place device append (delta update, no corpus re-upload)
+        import jax
+        import jax.numpy as jnp
+
+        vecs, scales, valid = self._device
+        vecs = jax.lax.dynamic_update_slice(
+            vecs, jnp.asarray(self._vecs_np[start:end]), (start, 0)
+        )
+        scales = jax.lax.dynamic_update_slice(
+            scales, jnp.asarray(self._scales_np[start:end]), (start,)
+        )
+        valid = jax.lax.dynamic_update_slice(
+            valid, jnp.ones((n_new,), jnp.float32), (start,)
+        )
+        self._device = (vecs, scales, valid)
 
     def _grow(self, min_rows: int) -> None:
         quantum = INDEX_CAPACITY_QUANTUM

@@ -177,3 +177,26 @@ class TestDeviceVectorIndex:
         (tmp_path / "idx.npz").write_bytes(b"corrupted")
         with pytest.raises(ValueError, match="checksum"):
             DeviceVectorIndex.load(tmp_path / "idx")
+
+
+class TestStreamingAppend:
+    def test_incremental_device_append(self):
+        """Appends after a search must be visible without corpus re-upload."""
+        from shodh_tpu.index.device_index import DeviceVectorIndex
+
+        import numpy as np
+
+        idx = DeviceVectorIndex(dim=32)
+        first = _random_unit(20, 32)
+        idx.add(first)
+        idx._device_arrays()  # materialize device arrays (small corpora
+        # normally serve from host BLAS; streaming serving keeps them hot)
+        assert idx._device is not None
+        more = _random_unit(5, 32, seed=42)
+        rows = idx.add(more)
+        idx.flush()
+        # same capacity: device buffer was delta-updated, not dropped
+        assert idx._device is not None and idx.capacity == 4096
+        vecs_dev = np.asarray(idx._device[0])
+        np.testing.assert_allclose(vecs_dev[rows[0]], more[0], rtol=1e-6)
+        assert float(np.asarray(idx._device[2])[rows[-1]]) == 1.0
