@@ -882,9 +882,45 @@ def make_app(manager: MultiUserMemoryManager) -> web.Application:
     app.router.add_post("/api/projects/files/search", files_search)
     app.router.add_get("/api/files/stats", files_stats)
 
+    async def context_suppress(request):
+        """Dismiss a proactively surfaced memory (relevance suppression)."""
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        from shodh_tpu.engine.relevance import RelevanceEngine
+
+        engine = getattr(sys_, "_relevance", None)
+        if engine is None:
+            engine = RelevanceEngine(sys_)
+            sys_._relevance = engine
+        engine.suppress(body["memory_id"])
+        return web.json_response({"suppressed": True})
+
+    async def reminders_dismiss(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        rid = request.match_info.get("reminder_id") or body.get("reminder_id")
+        intent = sys_.prospective.get(rid)
+        if intent is None:
+            return _err(404, "not_found", "reminder not found")
+        intent.status = "dismissed"
+        sys_.prospective.update(intent)
+        return web.json_response({"dismissed": True})
+
+    async def reminders_delete(request):
+        uid = user_of(request)
+        rid = request.match_info["reminder_id"]
+        sys_ = mgr(request).get_user_memory(uid)
+        sys_.prospective.delete(rid)
+        return web.json_response({"deleted": True})
+
     app.router.add_post("/api/proactive_context", proactive_context)
     app.router.add_post("/api/context", proactive_context)
     app.router.add_post("/api/relevant", proactive_context)
+    app.router.add_post("/api/context/suppress", context_suppress)
+    app.router.add_post("/api/reminders/{reminder_id}/dismiss", reminders_dismiss)
+    app.router.add_post("/api/reminders/{reminder_id}/delete", reminders_delete)
 
     # -- A/B testing ------------------------------------------------------------
 

@@ -192,3 +192,71 @@ class TestClientSDK:
             assert hits[0]["id"] == mid
             assert m.stats()["total_memories"] == 1
             assert m.delete(mid)
+
+
+class TestMultiUserManager:
+    def test_lru_user_eviction(self, tmp_path):
+        from shodh_tpu.server.state import MultiUserMemoryManager
+
+        manager = MultiUserMemoryManager(tmp_path / "lru", max_users=2)
+        a = manager.get_user_memory("user-a")
+        a.remember({"content": "durable across eviction"})
+        manager.get_user_memory("user-b")
+        manager.get_user_memory("user-c")  # evicts user-a (LRU)
+        assert set(manager._systems.keys()) == {"user-b", "user-c"}
+        # re-open: state survived eviction on disk
+        a2 = manager.get_user_memory("user-a")
+        hits = a2.recall({"query": "durable eviction"})
+        assert len(hits.ids) == 1
+        manager.close()
+
+    def test_shared_embedder_singleton(self, tmp_path):
+        from shodh_tpu.server.state import MultiUserMemoryManager
+
+        manager = MultiUserMemoryManager(tmp_path / "shared")
+        a = manager.get_user_memory("u1")
+        b = manager.get_user_memory("u2")
+        assert a.embedder is b.embedder  # weights load once
+        manager.close()
+
+    def test_user_id_validation(self):
+        from shodh_tpu.server.state import validate_user_id
+
+        assert validate_user_id("ok-user_1.x") == "ok-user_1.x"
+        for bad in ("../etc", "a b", "", "x" * 200):
+            with pytest.raises(ValueError):
+                validate_user_id(bad)
+
+    def test_maintenance_all_users_isolates_failures(self, tmp_path):
+        from shodh_tpu.server.state import MultiUserMemoryManager
+
+        manager = MultiUserMemoryManager(tmp_path / "maint")
+        good = manager.get_user_memory("good")
+        good.remember({"content": "maintain me"})
+        bad = manager.get_user_memory("bad")
+        bad.run_maintenance = lambda: (_ for _ in ()).throw(RuntimeError("boom"))
+        report = manager.run_maintenance_all_users()
+        assert "error" in report["bad"]
+        assert "promoted" in report["good"]
+        manager.close()
+
+
+class TestSuppressAndReminderRoutes:
+    def test_suppress_route(self, client):
+        _, body = client.request("POST", "/api/remember", {"content": "surface me"})
+        status, out = client.request(
+            "POST", "/api/context/suppress", {"memory_id": body["memory_id"]}
+        )
+        assert status == 200 and out["suppressed"]
+
+    def test_reminder_dismiss_delete(self, client):
+        _, body = client.request(
+            "POST", "/api/reminders/set", {"content": "temp reminder"}
+        )
+        rid = body["reminder_id"]
+        status, out = client.request("POST", f"/api/reminders/{rid}/dismiss", {})
+        assert out["dismissed"]
+        _, pending = client.request("GET", "/api/reminders")
+        assert pending["pending"] == []
+        status, out = client.request("POST", f"/api/reminders/{rid}/delete", {})
+        assert out["deleted"]
