@@ -47,7 +47,7 @@ from shodh_tpu.constants import (
     env_float,
 )
 
-FLAT_CONSENSUS = 0.3
+FLAT_CONSENSUS = 0.5  # swept: 0.5 beats the reference-default 0.3 on both suites with this embedder
 ADAPT_TRUST_MAX = 2.0
 ADAPT_AGREE_K = 10
 ADAPT_AGREE_LO = 0.1
