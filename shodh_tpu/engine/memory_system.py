@@ -517,6 +517,32 @@ class MemorySystem:
                 else:
                     fused[mid] = C.TEMPORAL_PREFILTER_BOOST * 0.5
 
+        # L0.45/L4.46 geo prefetch + additive injection (mod.rs:2215-2280
+        # prefetch capped at max_results x MAX_GEO_PREFETCH_CANDIDATES by
+        # approximate distance; :4292-4305 union injection at GEO_INJECT_FLOOR).
+        # In-radius memories JOIN the pool even when textually silent; the
+        # hard geo predicate in _passes_filters still drops out-of-radius hits.
+        geo_injected: set[str] = set()
+        if query.geo_filter is not None and "geo" not in disabled:
+            from shodh_tpu.utils.geohash import haversine_m
+
+            gf = query.geo_filter
+            cap = k * C.MAX_GEO_PREFETCH_CANDIDATES
+            dist_id: list[tuple[float, str]] = []
+            for mid in self.storage.search(
+                SearchCriteria(geo=(gf.lat, gf.lon, gf.radius_m), limit=cap)
+            ):
+                mem = self.storage.get(mid)
+                if mem is None or mem.experience.geo_location is None:
+                    continue
+                glat, glon = mem.experience.geo_location[:2]
+                dist_id.append((haversine_m(gf.lat, gf.lon, glat, glon), mid))
+            dist_id.sort()
+            for _, mid in dist_id[:cap]:
+                if mid not in fused:
+                    fused[mid] = C.GEO_INJECT_FLOOR
+                    geo_injected.add(mid)
+
         # L0.5 attribute-query boost (classify_query -> entity index boost)
         if (
             query.layers >= LayerMode.FULL
@@ -659,7 +685,15 @@ class MemorySystem:
             q_entities = analysis.entities or analysis.focal_terms[:4]
             scored = companion_rerank(scored, q_entities, self.graph, k)
 
-        out = scored[query.offset : query.offset + k]
+        # Truncate to max(k, geo high-water mark): injected geo candidates sit
+        # at the floor score, so a plain [:k] cut would silently drop them —
+        # the reference keeps every injected id's position (mod.rs:4682-4700).
+        n_keep = k
+        if geo_injected:
+            for i, s in enumerate(scored):
+                if s.memory.id in geo_injected:
+                    n_keep = max(n_keep, i + 1 - query.offset)
+        out = scored[query.offset : query.offset + n_keep]
         if _diag.is_armed():
             _diag.observe_stage("final", [s.memory.id for s in scored])
 

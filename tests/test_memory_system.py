@@ -120,6 +120,73 @@ class TestRecall:
         assert len(res.ids) == 1
 
 
+class TestGeoInjection:
+    """L0.45/L4.46: in-radius memories join semantic recall additively at
+    GEO_INJECT_FLOOR (reference mod.rs:4292-4305) and survive truncation via
+    the high-water mark (mod.rs:4682-4700)."""
+
+    @staticmethod
+    def _saturated_corpus(system):
+        """A pool the in-radius memory can't reach through the normal legs:
+        with max_results=3 the vector leg pools k*3=9 candidates, all taken
+        by fillers sharing the query's terms; the geo memory shares none."""
+        from shodh_tpu.types import GeoFilter
+
+        near = system.remember(
+            _exp("battery swap completed", geo_location=(37.7749, -122.4194, 0.0))
+        )
+        far = system.remember(
+            _exp("battery swap elsewhere", geo_location=(40.7128, -74.0060, 0.0))
+        )
+        for i in range(30):
+            system.remember(
+                _exp(f"database migration step {i} ran clean on replica {i % 4}")
+            )
+        gf = GeoFilter(lat=37.7750, lon=-122.4195, radius_m=500)
+        return near, far, gf
+
+    def test_in_radius_injected_even_when_textually_silent(self, system):
+        near, far, gf = self._saturated_corpus(system)
+        res = system.recall(
+            Query(query_text="database migration", max_results=3, geo_filter=gf)
+        )
+        # fillers (no geo_location) fail the hard predicate; the near memory
+        # can't reach the pool semantically, so ONLY the L4.46 injection can
+        # recover it — the hard predicate "can only shrink, never recover"
+        assert near.id in res.ids
+        assert far.id not in res.ids
+
+    def test_injection_respects_disable_family(self, system, monkeypatch):
+        near, _far, gf = self._saturated_corpus(system)
+        monkeypatch.setenv("SHODH_DISABLE_BOOSTS", "geo")
+        res = system.recall(
+            Query(query_text="database migration", max_results=3, geo_filter=gf)
+        )
+        assert near.id not in res.ids
+
+    def test_injected_floor_ranks_below_semantic_hits(self, system):
+        from shodh_tpu.types import GeoFilter
+
+        silent = system.remember(
+            _exp("sensor recalibrated at dock", geo_location=(37.7749, -122.4194, 0.0))
+        )
+        top = system.remember(
+            _exp(
+                "incident review: the deploy rollback plan",
+                geo_location=(37.7751, -122.4196, 0.0),
+            )
+        )
+        res = system.recall(
+            Query(
+                query_text="deploy rollback plan",
+                max_results=5,
+                geo_filter=GeoFilter(lat=37.7750, lon=-122.4195, radius_m=500),
+            )
+        )
+        assert res.ids[0] == top.id
+        assert silent.id in res.ids
+
+
 class TestRoboticsModes:
     def test_spatial_recall(self, system):
         from shodh_tpu.types import GeoFilter, RetrievalMode
