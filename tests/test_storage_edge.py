@@ -1,0 +1,130 @@
+"""Storage edge cases (reference: tests/storage_edge_case_tests.rs):
+corruption, oversized records, unicode keys, crash-reopen, index
+consistency after churn."""
+
+import pytest
+
+from shodh_tpu.engine.memory_system import MemorySystem
+from shodh_tpu.storage.kv import KvStore
+from shodh_tpu.storage.serialization import CorruptRecordError, decode, encode
+from shodh_tpu.storage.store import MemoryStorage, SearchCriteria
+from shodh_tpu.types import Experience, Query
+
+
+class TestCorruption:
+    def test_oversized_record_rejected(self):
+        # 10 MB decode cap guards against corrupted length prefixes
+        # (reference lib.rs:61-71 bincode_safe_config)
+        big = {"blob": b"x" * (11 * 1024 * 1024)}
+        blob = encode(big)
+        with pytest.raises(CorruptRecordError, match="limit|large"):
+            decode(blob)
+
+    def test_corrupted_memory_record_skipped_on_scan(self, tmp_path):
+        system = MemorySystem(tmp_path / "s")
+        mem = system.remember(Experience(content="healthy record"))
+        store = system.storage
+        # plant a corrupted record next to it (same namespace, garbage bytes)
+        store.kv.put("mem", "zz-corrupt", b"\x00garbage")
+        # get on the corrupt record must not raise, must return None
+        assert store.get("zz-corrupt") is None
+        # healthy record unaffected; recall path tolerates the garbage row
+        assert store.get(mem.id) is not None
+        res = system.recall(Query(query_text="healthy record", max_results=3))
+        assert mem.id in res.ids
+        system.close()
+
+    def test_unicode_and_hostile_content(self, tmp_path):
+        system = MemorySystem(tmp_path / "u")
+        hostile = [
+            "emoji storm \U0001f600\U0001f680\U0001f9e0 and éèê accents",
+            "zero\x00byte and \t tabs \n newlines",
+            "ー日本語のメモリーコンテンツー",
+            "a" * 9000,  # near the validation cap
+            "'; DROP TABLE memories; --",
+        ]
+        for c in hostile:
+            system.remember(Experience(content=c))
+        assert system.storage.count() == len(hostile)
+        res = system.recall(Query(query_text="日本語", max_results=3))
+        assert len(res.ids) >= 1
+        system.close()
+
+
+class TestReopen:
+    def test_state_survives_close_reopen(self, tmp_path):
+        d = tmp_path / "r"
+        s1 = MemorySystem(d)
+        ids = [s1.remember(Experience(content=f"durable fact {i} about reopen")).id for i in range(5)]
+        s1.forget(ids[0])
+        s1.close()
+
+        s2 = MemorySystem(d)
+        assert s2.storage.count() == 4
+        assert s2.get(ids[0]) is None
+        res = s2.recall(Query(query_text="durable fact reopen", max_results=5))
+        assert set(res.ids) <= set(ids[1:])
+        assert len(res.ids) >= 1
+        s2.close()
+
+    def test_reopen_without_save_rebuilds_consistently(self, tmp_path):
+        # simulate a crash: write memories, do NOT call close/save, reopen
+        d = tmp_path / "crash"
+        s1 = MemorySystem(d)
+        mid = s1.remember(Experience(content="unsynced write before crash")).id
+        # drop the handle without s1.close() — sqlite WAL must still hold it
+        del s1
+
+        s2 = MemorySystem(d)
+        assert s2.get(mid) is not None
+        res = s2.recall(Query(query_text="unsynced write crash", max_results=3))
+        assert mid in res.ids
+        s2.close()
+
+
+class TestIndexConsistencyUnderChurn:
+    def test_delete_heavy_churn_then_compact(self, tmp_path):
+        system = MemorySystem(tmp_path / "churn")
+        ids = [
+            system.remember(Experience(content=f"churn item {i} in group {i % 3}")).id
+            for i in range(60)
+        ]
+        for mid in ids[:40]:
+            assert system.forget(mid)
+        # force compaction (30% deleted threshold long passed)
+        system.index.maybe_compact()
+        res = system.recall(Query(query_text="churn item group", max_results=20))
+        assert set(res.ids) <= set(ids[40:])
+        assert len(res.ids) > 0
+        # row mapping still bijective
+        for mid in ids[40:]:
+            vm = system.storage.get_vector_map(mid)
+            for row in vm.get("text", []):
+                assert system.storage.memory_for_row(row) == mid
+        system.close()
+
+
+class TestKvEdges:
+    def test_empty_and_long_keys(self, tmp_path):
+        kv = KvStore(tmp_path / "k.db")
+        kv.put("ns", "", b"empty-key")
+        assert kv.get("ns", "") == b"empty-key"
+        long_key = "k" * 2000
+        kv.put("ns", long_key, b"long")
+        assert kv.get("ns", long_key) == b"long"
+        kv.close()
+
+    def test_value_overwrite_and_idempotent_delete(self, tmp_path):
+        kv = KvStore(tmp_path / "k2.db")
+        kv.put("ns", "x", b"1")
+        kv.put("ns", "x", b"2")
+        assert kv.get("ns", "x") == b"2"
+        kv.delete("ns", "x")
+        kv.delete("ns", "x")  # second delete is a no-op, not an error
+        assert kv.get("ns", "x") is None
+        kv.close()
+
+    def test_geo_criteria_on_empty_store(self, tmp_path):
+        store = MemoryStorage(tmp_path / "g")
+        assert store.search(SearchCriteria(geo=(37.0, -122.0, 500.0), limit=10)) == []
+        store.close()
