@@ -36,10 +36,18 @@ def main(argv: list[str] | None = None) -> int:
         c.add_argument("--api-key", default="dev-key-shodh-tpu")
 
     e = sub.add_parser("eval", help="run the recall-quality harness")
+    e.add_argument(
+        "--suite",
+        choices=("smoke", "locomo-gate", "locomo-full"),
+        default=None,
+        help="named suite shortcut (sets --corpus/--cases)",
+    )
     e.add_argument("--corpus", default="tests/recall/corpora/shodh-smoke.jsonl")
     e.add_argument("--cases", default="tests/recall/smoke_cases.jsonl")
     e.add_argument("--eval-now", default="2026-05-01T00:00:00Z")  # after the smoke corpus max date
     e.add_argument("--baseline", default=None)
+    e.add_argument("--tolerance", type=float, default=0.02)
+    e.add_argument("--dump", default=None, help="write the report JSON to this path")
     e.add_argument("--layers", default="full")
 
     m = sub.add_parser("migrate", help="migrate storage formats in a data dir")
@@ -80,19 +88,38 @@ def main(argv: list[str] | None = None) -> int:
         from shodh_tpu.harness.runner import compare_to_baseline, run_suite
         from shodh_tpu.types import LayerMode
 
+        suites = {
+            "smoke": ("tests/recall/corpora/shodh-smoke.jsonl", "tests/recall/smoke_cases.jsonl"),
+            "locomo-gate": ("tests/recall/corpora/locomo-gate.jsonl", "tests/recall/locomo-gate-cases.jsonl"),
+            "locomo-full": ("tests/recall/corpora/locomo.jsonl", "tests/recall/locomo_cases.jsonl"),
+        }
+        if args.suite:
+            args.corpus, args.cases = suites[args.suite]
         tmp = tempfile.mkdtemp()
         modes = [LayerMode.parse(m) for m in args.layers.split(",")]
         report = run_suite(
             make_system=lambda: MemorySystem(Path(tmp) / "sys"),
             corpus_path=args.corpus,
             cases_path=args.cases,
-            suite_name="cli",
+            suite_name=args.suite or "cli",
             eval_now=args.eval_now,
             layer_modes=modes,
         )
-        print(json.dumps(report.to_dict(), indent=1))
+        out = report.to_dict()
+        print(json.dumps(out, indent=1, sort_keys=True))
+        if args.dump:
+            # dump is the determinism artifact (repeats must be byte-identical,
+            # recall_determinism.rs contract) — strip wall-clock latency fields
+            det = {
+                **out,
+                "layers": {
+                    name: {k: v for k, v in layer.items() if not k.startswith("latency_")}
+                    for name, layer in out["layers"].items()
+                },
+            }
+            Path(args.dump).write_text(json.dumps(det, indent=1, sort_keys=True) + "\n")
         if args.baseline:
-            ok, diffs = compare_to_baseline(report, args.baseline)
+            ok, diffs = compare_to_baseline(report, args.baseline, tolerance=args.tolerance)
             print(json.dumps(diffs, indent=1), file=sys.stderr)
             return 0 if ok else 1
         return 0

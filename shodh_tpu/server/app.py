@@ -111,6 +111,18 @@ async def rate_limit_middleware(request: web.Request, handler):
 @web.middleware
 async def observability_middleware(request: web.Request, handler):
     t0 = time.perf_counter()
+    from shodh_tpu.utils import tracing
+
+    if tracing.enabled():
+        # one OTLP-shaped trace per request (tracing_setup.rs analog),
+        # path-normalized like the latency metrics to bound cardinality
+        tracing.new_trace()
+        with tracing.span("http.request", method=request.method, path=request.path):
+            try:
+                return await handler(request)
+            finally:
+                METRICS.inc("shodh_http_requests_total")
+                METRICS.observe("shodh_http_latency_seconds", time.perf_counter() - t0)
     try:
         resp = await handler(request)
         return resp
@@ -1115,6 +1127,40 @@ def make_app(manager: MultiUserMemoryManager) -> web.Application:
     app.router.add_post("/api/search/robotics", search_robotics)
     app.router.add_post("/api/search/advanced", recall)
 
+    async def system_memory(request):
+        from shodh_tpu.server.telemetry import system_memory_report
+
+        return web.json_response(system_memory_report())
+
+    async def telemetry_status(request):
+        hb = request.app.get("telemetry")
+        return web.json_response(
+            {
+                "enabled": bool(hb and hb.enabled),
+                "last_payload": hb.payload() if hb and hb.enabled else None,
+            }
+        )
+
+    async def _start_telemetry(app_):
+        from shodh_tpu.server.telemetry import TelemetryHeartbeat
+
+        hb = TelemetryHeartbeat(
+            manager.data_dir,
+            stats_fn=lambda: {"users": len(manager.known_users())},
+        )
+        hb.start()
+        app_["telemetry"] = hb
+
+    async def _stop_telemetry(app_):
+        hb = app_.get("telemetry")
+        if hb is not None:
+            hb.stop()
+
+    app.on_startup.append(_start_telemetry)
+    app.on_cleanup.append(_stop_telemetry)
+
+    app.router.add_get("/api/system/memory", system_memory)
+    app.router.add_get("/api/telemetry", telemetry_status)
     app.router.add_get("/api/index/verify", index_verify)
     app.router.add_post("/api/index/rebuild", index_rebuild)
     app.router.add_get("/api/storage/stats", storage_stats)
