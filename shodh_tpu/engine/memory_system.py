@@ -16,6 +16,7 @@ device/numpy passes, never per-candidate Python loops over embeddings.
 from __future__ import annotations
 
 import functools
+import os
 import threading
 import time
 from dataclasses import dataclass
@@ -84,6 +85,7 @@ class MemorySystem:
         self.data_dir.mkdir(parents=True, exist_ok=True)
         self.storage = MemoryStorage(self.data_dir)
         self.embedder = embedder or default_embedder()
+        self._device_funnel = None  # lazy; SHODH_DEVICE_FUNNEL=1 fast path
         index_path = self.data_dir / "index" / "text"
         if index_path.with_suffix(".json").exists():
             self.index = DeviceVectorIndex.load(index_path)
@@ -389,6 +391,26 @@ class MemorySystem:
         k = max(1, query.max_results)
         pool_k = k * C.VECTOR_SEARCH_CANDIDATE_MULTIPLIER + query.offset
         companion_gate = False  # set after query analysis (multihop intent)
+
+        # SHODH_DEVICE_FUNNEL=1 opt-in serving fast path: the entire
+        # L3->L4->L5 funnel as ONE fused device program (ops/device_recall.py,
+        # BASELINE config 4). Only for plain hybrid text queries — any
+        # filter/mode/layer/offset the fused program doesn't model falls
+        # through to the staged host funnel below. Opt-in only, so eval
+        # gates and default behavior are byte-identical with it unset.
+        if (
+            os.environ.get("SHODH_DEVICE_FUNNEL", "") == "1"
+            and query.query_text
+            and query.query_embedding is None
+            and query.retrieval_mode == RetrievalMode.HYBRID
+            and query.layers >= LayerMode.FULL
+            and query.offset == 0
+            and not diagnostics
+            and self._is_plain_query(query)
+        ):
+            result = self._device_funnel_recall(query, k, now, t_start)
+            if result is not None:
+                return result
 
         # Query analysis (L0: linguistic features, temporal parsing)
         analysis = None
@@ -819,6 +841,46 @@ class MemorySystem:
                 return False
         return True
 
+    @staticmethod
+    def _is_plain_query(query: Query) -> bool:
+        """True when no filter is set that the fused device program can't
+        model (those queries fall through to the staged host funnel)."""
+        return not any(
+            [
+                query.time_range, query.tags, query.experience_types,
+                query.importance_threshold, query.episode_id, query.session_id,
+                query.robot_id, query.mission_id, query.geo_filter,
+                query.action_type, query.outcome_type, query.failures_only,
+                query.anomalies_only, query.severity, query.terrain_type,
+            ]
+        )
+
+    def _device_funnel_recall(
+        self, query: Query, k: int, now: datetime, t_start: float
+    ) -> Optional[RecallResult]:
+        """One fused device program for L3->L5 (ops/device_recall.py) —
+        serving fast path behind SHODH_DEVICE_FUNNEL=1."""
+        from shodh_tpu.engine.device_funnel import DeviceRecallEngine
+
+        if self._device_funnel is None:
+            self._device_funnel = DeviceRecallEngine(self)
+        try:
+            hits = self._device_funnel.recall(query.query_text, k=k, now=now)
+        except Exception:  # noqa: BLE001 — fast path must never break recall
+            return None
+        out: list[ScoredMemory] = []
+        for mid, score in hits:
+            mem = self.working.get(mid) or self.session.get(mid) or self.storage.get(mid)
+            if mem is None:
+                continue
+            out.append(ScoredMemory(memory=mem, score=score, attribution={"device_funnel": 1.0}))
+        if not C.recall_readonly():
+            self._record_usage(out, now)
+        return RecallResult(
+            memories=out,
+            stage_timings_ms={"total_ms": (time.perf_counter() - t_start) * 1000},
+        )
+
     def _index_retrieve(self, query: Query, now: datetime) -> RecallResult:
         """Non-semantic retrieval: robotics modes + filter-only queries
         (mod.rs:1983-2040)."""
@@ -947,6 +1009,8 @@ class MemorySystem:
             n += 1
         if self.graph is not None:
             self.graph.reinforce_memories(memory_ids, helpful)
+        if self._device_funnel is not None:
+            self._device_funnel.invalidate()  # importance/momentum mirrors drifted
         return n
 
     # ------------------------------------------------------------------
@@ -957,6 +1021,8 @@ class MemorySystem:
     def run_maintenance(self) -> dict[str, Any]:
         now = scoring_now()
         report: dict[str, Any] = {}
+        if self._device_funnel is not None:
+            self._device_funnel.invalidate()  # decay/promotion drift the mirrors
 
         # 1. Tier consolidation/promotion
         promoted = 0

@@ -125,3 +125,57 @@ class TestDeviceRecallEngine:
         hits2 = engine.recall("rust tooling", k=3)
         assert hits2
         sys_.close()
+
+
+class TestDeviceFunnelFastPath:
+    """SHODH_DEVICE_FUNNEL=1 routes eligible recalls through the fused
+    device program inside MemorySystem.recall itself."""
+
+    def test_fast_path_agrees_with_host_winner(self, tmp_path, monkeypatch):
+        from shodh_tpu.engine.memory_system import MemorySystem
+        from shodh_tpu.types import Experience, Query
+
+        sys_ = MemorySystem(tmp_path / "fp")
+        target = sys_.remember(Experience(
+            content="switched the cache eviction policy to w-tinylfu",
+            entities=["cache"],
+        ))
+        for i in range(15):
+            sys_.remember(Experience(content=f"unrelated standup note {i}"))
+
+        host = sys_.recall(Query(query_text="cache eviction policy", max_results=5))
+        monkeypatch.setenv("SHODH_DEVICE_FUNNEL", "1")
+        fast = sys_.recall(Query(query_text="cache eviction policy", max_results=5))
+        assert fast.ids[0] == host.ids[0] == target.id
+        assert fast.memories[0].attribution.get("device_funnel") == 1.0
+        sys_.close()
+
+    def test_filtered_queries_fall_through_to_host_funnel(self, tmp_path, monkeypatch):
+        from shodh_tpu.engine.memory_system import MemorySystem
+        from shodh_tpu.types import Experience, Query
+
+        sys_ = MemorySystem(tmp_path / "ft")
+        tagged = sys_.remember(Experience(content="release checklist drafted", tags=["release"]))
+        sys_.remember(Experience(content="release party planned", tags=["social"]))
+        monkeypatch.setenv("SHODH_DEVICE_FUNNEL", "1")
+        res = sys_.recall(Query(query_text="release", tags=["release"], max_results=5))
+        # tag filter is not modeled by the fused program -> host funnel served it
+        assert res.ids == [tagged.id]
+        assert all(sm.attribution.get("device_funnel") is None for sm in res.memories)
+        sys_.close()
+
+    def test_reinforce_invalidates_mirrors(self, tmp_path, monkeypatch):
+        from shodh_tpu.engine.memory_system import MemorySystem
+        from shodh_tpu.types import Experience, Query
+
+        monkeypatch.setenv("SHODH_DEVICE_FUNNEL", "1")
+        sys_ = MemorySystem(tmp_path / "inv")
+        a = sys_.remember(Experience(content="option alpha for the migration plan"))
+        b = sys_.remember(Experience(content="option beta for the migration plan"))
+        sys_.recall(Query(query_text="migration plan option", max_results=2))
+        assert sys_._device_funnel is not None and sys_._device_funnel._built_rows >= 0
+        sys_.reinforce_recall([b.id], helpful=True)
+        assert sys_._device_funnel._built_rows == -1  # mirrors marked stale
+        res = sys_.recall(Query(query_text="migration plan option", max_results=2))
+        assert set(res.ids) == {a.id, b.id}
+        sys_.close()
