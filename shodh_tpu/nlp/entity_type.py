@@ -54,6 +54,35 @@ FINE_TO_COARSE: dict[str, str] = {
 }
 
 
+# Full 141-type taxonomy (entity_type_schema.json — public OntoNotes/FIGER/
+# Wikidata data, reference src/entity_type/entity-type-schema.json). The
+# schema's 18 coarse ids join the tuple above; built-in fine entries keep
+# precedence so existing graph semantics are unchanged.
+_QID: dict[str, str] = {}
+
+
+def _load_schema() -> None:
+    global COARSE
+    import json
+    from pathlib import Path
+
+    path = Path(__file__).with_name("entity_type_schema.json")
+    try:
+        schema = json.loads(path.read_text())
+    except (OSError, ValueError):
+        return
+    extra = tuple(c["id"] for c in schema["coarse"] if c["id"] not in COARSE)
+    COARSE = COARSE + extra
+    for c in schema["coarse"]:
+        if c.get("wikidata"):
+            _QID[c["id"]] = c["wikidata"]
+    for f in schema["fine"]:
+        label = f["label"].strip().lower().replace(" ", "_")
+        FINE_TO_COARSE.setdefault(label, f["coarse"])
+        if f.get("wikidata"):
+            _QID.setdefault(label, f["wikidata"])
+
+
 def coarse_of(fine_type: str) -> str:
     fine = fine_type.strip().lower().replace(" ", "_")
     if fine in COARSE:
@@ -61,9 +90,17 @@ def coarse_of(fine_type: str) -> str:
     return FINE_TO_COARSE.get(fine, "other")
 
 
+def qid_of(label: str) -> str | None:
+    """Wikidata QID for a coarse or fine label, if the schema carries one."""
+    return _QID.get(label.strip().lower().replace(" ", "_"))
+
+
 def register_fine_type(fine: str, coarse: str) -> None:
     assert coarse in COARSE, f"unknown coarse class {coarse}"
     FINE_TO_COARSE[fine.strip().lower().replace(" ", "_")] = coarse
+
+
+_load_schema()
 
 
 def is_compatible(label_a: str, label_b: str) -> bool:

@@ -221,3 +221,31 @@ class TestDepParser:
         dp = DepParser()
         dp.set_backend(lambda s: [Token(text="x", pos="NOUN", lemma="x", head=0, dep="ROOT")])
         assert dp.parse("whatever")[0].text == "x"
+
+
+class TestEntityTypeSchema:
+    """Full 141-type taxonomy loaded from entity_type_schema.json."""
+
+    def test_schema_coverage(self):
+        from shodh_tpu.nlp import entity_type as et
+
+        assert len(et.FINE_TO_COARSE) >= 141
+        assert len(et.COARSE) >= 18
+        # schema labels with spaces normalize to snake_case
+        assert et.coarse_of("head of state") == "person"
+        assert et.coarse_of("military officer") == "person"
+        assert et.coarse_of("politician") == "person"
+
+    def test_wikidata_qids(self):
+        from shodh_tpu.nlp.entity_type import qid_of
+
+        assert qid_of("person") == "Q215627"
+        assert qid_of("politician") == "Q82955"
+        assert qid_of("never-heard-of-it") is None
+
+    def test_builtin_precedence_and_compat(self):
+        from shodh_tpu.nlp.entity_type import coarse_of, is_compatible
+
+        assert coarse_of("software") == "technology"  # built-ins unchanged
+        assert is_compatible("politician", "monarch")
+        assert not is_compatible("politician", "database")
