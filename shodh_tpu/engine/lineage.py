@@ -25,8 +25,57 @@ from shodh_tpu.types import format_ts, parse_ts
 NS_LEDGE = "ledge"
 NS_LFROM = "lfrom"  # from_memory -> edge ids
 NS_LTO = "lto"
+NS_LBRANCH = "lbranch"  # lineage:branches:{id} analog
+NS_LMETA = "lmeta"  # active-branch pointer
 
 RELATIONS = tuple(C.LINEAGE_CONFIDENCE.keys())
+
+# Pivot language that opens a lineage branch (lineage.rs:1243
+# detect_branch_signal): one strong signal, or two weak ones — common words
+# like "instead" alone appear in ordinary discourse and must not branch.
+_STRONG_PIVOT = (
+    "pivot to", "change direction", "start fresh", "start over",
+    "complete rewrite", "should rewrite", "need to rewrite",
+    "scrap this", "scrap the", "different strategy", "new strategy",
+    "abandon",
+)
+_WEAK_PIVOT = ("instead", "new approach", "rethink", "rewrite", "pivot")
+
+
+def detect_branch_signal(content: str) -> bool:
+    low = content.lower()
+    strong = sum(1 for s in _STRONG_PIVOT if s in low)
+    weak = sum(1 for s in _WEAK_PIVOT if s in low)
+    return strong >= 1 or weak >= 2
+
+
+@dataclass
+class LineageBranch:
+    """A branch in the lineage graph — project pivots fork history like git
+    (lineage.rs:226 LineageBranch)."""
+
+    id: str
+    name: str
+    description: str
+    parent_branch: Optional[str]  # None only for main
+    branch_point: Optional[str]  # memory where this diverged from parent
+    created_at: datetime
+    active: bool = True
+
+    def to_dict(self) -> dict:
+        return {
+            "id": self.id, "name": self.name, "description": self.description,
+            "parent_branch": self.parent_branch, "branch_point": self.branch_point,
+            "created_at": format_ts(self.created_at), "active": self.active,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "LineageBranch":
+        return cls(
+            id=d["id"], name=d["name"], description=d.get("description", ""),
+            parent_branch=d.get("parent_branch"), branch_point=d.get("branch_point"),
+            created_at=parse_ts(d["created_at"]), active=bool(d.get("active", True)),
+        )
 
 
 @dataclass
@@ -38,12 +87,14 @@ class LineageEdge:
     confidence: float
     created_at: datetime
     inferred: bool = False
+    branch_id: Optional[str] = None  # None = main branch (lineage.rs:120)
 
     def to_dict(self) -> dict:
         return {
             "id": self.id, "from_memory": self.from_memory, "to_memory": self.to_memory,
             "relation": self.relation, "confidence": self.confidence,
             "created_at": format_ts(self.created_at), "inferred": self.inferred,
+            "branch_id": self.branch_id,
         }
 
     @classmethod
@@ -52,6 +103,7 @@ class LineageEdge:
             id=d["id"], from_memory=d["from_memory"], to_memory=d["to_memory"],
             relation=d["relation"], confidence=float(d["confidence"]),
             created_at=parse_ts(d["created_at"]), inferred=bool(d.get("inferred", False)),
+            branch_id=d.get("branch_id"),
         )
 
 
@@ -75,6 +127,7 @@ class LineageStore:
             id=str(uuid.uuid5(uuid.NAMESPACE_OID, f"ledge:{from_memory}:{to_memory}:{relation}")),
             from_memory=from_memory, to_memory=to_memory,
             relation=relation, confidence=conf, created_at=now, inferred=inferred,
+            branch_id=self.active_branch(),
         )
         self.kv.write_batch(
             [
@@ -147,7 +200,85 @@ class LineageStore:
             e = LineageEdge.from_dict(decode(v))
             by_rel[e.relation] = by_rel.get(e.relation, 0) + 1
             total += 1
-        return {"edges": total, "by_relation": by_rel}
+        branches = self.list_branches()
+        return {
+            "edges": total,
+            "by_relation": by_rel,
+            "total_branches": len(branches),
+            "active_branches": sum(1 for b in branches if b.active),
+        }
+
+    # -- branches (lineage.rs:226-280, :506-570 — git-like project pivots) ------
+
+    def ensure_main_branch(self, now: datetime) -> LineageBranch:
+        main = self.get_branch("main")
+        if main is None:
+            main = LineageBranch(
+                id="main", name="main", description="primary lineage",
+                parent_branch=None, branch_point=None, created_at=now,
+            )
+            self.kv.put(NS_LBRANCH, "main", encode(main.to_dict()))
+        return main
+
+    def create_branch(
+        self,
+        name: str,
+        branch_point: str,
+        now: datetime,
+        description: str = "",
+        parent_branch: Optional[str] = None,
+        set_active: bool = True,
+    ) -> LineageBranch:
+        self.ensure_main_branch(now)
+        parent = parent_branch or self.active_branch() or "main"
+        branch = LineageBranch(
+            id=str(uuid.uuid5(uuid.NAMESPACE_OID, f"lbranch:{parent}:{branch_point}:{name}")),
+            name=name, description=description,
+            parent_branch=parent, branch_point=branch_point, created_at=now,
+        )
+        self.kv.put(NS_LBRANCH, branch.id, encode(branch.to_dict()))
+        if set_active:
+            self.set_active_branch(branch.id)
+        return branch
+
+    def get_branch(self, branch_id: str) -> Optional[LineageBranch]:
+        raw = self.kv.get(NS_LBRANCH, branch_id)
+        return LineageBranch.from_dict(decode(raw)) if raw is not None else None
+
+    def list_branches(self) -> list[LineageBranch]:
+        out = [LineageBranch.from_dict(decode(v)) for _, v in self.kv.scan_prefix(NS_LBRANCH, "")]
+        out.sort(key=lambda b: (b.created_at, b.id), reverse=True)
+        return out
+
+    def active_branch(self) -> Optional[str]:
+        """Current branch id; None means main (edges default to main)."""
+        raw = self.kv.get(NS_LMETA, "active_branch")
+        return raw.decode() if raw else None
+
+    def set_active_branch(self, branch_id: Optional[str]) -> None:
+        if branch_id is None or branch_id == "main":
+            self.kv.delete(NS_LMETA, "active_branch")
+        else:
+            self.kv.put(NS_LMETA, "active_branch", branch_id.encode())
+
+    def branch_edges(self, branch_id: Optional[str]) -> list[LineageEdge]:
+        want = None if branch_id in (None, "main") else branch_id
+        return [
+            e
+            for _, v in self.kv.scan_prefix(NS_LEDGE, "")
+            if (e := LineageEdge.from_dict(decode(v))).branch_id == want
+        ]
+
+    def maybe_branch_on_pivot(self, mem, now: datetime) -> Optional[LineageBranch]:
+        """Open a branch when a memory carries pivot language; edges the
+        pivot memory originates are attributed to it (lineage.rs:170-176)."""
+        if not detect_branch_signal(mem.experience.content):
+            return None
+        name = mem.experience.content.strip().split("\n")[0][:60]
+        return self.create_branch(
+            name=name, branch_point=mem.id, now=now,
+            description="auto: pivot signal", set_active=True,
+        )
 
     # -- auto-inference (infer_lineage_for_memory) -------------------------------
 

@@ -325,8 +325,12 @@ class MemorySystem:
             self.replay.register(mem, now=now)
 
         # 13. Lineage auto-inference (lineage.rs infer_lineage_for_memory)
-        if self.lineage is not None and experience.entities and self.storage.count() > 1:
-            self.lineage.infer_for_memory(mem, self.storage, self.index, now)
+        if self.lineage is not None:
+            if experience.entities and self.storage.count() > 1:
+                # edges INTO the pivot stay on the current branch; the pivot
+                # check below only re-points edges the memory originates
+                self.lineage.infer_for_memory(mem, self.storage, self.index, now)
+            self.lineage.maybe_branch_on_pivot(mem, now)
 
         if self.introspection is not None:
             self.introspection.record("store", mem.id, {"importance": mem.importance})

@@ -504,6 +504,43 @@ def make_app(manager: MultiUserMemoryManager) -> web.Application:
         sys_ = mgr(request).get_user_memory(uid)
         return web.json_response(await run(sys_.lineage.stats))
 
+    async def lineage_branches(request):
+        uid = user_of(request)
+        sys_ = mgr(request).get_user_memory(uid)
+        branches = await run(sys_.lineage.list_branches)
+        return web.json_response(
+            {
+                "branches": [b.to_dict() for b in branches],
+                "active": sys_.lineage.active_branch() or "main",
+            }
+        )
+
+    async def lineage_branch_create(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        from shodh_tpu.utils.clock import scoring_now
+        branch = await run(
+            lambda: sys_.lineage.create_branch(
+                name=body["name"],
+                branch_point=body["branch_point"],
+                now=scoring_now(),
+                description=body.get("description", ""),
+                set_active=bool(body.get("set_active", True)),
+            )
+        )
+        return web.json_response({"branch": branch.to_dict()})
+
+    async def lineage_branch_switch(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        bid = body.get("branch_id") or "main"
+        if bid != "main" and sys_.lineage.get_branch(bid) is None:
+            return _err(404, "not_found", "branch not found")
+        sys_.lineage.set_active_branch(bid)
+        return web.json_response({"active": sys_.lineage.active_branch() or "main"})
+
     async def reminders_set(request):
         body = await body_json(request)
         uid = user_of(request, body)
@@ -849,6 +886,9 @@ def make_app(manager: MultiUserMemoryManager) -> web.Application:
     app.router.add_post("/api/lineage/trace", lineage_trace)
     app.router.add_post("/api/lineage/link", lineage_link)
     app.router.add_post("/api/lineage/root-cause", lineage_root_cause)
+    app.router.add_get("/api/lineage/branches", lineage_branches)
+    app.router.add_post("/api/lineage/branch", lineage_branch_create)
+    app.router.add_post("/api/lineage/branch/switch", lineage_branch_switch)
     app.router.add_get("/api/lineage/stats", lineage_stats)
 
     app.router.add_post("/api/reminders/set", reminders_set)
@@ -1132,8 +1172,11 @@ def make_app(manager: MultiUserMemoryManager) -> web.Application:
 
         return web.json_response(system_memory_report())
 
+    _telemetry_box: list = []  # populated on startup (aiohttp forbids new
+    # app keys after start; a closure holder avoids the deprecation)
+
     async def telemetry_status(request):
-        hb = request.app.get("telemetry")
+        hb = _telemetry_box[0] if _telemetry_box else None
         return web.json_response(
             {
                 "enabled": bool(hb and hb.enabled),
@@ -1149,12 +1192,11 @@ def make_app(manager: MultiUserMemoryManager) -> web.Application:
             stats_fn=lambda: {"users": len(manager.known_users())},
         )
         hb.start()
-        app_["telemetry"] = hb
+        _telemetry_box.append(hb)
 
     async def _stop_telemetry(app_):
-        hb = app_.get("telemetry")
-        if hb is not None:
-            hb.stop()
+        if _telemetry_box:
+            _telemetry_box[0].stop()
 
     app.on_startup.append(_start_telemetry)
     app.on_cleanup.append(_stop_telemetry)

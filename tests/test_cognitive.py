@@ -251,6 +251,64 @@ class TestLineage:
         assert any(e.from_memory == err.id and e.relation == "resolved_by" for e in edges)
 
 
+class TestLineageBranches:
+    """Git-like branches on project pivots (lineage.rs:226-280, :1243)."""
+
+    def test_pivot_signal_gating(self):
+        from shodh_tpu.engine.lineage import detect_branch_signal
+
+        assert detect_branch_signal("we should pivot to a managed queue")
+        assert detect_branch_signal("scrap this design and start over")
+        # two weak signals
+        assert detect_branch_signal("rethink the parser — a rewrite is cleaner")
+        # one weak signal alone must NOT branch (ordinary discourse)
+        assert not detect_branch_signal("use sqlite instead of flat files")
+        assert not detect_branch_signal("nothing pivotal here")
+
+    def test_branch_lifecycle_and_edge_attribution(self, kv):
+        from shodh_tpu.engine.lineage import LineageStore
+
+        ls = LineageStore(kv)
+        ls.ensure_main_branch(NOW)
+        ls.add_edge("m1", "m2", "caused", NOW)  # main-branch edge
+        branch = ls.create_branch("v2 rewrite", branch_point="m2", now=NOW)
+        assert ls.active_branch() == branch.id
+        ls.add_edge("m2", "m3", "caused", NOW)  # attributed to the branch
+        assert [e.to_memory for e in ls.branch_edges(branch.id)] == ["m3"]
+        assert [e.to_memory for e in ls.branch_edges("main")] == ["m2"]
+        stats = ls.stats()
+        assert stats["total_branches"] == 2 and stats["active_branches"] == 2
+        # switch back to main
+        ls.set_active_branch(None)
+        assert ls.active_branch() is None
+        listed = {b.id for b in ls.list_branches()}
+        assert listed == {"main", branch.id}
+
+    def test_auto_branch_on_pivot_memory(self, system):
+        system.remember(
+            Experience(content="kafka consumer lag keeps growing", entities=["Kafka"]),
+            created_at=NOW,
+        )
+        pivot = system.remember(
+            Experience(
+                content="scrap the kafka design — pivot to a pull-based poller",
+                entities=["Kafka"],
+            ),
+            created_at=NOW + timedelta(hours=1),
+        )
+        branches = system.lineage.list_branches()
+        auto = [b for b in branches if b.branch_point == pivot.id]
+        assert len(auto) == 1 and auto[0].parent_branch == "main"
+        assert system.lineage.active_branch() == auto[0].id
+        # post-pivot edges land on the new branch
+        after = system.remember(
+            Experience(content="the pull-based poller drained the kafka backlog", entities=["Kafka"]),
+            created_at=NOW + timedelta(hours=3),
+        )
+        edges = system.lineage.edges_to(after.id)
+        assert edges and all(e.branch_id == auto[0].id for e in edges)
+
+
 class TestIntrospection:
     def test_ring_and_report(self):
         from shodh_tpu.engine.introspection import ConsolidationEventBuffer

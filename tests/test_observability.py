@@ -138,24 +138,23 @@ class TestEvalCliContract:
         ] + extra
         return subprocess.run(cmd, cwd=ROOT, capture_output=True, text=True, timeout=600)
 
-    def test_dump_is_deterministic_and_latency_free(self, tmp_path):
-        p1 = self._run_eval(tmp_path, ["--dump", str(tmp_path / "r1.json")])
-        p2 = self._run_eval(tmp_path, ["--dump", str(tmp_path / "r2.json")])
+    def test_dump_determinism_and_gate_exit_codes(self, tmp_path):
+        # run 1: dump + a baseline the subset easily beats -> exit 0
+        easy = tmp_path / "easy.json"
+        easy.write_text(json.dumps({"layers": {"full": {"recall@10": 0.0, "p@1": 0.0}}}))
+        p1 = self._run_eval(
+            tmp_path, ["--dump", str(tmp_path / "r1.json"), "--baseline", str(easy)]
+        )
         assert p1.returncode == 0, p1.stderr[-2000:]
-        assert p2.returncode == 0, p2.stderr[-2000:]
+        # run 2: dump + an impossible baseline -> exit 1 (gate fires);
+        # the dump itself must still be byte-identical to run 1
+        hard = tmp_path / "hard.json"
+        hard.write_text(json.dumps({"layers": {"full": {"recall@10": 2.0, "p@1": 2.0}}}))
+        p2 = self._run_eval(
+            tmp_path, ["--dump", str(tmp_path / "r2.json"), "--baseline", str(hard)]
+        )
+        assert p2.returncode == 1
         r1 = (tmp_path / "r1.json").read_text()
         assert r1 == (tmp_path / "r2.json").read_text()  # byte-identical
         assert "latency_" not in r1
         assert "latency_" in p1.stdout  # stdout report keeps timings
-
-    def test_baseline_gate_exit_codes(self, tmp_path):
-        # a baseline this subset easily beats -> exit 0
-        easy = tmp_path / "easy.json"
-        easy.write_text(json.dumps({"layers": {"full": {"recall@10": 0.0, "p@1": 0.0}}}))
-        ok = self._run_eval(tmp_path, ["--baseline", str(easy)])
-        assert ok.returncode == 0, ok.stderr[-2000:]
-        # an impossible baseline -> exit 1 (regression gate fires)
-        hard = tmp_path / "hard.json"
-        hard.write_text(json.dumps({"layers": {"full": {"recall@10": 2.0, "p@1": 2.0}}}))
-        bad = self._run_eval(tmp_path, ["--baseline", str(hard)])
-        assert bad.returncode == 1

@@ -150,3 +150,20 @@ class TestRecallTracked:
         assert status == 200 and body["tracking_id"]
         assert body["memories"][0]["attribution"]
         assert "stage_timings_ms" in body
+
+
+def test_openapi_matches_router():
+    """openapi.yaml must be regenerable byte-for-byte from the live router
+    (tools/gen_openapi.py) — the router is the single op catalog."""
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    sys.path.insert(0, str(root / "tools"))
+    try:
+        import gen_openapi
+    finally:
+        sys.path.pop(0)
+    regenerated = gen_openapi.emit(gen_openapi.collect_routes())
+    checked_in = (root / "openapi.yaml").read_text()
+    assert checked_in == regenerated, "openapi.yaml drifted — run python tools/gen_openapi.py"

@@ -260,3 +260,19 @@ class TestSuppressAndReminderRoutes:
         assert pending["pending"] == []
         status, out = client.request("POST", f"/api/reminders/{rid}/delete", {})
         assert out["deleted"]
+
+    def test_lineage_branch_routes(self, client):
+        _, a = client.request("POST", "/api/remember", {"content": "seed memory", "entities": ["seed"]})
+        status, body = client.request(
+            "POST", "/api/lineage/branch",
+            {"name": "experiment", "branch_point": a["memory_id"]},
+        )
+        assert status == 200
+        bid = body["branch"]["id"]
+        status, body = client.request("GET", "/api/lineage/branches")
+        assert status == 200 and body["active"] == bid
+        assert {b["id"] for b in body["branches"]} >= {"main", bid}
+        status, body = client.request("POST", "/api/lineage/branch/switch", {"branch_id": "main"})
+        assert body["active"] == "main"
+        status, _ = client.request("POST", "/api/lineage/branch/switch", {"branch_id": "nope"})
+        assert status == 404
