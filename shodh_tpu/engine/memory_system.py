@@ -674,11 +674,19 @@ class MemorySystem:
         ):
             window = timedelta(hours=2)
             ranked_cand = sorted(candidates, key=lambda t: -t[1])
-            top_times = [mem.created_at for mem, _ in ranked_cand[:3]]
+            top_anchors = [(mem.created_at, base) for mem, base in ranked_cand[:3]]
+            top_times = [t for t, _ in top_anchors]
             floor = ranked_cand[min(len(ranked_cand) - 1, 10)][1]
+            # SHODH_NEIGHBOR_INHERIT: let neighbors inherit a fraction of the
+            # anchor's score instead of the pool floor (dialogue answers often
+            # follow the retrieved question-turn). Measured on both locomo
+            # suites: <=0.35 is a no-op, >=0.45 regresses the gate (boosted
+            # neighbors displace genuine hits) — so the default stays 0.
+            inherit = float(os.environ.get("SHODH_NEIGHBOR_INHERIT", "0"))
             in_pool = {mem.id for mem, _ in candidates}
-            for t in top_times:
+            for t, anchor_base in top_anchors:
                 crit = SearchCriteria(date_range=(t - window, t + window), limit=20)
+                join_score = max(floor * 0.9, anchor_base * inherit)
                 for mid in self.storage.search(crit):
                     if mid in in_pool:
                         continue
@@ -686,7 +694,7 @@ class MemorySystem:
                     if mem is None or not self._passes_filters(mem, query):
                         continue
                     in_pool.add(mid)
-                    candidates.append((mem, floor * 0.9))
+                    candidates.append((mem, join_score))
             for i, (mem, base) in enumerate(candidates):
                 if any(abs(mem.created_at - t) <= window and mem.created_at != t for t in top_times):
                     candidates[i] = (mem, base * (1.0 + C.SAME_EPISODE_BOOST * 0.5))
