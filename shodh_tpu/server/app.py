@@ -154,6 +154,15 @@ def make_app(manager: MultiUserMemoryManager) -> web.Application:
     async def run(fn, *args, **kw):
         return await asyncio.to_thread(fn, *args, **kw)
 
+    def query_of(body: dict) -> Query:
+        try:
+            return Query.from_dict(body)
+        except (ValueError, KeyError, TypeError) as exc:
+            raise web.HTTPUnprocessableEntity(
+                text=json.dumps({"error": {"code": "bad_query", "message": str(exc)}}),
+                content_type="application/json",
+            )
+
     def mem_json(scored_or_mem, score: Optional[float] = None) -> dict:
         from shodh_tpu.types import Memory, ScoredMemory
 
@@ -239,7 +248,7 @@ def make_app(manager: MultiUserMemoryManager) -> web.Application:
             return _err(422, "validation", str(exc))
         uid = user_of(request, body)
         sys_ = mgr(request).get_user_memory(uid)
-        q = Query.from_dict(body)
+        q = query_of(body)
         debug = bool(body.get("debug"))
         t0 = time.perf_counter()
         result = await run(sys_.recall_with_diagnostics if debug else sys_.recall, q)
@@ -260,7 +269,7 @@ def make_app(manager: MultiUserMemoryManager) -> web.Application:
         body = await body_json(request)
         uid = user_of(request, body)
         sys_ = mgr(request).get_user_memory(uid)
-        q = Query.from_dict(body)
+        q = query_of(body)
         result = await run(sys_.recall_with_diagnostics, q)
         import uuid as _uuid
 
@@ -302,7 +311,7 @@ def make_app(manager: MultiUserMemoryManager) -> web.Application:
         body = await body_json(request)
         uid = user_of(request, body)
         sys_ = mgr(request).get_user_memory(uid)
-        q = Query.from_dict(body)
+        q = query_of(body)
         page = int(body.get("page", 0))
         q.offset = page * q.max_results
         result = await run(sys_.recall, q)
@@ -1046,9 +1055,8 @@ def make_app(manager: MultiUserMemoryManager) -> web.Application:
         body.setdefault("retrieval_mode", "mission" if body.get("mission_id") else "spatial")
         uid = user_of(request, body)
         sys_ = mgr(request).get_user_memory(uid)
-        from shodh_tpu.types import Query as _Q
-
-        result = await run(sys_.recall, _Q.from_dict(body))
+        
+        result = await run(sys_.recall, query_of(body))
         return web.json_response({"memories": [mem_json(sm) for sm in result.memories]})
 
     # -- index / storage ops --------------------------------------------------------

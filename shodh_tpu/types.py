@@ -145,7 +145,16 @@ class LayerMode(enum.IntEnum):
             "facts": cls.PLUS_FACTS,
             "full": cls.FULL,
         }
-        return table.get(key, cls.FULL)
+        # `plus_spreading` / `+spreading` / `spreading` all name the same rung
+        if key.startswith("plus_"):
+            key = key[len("plus_"):]
+        if key in table:
+            return table[key]
+        raise ValueError(
+            f"unknown layer mode {v!r} (one of: vector_only, "
+            + ", ".join(f"plus_{k}" for k in ("spreading", "bm25", "rerank", "facts"))
+            + ", full)"
+        )  # silently defaulting to FULL would corrupt ablation studies
 
 
 @dataclass

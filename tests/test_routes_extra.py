@@ -167,3 +167,11 @@ def test_openapi_matches_router():
     regenerated = gen_openapi.emit(gen_openapi.collect_routes())
     checked_in = (root / "openapi.yaml").read_text()
     assert checked_in == regenerated, "openapi.yaml drifted — run python tools/gen_openapi.py"
+
+
+def test_bad_layer_mode_is_422_not_500(client):
+    status, body = client.request(
+        "POST", "/api/recall", {"query": "x", "layers": "bogus-rung"}
+    )
+    assert status == 422
+    assert body["error"]["code"] == "bad_query"
