@@ -34,9 +34,15 @@ class ShodhMemoryStore:
 def langchain_memory(memory: Optional[Memory] = None, k: int = 5):
     """A LangChain BaseMemory implementation backed by shodh-tpu.
 
-    Returns an instance; raises ImportError when langchain isn't installed.
+    With langchain installed the instance subclasses BaseMemory; without it
+    a duck-typed stand-in with the same surface is returned, so examples
+    and tests run framework-free.
     """
-    from langchain_core.memory import BaseMemory  # type: ignore
+    try:
+        from langchain_core.memory import BaseMemory  # type: ignore
+    except ImportError:
+        class BaseMemory:  # type: ignore[no-redef] — duck-typed fallback
+            pass
 
     store = ShodhMemoryStore(memory)
 
@@ -70,11 +76,23 @@ def langchain_memory(memory: Optional[Memory] = None, k: int = 5):
 
 
 def llamaindex_retriever(memory: Optional[Memory] = None, k: int = 5):
-    """A LlamaIndex BaseRetriever backed by shodh-tpu recall."""
-    from llama_index.core.retrievers import BaseRetriever  # type: ignore
-    from llama_index.core.schema import NodeWithScore, TextNode  # type: ignore
+    """A LlamaIndex BaseRetriever backed by shodh-tpu recall.
 
+    Duck-typed fallback without llama-index: `retrieve(str)` returns the
+    raw hit dicts instead of NodeWithScore objects.
+    """
     store = ShodhMemoryStore(memory)
+    try:
+        from llama_index.core.retrievers import BaseRetriever  # type: ignore
+        from llama_index.core.schema import NodeWithScore, TextNode  # type: ignore
+    except ImportError:
+        class _FallbackRetriever:
+            def retrieve(self, query: str):
+                return store.query(query, k=k)
+
+            _retrieve = retrieve
+
+        return _FallbackRetriever()
 
     class ShodhRetriever(BaseRetriever):  # type: ignore[misc]
         def _retrieve(self, query_bundle):

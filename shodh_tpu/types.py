@@ -242,6 +242,12 @@ class Experience:
     anomaly: bool = False
     failure: bool = False
 
+    def __post_init__(self) -> None:
+        # Accept plain strings at the construction boundary — a raw
+        # "decision" would otherwise crash deep in importance scoring
+        if not isinstance(self.experience_type, ExperienceType):
+            self.experience_type = ExperienceType.parse(self.experience_type)
+
     def to_dict(self) -> dict:
         d: dict[str, Any] = {
             "content": self.content,
