@@ -54,6 +54,12 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--data-dir", default="~/.shodh-tpu")
     m.add_argument("--backup-dir", default=None)
 
+    i = sub.add_parser("init", help="scaffold a data dir + API key")
+    i.add_argument("--data-dir", default="~/.shodh-tpu")
+
+    h = sub.add_parser("setup-hooks", help="install Claude Code hooks into a project")
+    h.add_argument("--project", default=".", help="project dir (writes .claude/settings.json)")
+
     sub.add_parser("doctor", help="environment diagnosis")
     sub.add_parser("version")
 
@@ -133,6 +139,48 @@ def main(argv: list[str] | None = None) -> int:
             Path(args.data_dir).expanduser(), args.backup_dir
         )
         print(json.dumps(report, indent=1))
+        return 0
+
+    if args.cmd == "init":
+        import secrets
+        from pathlib import Path
+
+        data_dir = Path(args.data_dir).expanduser()
+        data_dir.mkdir(parents=True, exist_ok=True)
+        creds = data_dir / "credentials.json"
+        if creds.exists():
+            key = json.loads(creds.read_text())["api_key"]
+            print(f"already initialized: {data_dir}")
+        else:
+            key = "sk-shodh-" + secrets.token_hex(24)
+            creds.write_text(json.dumps({"api_key": key}, indent=2))
+            creds.chmod(0o600)
+            print(f"initialized {data_dir}")
+        print(f"api key: {key}")
+        print(f"serve with: SHODH_API_KEYS={key} python -m shodh_tpu.cli serve --data-dir {data_dir}")
+        return 0
+
+    if args.cmd == "setup-hooks":
+        import shutil
+        from pathlib import Path
+
+        project = Path(args.project).expanduser().resolve()
+        hooks_src = Path(__file__).resolve().parents[1] / "hooks"
+        hooks_dst = project / "hooks"
+        hooks_dst.mkdir(parents=True, exist_ok=True)
+        for script in ("session_start.sh", "user_prompt.sh", "stop.sh"):
+            shutil.copy2(hooks_src / script, hooks_dst / script)
+        claude_dir = project / ".claude"
+        claude_dir.mkdir(exist_ok=True)
+        settings_path = claude_dir / "settings.json"
+        settings = json.loads(settings_path.read_text()) if settings_path.exists() else {}
+        template = json.loads((hooks_src / "settings.example.json").read_text())
+        merged = dict(settings.get("hooks", {}))
+        merged.update(template["hooks"])  # shodh hooks win on conflict
+        settings["hooks"] = merged
+        settings_path.write_text(json.dumps(settings, indent=2) + "\n")
+        print(f"installed hooks -> {hooks_dst}")
+        print(f"wired into {settings_path}")
         return 0
 
     if args.cmd == "doctor":

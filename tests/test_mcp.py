@@ -78,3 +78,34 @@ class TestTools:
     def test_tool_error_contained(self, server):
         out = call(server, "read_memory", {"memory_id": "nope"})
         assert "not found" in out["result"]["content"][0]["text"]
+
+
+class TestCliScaffolding:
+    def test_init_idempotent(self, tmp_path, capsys):
+        from shodh_tpu.cli import main
+
+        assert main(["init", "--data-dir", str(tmp_path / "d")]) == 0
+        out1 = capsys.readouterr().out
+        assert "api key: sk-shodh-" in out1
+        assert main(["init", "--data-dir", str(tmp_path / "d")]) == 0
+        out2 = capsys.readouterr().out
+        assert "already initialized" in out2
+        # same key both times
+        assert out1.split("api key: ")[1].split()[0] == out2.split("api key: ")[1].split()[0]
+
+    def test_setup_hooks_merges_settings(self, tmp_path):
+        import json
+
+        from shodh_tpu.cli import main
+
+        proj = tmp_path / "proj"
+        (proj / ".claude").mkdir(parents=True)
+        (proj / ".claude" / "settings.json").write_text(
+            json.dumps({"hooks": {"PreToolUse": [{"hooks": []}]}, "other": 1})
+        )
+        assert main(["setup-hooks", "--project", str(proj)]) == 0
+        settings = json.loads((proj / ".claude" / "settings.json").read_text())
+        assert "SessionStart" in settings["hooks"]
+        assert "PreToolUse" in settings["hooks"]  # pre-existing preserved
+        assert settings["other"] == 1
+        assert (proj / "hooks" / "stop.sh").exists()
