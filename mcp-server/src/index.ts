@@ -259,7 +259,7 @@ const N = { type: "number" } as const;
 const B = { type: "boolean" } as const;
 const ARR_S = { type: "array", items: { type: "string" } } as const;
 
-function buildTools(http: HttpClient): Map<string, [ToolSpec, Handler]> {
+function buildTools(http: HttpClient, userId: string): Map<string, [ToolSpec, Handler]> {
   const tools = new Map<string, [ToolSpec, Handler]>();
   const reg = (
     name: string,
@@ -439,6 +439,36 @@ function buildTools(http: HttpClient): Map<string, [ToolSpec, Handler]> {
     JSON.stringify(await http.call("GET", "/api/index/verify")),
   );
 
+  // -- lineage / maintenance / bulk ops -----------------------------------------
+  reg("upsert", "Update a memory's content in place (re-embeds and re-indexes).", { memory_id: S, content: S }, ["memory_id", "content"], async (a) => {
+    const r = await http.call("POST", "/api/upsert", a);
+    return `Upserted ${r.memory_id}`;
+  });
+  reg("forget_by_tags", "Delete every memory carrying any of the given tags.", { tags: ARR_S }, ["tags"], async (a) => {
+    const r = await http.call("POST", "/api/forget/tags", { tags: a.tags });
+    return `Forgot ${r.forgotten} memories.`;
+  });
+  reg("recall_by_date", "Memories created inside a date range.", { start: S, end: S, limit: N }, ["start", "end"], async (a) => {
+    const r = await http.call("POST", "/api/recall/date", { start: a.start, end: a.end, max_results: a.limit ?? 20 });
+    return formatMemories(r.memories);
+  });
+  reg("distill_facts", "Consolidate episodic clusters into semantic facts now.", {}, [], async () => {
+    const r = await http.call("POST", "/api/facts/distill", {});
+    return `Distilled ${r.distilled} facts.`;
+  });
+  reg("trace_lineage", "Causal ancestry/descendants of a memory.", { memory_id: S, direction: S }, ["memory_id"], async (a) => {
+    const r = await http.call("POST", "/api/lineage/trace", a);
+    return formatList(r.edges, (e) => `${String(e.from_memory).slice(0, 8)} -[${e.relation}]-> ${String(e.to_memory).slice(0, 8)} (conf ${e.confidence.toFixed(2)})`, "No lineage edges.");
+  });
+  reg("find_root_cause", "Deepest causal ancestor of a memory.", { memory_id: S }, ["memory_id"], async (a) => {
+    const r = await http.call("POST", "/api/lineage/root-cause", a);
+    return r.root_cause ?? "No causal ancestry.";
+  });
+  reg("visualize_graph", "Knowledge graph as DOT (render with graphviz).", {}, [], async () => {
+    const r = await http.call("GET", `/api/graph/${userId}/export`);
+    return String(r).slice(0, 8000);
+  });
+
   return tools;
 }
 
@@ -452,7 +482,7 @@ async function main(): Promise<void> {
   const backend = new BackendLifecycle(apiKey);
   const userId = process.env.SHODH_USER_ID ?? "default";
   const http = new HttpClient(backend, apiKey, userId);
-  const tools = buildTools(http);
+  const tools = buildTools(http, userId);
   const drain = new DrainController();
   const tracker = new TokenTracker();
 

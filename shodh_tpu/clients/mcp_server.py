@@ -3,7 +3,7 @@
 Reference: ``mcp-server/index.ts`` — 51 tools over stdio giving agents
 persistent memory. This is a self-contained JSON-RPC 2.0 implementation of
 the MCP server protocol (initialize / tools/list / tools/call) exposing the
-same tool names over the embedded engine (no separate backend process
+same tool surface over the embedded engine (no separate backend process
 needed — the engine IS in-process, which replaces the reference's
 spawn-and-supervise backend lifecycle).
 
@@ -229,6 +229,47 @@ class McpMemoryServer:
         )
         # Backup / index
         reg(
+            _tool("upsert", "Update a memory's content in place (re-embeds and re-indexes).",
+                  {"memory_id": S, "content": S}, ["memory_id", "content"]),
+            lambda a: self._upsert(a),
+        )
+        reg(
+            _tool("forget_by_tags", "Delete every memory carrying any of the given tags.",
+                  {"tags": ARR_S}, ["tags"]),
+            lambda a: f"Forgot {self._forget_by_tags(a['tags'])} memories.",
+        )
+        reg(
+            _tool("recall_by_date", "Memories created inside a date range.",
+                  {"start": S, "end": S, "limit": N}, ["start", "end"]),
+            lambda a: fmt_memories(
+                sys_.recall(Query(
+                    time_range=(parse_ts(a["start"]), parse_ts(a["end"])),
+                    max_results=int(a.get("limit", 20)),
+                )).memories
+            ),
+        )
+        reg(
+            _tool("distill_facts", "Consolidate episodic clusters into semantic facts now.", {}),
+            lambda a: f"Distilled {sys_.distill_facts()} facts.",
+        )
+        reg(
+            _tool("trace_lineage", "Causal ancestry/descendants of a memory.",
+                  {"memory_id": S, "direction": S}, ["memory_id"]),
+            lambda a: "\n".join(
+                f"{e.from_memory[:8]} -[{e.relation}]-> {e.to_memory[:8]} (conf {e.confidence:.2f})"
+                for e in sys_.lineage.trace(a["memory_id"], a.get("direction", "ancestors"))
+            ) or "No lineage edges.",
+        )
+        reg(
+            _tool("find_root_cause", "Deepest causal ancestor of a memory.",
+                  {"memory_id": S}, ["memory_id"]),
+            lambda a: sys_.lineage.find_root_cause(a["memory_id"]) or "No causal ancestry.",
+        )
+        reg(
+            _tool("visualize_graph", "Knowledge graph as DOT (render with graphviz).", {}),
+            lambda a: (sys_.graph.to_dot() if sys_.graph else "graph disabled")[:8000],
+        )
+        reg(
             _tool("backup_create", "Create a verified backup.", {}),
             lambda a: self._backup_create(),
         )
@@ -307,6 +348,23 @@ class McpMemoryServer:
         intent.status = "dismissed"
         self.system.prospective.update(intent)
         return "Dismissed."
+
+    def _upsert(self, a: dict) -> str:
+        if self.system.get(a["memory_id"]) is None:
+            return "Not found."
+        mem = self.system.upsert({"content": a["content"]}, memory_id=a["memory_id"])
+        return f"Upserted {mem.id}"
+
+    def _forget_by_tags(self, tags: list[str]) -> int:
+        want = {t.lower() for t in tags}
+        doomed = [
+            mem.id
+            for mem in self.system.storage.iter_memories()
+            if want & {t.lower() for t in mem.experience.tags}
+        ]
+        for mid in doomed:
+            self.system.forget(mid)
+        return len(doomed)
 
     def _backup_create(self) -> str:
         from shodh_tpu.storage.backup import create_backup
