@@ -143,6 +143,17 @@ def _groupmax(queries, corpus, scales, valid):
     return groupmax_scores(queries, corpus, scales, valid)
 
 
+def _candidate_rows(gmax, k: int):
+    """Top-k groups -> candidate row ids, ascending for tie-breaks."""
+    b, g = gmax.shape
+    k_groups = min(k, g)
+    _, top_groups = jax.lax.top_k(gmax, k_groups)  # (B, k_groups)
+    # Ascending group order => ascending global row order for tie-breaks.
+    top_groups = jnp.sort(top_groups, axis=-1)
+    row_offsets = jnp.arange(GROUP, dtype=jnp.int32)[None, None, :]
+    return (top_groups[:, :, None] * GROUP + row_offsets).reshape(b, k_groups * GROUP)
+
+
 @partial(jax.jit, static_argnames=("k",))
 def two_level_topk(queries, corpus, valid, k: int, scales=None):
     """Exact top-k via fused group-max + group rescoring.
@@ -153,15 +164,26 @@ def two_level_topk(queries, corpus, valid, k: int, scales=None):
     n = corpus.shape[0]
     if scales is None:
         scales = jnp.ones((n,), jnp.float32)
-    gmax = _groupmax(queries, corpus, scales, valid)  # (B, G)
-    g = gmax.shape[1]
-    k_groups = min(k, g)
-    _, top_groups = jax.lax.top_k(gmax, k_groups)  # (B, k_groups)
-    # Ascending group order => ascending global row order for tie-breaks.
-    top_groups = jnp.sort(top_groups, axis=-1)
-    # Candidate rows: (B, k_groups * GROUP)
-    row_offsets = jnp.arange(GROUP, dtype=jnp.int32)[None, None, :]
-    rows = (top_groups[:, :, None] * GROUP + row_offsets).reshape(b, k_groups * GROUP)
+
+    if _default_impl() == "xla":
+        # The XLA pass 1 materializes the full (B, N) score matrix anyway —
+        # so pass 2 gathers SCORES (k*GROUP f32 per query, ~1.3 MB at
+        # B=256/k=10) instead of re-gathering corpus rows (k*GROUP*D int8,
+        # ~126 MB) and recomputing dots. Measured on v5e at 1M x 384: the
+        # corpus-gather rescan cost ~16 ms of the 28.5 ms batch.
+        from shodh_tpu.ops.distance import masked_scores
+
+        scores = masked_scores(queries, corpus, valid, scales)  # (B, N)
+        gmax = jnp.max(scores.reshape(b, n // GROUP, GROUP), axis=-1)
+        rows = _candidate_rows(gmax, k)
+        cand = jnp.take_along_axis(scores, rows, axis=-1)
+        vals, pos = jax.lax.top_k(cand, k)
+        return vals, jnp.take_along_axis(rows, pos, axis=-1)
+
+    # Pallas pass 1 never writes the score matrix to HBM, so pass 2 must
+    # re-gather the candidate corpus rows and rescore exactly.
+    gmax = groupmax_scores(queries, corpus, scales, valid)  # (B, G)
+    rows = _candidate_rows(gmax, k)
     gathered = corpus[rows]  # (B, R, D)
     raw = jnp.einsum("bd,brd->br", queries, gathered.astype(jnp.float32), precision=jax.lax.Precision.HIGHEST)
     cand = raw * scales[rows] * valid[rows] + (1.0 - valid[rows]) * NEG_INF
