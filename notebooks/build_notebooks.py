@@ -103,7 +103,7 @@ PERF = [
 
 How the engine turns "cosine top-k over a million memories" into one fused
 XLA program, and how it scales across a device mesh. Runs on CPU here
-(shapes scaled down); on a TPU v5e the same code path does **~9,300 QPS/chip
+(shapes scaled down); on a TPU v5e the same code path does **~19,000 QPS/chip
 exact top-10 over 1M×384 int8** (see `bench.py` / `BASELINE.md`)."""),
     code("""import os
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")

@@ -167,16 +167,29 @@ def two_level_topk(queries, corpus, valid, k: int, scales=None):
 
     if _default_impl() == "xla":
         # The XLA pass 1 materializes the full (B, N) score matrix anyway —
-        # so pass 2 gathers SCORES (k*GROUP f32 per query, ~1.3 MB at
-        # B=256/k=10) instead of re-gathering corpus rows (k*GROUP*D int8,
-        # ~126 MB) and recomputing dots. Measured on v5e at 1M x 384: the
-        # corpus-gather rescan cost ~16 ms of the 28.5 ms batch.
+        # so pass 2 gathers SCORES instead of re-gathering corpus rows
+        # (k*GROUP*D int8 ~ 126 MB) and recomputing dots. Gather whole
+        # CONTIGUOUS groups from the (B, G, GROUP) view: 512 B-aligned
+        # slices, not k*GROUP scattered columns. Measured on v5e at
+        # 1M x 384 / B=256: corpus-gather rescan 28.5 ms/batch -> flat
+        # score gather 19.7 ms -> contiguous group gather 12.9 ms.
         from shodh_tpu.ops.distance import masked_scores
 
-        scores = masked_scores(queries, corpus, valid, scales)  # (B, N)
-        gmax = jnp.max(scores.reshape(b, n // GROUP, GROUP), axis=-1)
-        rows = _candidate_rows(gmax, k)
-        cand = jnp.take_along_axis(scores, rows, axis=-1)
+        scores3 = masked_scores(queries, corpus, valid, scales).reshape(
+            b, n // GROUP, GROUP
+        )
+        gmax = jnp.max(scores3, axis=-1)
+        g = gmax.shape[1]
+        k_groups = min(k, g)
+        _, top_groups = jax.lax.top_k(gmax, k_groups)
+        # Ascending group order => ascending global row order for tie-breaks.
+        top_groups = jnp.sort(top_groups, axis=-1)
+        cand = jnp.take_along_axis(scores3, top_groups[:, :, None], axis=1)
+        cand = cand.reshape(b, k_groups * GROUP)
+        row_offsets = jnp.arange(GROUP, dtype=jnp.int32)[None, None, :]
+        rows = (top_groups[:, :, None] * GROUP + row_offsets).reshape(
+            b, k_groups * GROUP
+        )
         vals, pos = jax.lax.top_k(cand, k)
         return vals, jnp.take_along_axis(rows, pos, axis=-1)
 
