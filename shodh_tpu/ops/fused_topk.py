@@ -143,6 +143,33 @@ def _groupmax(queries, corpus, scales, valid):
     return groupmax_scores(queries, corpus, scales, valid)
 
 
+def exact_topk_scores(scores, k: int):
+    """Exact top-k over an existing (B, N) score matrix via group selection.
+
+    The contiguous-group-gather pass 2 (see two_level_topk) applied to
+    scores that are already materialized — used by the sharded per-shard
+    top-k where N = rows_per_shard. Falls back to lax.top_k when N is small
+    or not GROUP-divisible. Bit-identical to lax.top_k(scores, k) including
+    ascending-row tie-breaks.
+    """
+    b, n = scores.shape
+    if n < 8 * GROUP or n % GROUP:
+        return jax.lax.top_k(scores, min(k, n))
+    s3 = scores.reshape(b, n // GROUP, GROUP)
+    gmax = jnp.max(s3, axis=-1)
+    g = gmax.shape[1]
+    k_groups = min(k, g)
+    _, top_groups = jax.lax.top_k(gmax, k_groups)
+    top_groups = jnp.sort(top_groups, axis=-1)
+    cand = jnp.take_along_axis(s3, top_groups[:, :, None], axis=1).reshape(
+        b, k_groups * GROUP
+    )
+    row_offsets = jnp.arange(GROUP, dtype=jnp.int32)[None, None, :]
+    rows = (top_groups[:, :, None] * GROUP + row_offsets).reshape(b, k_groups * GROUP)
+    vals, pos = jax.lax.top_k(cand, min(k, cand.shape[1]))
+    return vals, jnp.take_along_axis(rows, pos, axis=-1)
+
+
 def _candidate_rows(gmax, k: int):
     """Top-k groups -> candidate row ids, ascending for tie-breaks."""
     b, g = gmax.shape
@@ -175,23 +202,8 @@ def two_level_topk(queries, corpus, valid, k: int, scales=None):
         # score gather 19.7 ms -> contiguous group gather 12.9 ms.
         from shodh_tpu.ops.distance import masked_scores
 
-        scores3 = masked_scores(queries, corpus, valid, scales).reshape(
-            b, n // GROUP, GROUP
-        )
-        gmax = jnp.max(scores3, axis=-1)
-        g = gmax.shape[1]
-        k_groups = min(k, g)
-        _, top_groups = jax.lax.top_k(gmax, k_groups)
-        # Ascending group order => ascending global row order for tie-breaks.
-        top_groups = jnp.sort(top_groups, axis=-1)
-        cand = jnp.take_along_axis(scores3, top_groups[:, :, None], axis=1)
-        cand = cand.reshape(b, k_groups * GROUP)
-        row_offsets = jnp.arange(GROUP, dtype=jnp.int32)[None, None, :]
-        rows = (top_groups[:, :, None] * GROUP + row_offsets).reshape(
-            b, k_groups * GROUP
-        )
-        vals, pos = jax.lax.top_k(cand, k)
-        return vals, jnp.take_along_axis(rows, pos, axis=-1)
+        scores = masked_scores(queries, corpus, valid, scales)
+        return exact_topk_scores(scores, k)
 
     # Pallas pass 1 never writes the score matrix to HBM, so pass 2 must
     # re-gather the candidate corpus rows and rescore exactly.

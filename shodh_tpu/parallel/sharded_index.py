@@ -30,7 +30,11 @@ def _local_topk(queries, corpus_shard, valid_shard, scales_shard, k, axis):
     shard_idx = jax.lax.axis_index(axis)
     scores = masked_scores(queries, corpus_shard, valid_shard, scales_shard)
     kk = min(k, rows_per_shard)
-    vals, local_rows = jax.lax.top_k(scores, kk)  # (B, kk)
+    # Two-level group selection on the local score matrix (bit-identical to
+    # lax.top_k; ~1.5x cheaper at large shard sizes — see ops/fused_topk.py)
+    from shodh_tpu.ops.fused_topk import exact_topk_scores
+
+    vals, local_rows = exact_topk_scores(scores, kk)  # (B, kk)
     global_rows = local_rows.astype(jnp.int32) + shard_idx * rows_per_shard
     # All-gather each shard's candidates over ICI -> (S, B, kk)
     all_vals = jax.lax.all_gather(vals, axis)

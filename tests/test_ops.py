@@ -200,3 +200,45 @@ class TestStreamingAppend:
         vecs_dev = np.asarray(idx._device[0])
         np.testing.assert_allclose(vecs_dev[rows[0]], more[0], rtol=1e-6)
         assert float(np.asarray(idx._device[2])[rows[-1]]) == 1.0
+
+
+class TestExactTopkScores:
+    def test_matches_lax_topk_with_ties(self):
+        import jax
+
+        from shodh_tpu.ops.fused_topk import exact_topk_scores
+
+        rng = np.random.default_rng(11)
+        scores = rng.standard_normal((4, 64 * 128)).astype(np.float32)
+        # plant duplicated scores to exercise tie-breaks
+        scores[:, 100] = scores[:, 5000] = scores[:, 900] = 3.0
+        got_v, got_r = exact_topk_scores(jnp.asarray(scores), 12)
+        want_v, want_r = jax.lax.top_k(jnp.asarray(scores), 12)
+        np.testing.assert_array_equal(np.asarray(got_r), np.asarray(want_r))
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+
+    def test_small_n_fallback(self):
+        import jax
+
+        from shodh_tpu.ops.fused_topk import exact_topk_scores
+
+        scores = jnp.asarray(np.random.default_rng(1).standard_normal((2, 100)), jnp.float32)
+        v, r = exact_topk_scores(scores, 5)
+        wv, wr = jax.lax.top_k(scores, 5)
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(wr))
+
+    def test_sharded_search_group_path(self):
+        """Shards large enough (>= 8*GROUP rows) to take the group-selection
+        path inside shard_map; result must equal single-device brute force."""
+        from shodh_tpu.parallel.mesh import make_mesh
+        from shodh_tpu.parallel.sharded_index import ShardedVectorIndex
+
+        n = 8 * 8 * GROUP  # 8192 rows -> 1024/shard on the 8-device mesh
+        corpus = _random_unit(n, 64, seed=21)
+        queries = _random_unit(3, 64, seed=22)
+        mesh = make_mesh(8)
+        idx = ShardedVectorIndex(corpus, mesh)
+        vals, rows = idx.search(queries, k=7)
+        ref = queries @ corpus.T
+        for b in range(3):
+            np.testing.assert_array_equal(rows[b], np.argsort(-ref[b])[:7])
