@@ -673,7 +673,14 @@ class MemorySystem:
             and len(candidates) > 3
         ):
             window = timedelta(hours=2)
-            ranked_cand = sorted(candidates, key=lambda t: -t[1])
+            # Full deterministic tie-break: the candidate pool iterates a
+            # set-union'd dict (PYTHONHASHSEED-dependent order), so a
+            # score-only sort would pick different anchors/floors across
+            # processes under ties — breaking byte-identical repeats.
+            ranked_cand = sorted(
+                candidates,
+                key=lambda t: (-t[1], t[0].created_at.isoformat(), t[0].content_hash),
+            )
             top_anchors = [(mem.created_at, base) for mem, base in ranked_cand[:3]]
             top_times = [t for t, _ in top_anchors]
             floor = ranked_cand[min(len(ranked_cand) - 1, 10)][1]

@@ -13,12 +13,28 @@ _VOWELS = set("aeiou")
 
 
 def _is_cons(word: str, i: int) -> bool:
-    ch = word[i]
-    if ch in _VOWELS:
-        return False
-    if ch == "y":
-        return i == 0 or not _is_cons(word, i - 1)
-    return True
+    # Iterative walk back through any 'y' run: recursion here blew the
+    # stack on pathological thousand-char tokens (found via an IPC
+    # large-frame probe; remember() must never crash on long tokens).
+    while True:
+        ch = word[i]
+        if ch in _VOWELS:
+            return False
+        if ch != "y":
+            return True
+        if i == 0:
+            return True
+        i -= 1
+        # a 'y' is a consonant iff the previous char is NOT a consonant —
+        # loop inverts once per step
+        ch = word[i]
+        if ch in _VOWELS:
+            return True
+        if ch != "y":
+            return False
+        if i == 0:
+            return False
+        i -= 1
 
 
 def _measure(stem_: str) -> int:

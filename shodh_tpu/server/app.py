@@ -6,8 +6,10 @@ Handlers are thin adapters over MultiUserMemoryManager; engine calls run in
 a worker thread so the event loop never blocks on device compute.
 
 Auth (reference auth.rs): keys from SHODH_API_KEYS (comma-separated),
-constant-time comparison; with no keys configured a dev key
-("dev-key-shodh-tpu") is accepted and a production warning logged.
+constant-time comparison, FAIL CLOSED — with no keys configured every
+authenticated route returns 503 AUTH_NOT_CONFIGURED; a dev key is honored
+only when explicitly set via SHODH_DEV_API_KEY. Webhook receivers
+(/webhook/github, /webhook/linear) are public but HMAC-mandatory.
 """
 
 from __future__ import annotations
@@ -16,6 +18,7 @@ import asyncio
 import hmac
 import json
 import os
+import secrets
 import sys
 import time
 from pathlib import Path
@@ -36,12 +39,21 @@ PROBE_ROUTES = {
     "/dashboard", "/",  # static page; the data it fetches is still key-gated
 }
 
+# Public receivers that CANNOT attach API keys (GitHub/Linear deliveries);
+# each mandates its own HMAC signature check instead (handlers/webhooks.rs).
+OPEN_ROUTES = {"/webhook/github", "/webhook/linear"}
+
 
 def _api_keys() -> list[str]:
+    """Fail closed (auth.rs): no implicit dev key. Keys come from
+    SHODH_API_KEYS (comma-separated); a dev key is honored only when
+    EXPLICITLY set via SHODH_DEV_API_KEY. With neither set, every
+    authenticated route returns 503 AUTH_NOT_CONFIGURED."""
     raw = os.environ.get("SHODH_API_KEYS", "")
     keys = [k.strip() for k in raw.split(",") if k.strip()]
-    if not keys:
-        keys = [DEV_KEY]
+    dev = os.environ.get("SHODH_DEV_API_KEY", "").strip()
+    if dev:
+        keys.append(dev)
     return keys
 
 
@@ -59,8 +71,24 @@ def _err(status: int, code: str, message: str) -> web.Response:
 
 @web.middleware
 async def auth_middleware(request: web.Request, handler):
-    if request.path in PROBE_ROUTES:
+    if request.path in PROBE_ROUTES or request.path in OPEN_ROUTES:
         return await handler(request)
+    # Local-IPC dispatches arrive pre-authenticated by the UDS HMAC
+    # handshake; they carry a per-process random token no external
+    # client can know (local_ipc.rs trust model).
+    ipc_token = request.app.get("ipc_token")
+    if ipc_token and hmac.compare_digest(
+        request.headers.get("X-Shodh-Internal", ""), ipc_token
+    ):
+        return await handler(request)
+    if not _api_keys():
+        METRICS.inc("shodh_http_unauthorized_total")
+        return _err(
+            503,
+            "AUTH_NOT_CONFIGURED",
+            "no API keys configured: set SHODH_API_KEYS "
+            "(or SHODH_DEV_API_KEY for development)",
+        )
     key = request.headers.get("X-API-Key") or request.headers.get(
         "Authorization", ""
     ).removeprefix("Bearer ").strip()
@@ -137,6 +165,9 @@ def make_app(manager: MultiUserMemoryManager) -> web.Application:
         client_max_size=MAX_BODY,
     )
     app["manager"] = manager
+    # Per-process secret marking pre-authenticated local-IPC dispatches
+    # (never leaves the process; see auth_middleware).
+    app["ipc_token"] = secrets.token_hex(16)
 
     def mgr(request) -> MultiUserMemoryManager:
         return request.app["manager"]
@@ -1339,10 +1370,11 @@ def run_server(
     maintenance_interval_secs: int = 3600,
 ) -> None:
     """Server entry: manager + schedulers + HTTP serve (server.rs:61 analog)."""
-    if not os.environ.get("SHODH_API_KEYS"):
+    if not _api_keys():
         print(
-            "WARNING: SHODH_API_KEYS unset — accepting the dev key only; "
-            "set real keys in production.",
+            "WARNING: no API keys configured — all authenticated routes will "
+            "return 503 AUTH_NOT_CONFIGURED. Set SHODH_API_KEYS (production) "
+            "or SHODH_DEV_API_KEY (development).",
             file=sys.stderr,
         )
     manager = MultiUserMemoryManager(Path(data_dir).expanduser())

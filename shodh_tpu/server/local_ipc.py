@@ -61,7 +61,12 @@ class LocalIpcServer:
         self.socket_path.parent.mkdir(parents=True, exist_ok=True)
         if self.socket_path.exists():
             self.socket_path.unlink()
-        self._server = await asyncio.start_unix_server(self._handle, path=str(self.socket_path))
+        # limit must cover a full 8 MiB frame: StreamReader.readline caps at
+        # the default 64 KiB otherwise and raises mid-frame (local_ipc.rs
+        # supports full-size frames). Slack covers the newline + json overhead.
+        self._server = await asyncio.start_unix_server(
+            self._handle, path=str(self.socket_path), limit=MAX_FRAME + 1024
+        )
         self.socket_path.chmod(0o600)
 
     async def stop(self) -> None:
@@ -91,13 +96,24 @@ class LocalIpcServer:
             writer.write(b'{"ok": true}\n')
             await writer.drain()
             while True:
-                line = await reader.readline()
+                try:
+                    line = await reader.readline()
+                except (asyncio.LimitOverrunError, ValueError):
+                    # Frame exceeded the reader limit: drain to the next
+                    # newline, report, and keep the connection alive.
+                    while True:
+                        chunk = await reader.read(65536)
+                        if not chunk or b"\n" in chunk:
+                            break
+                    writer.write(b'{"error": "frame too large"}\n')
+                    await writer.drain()
+                    continue
                 if not line:
                     break
                 if len(line) > MAX_FRAME:
                     writer.write(b'{"error": "frame too large"}\n')
                     await writer.drain()
-                    break
+                    continue
                 try:
                     frame = json.loads(line)
                 except json.JSONDecodeError:
@@ -115,7 +131,11 @@ class LocalIpcServer:
         method = frame.get("method", "POST").upper()
         path = frame.get("path", "/")
         body = frame.get("body")
-        headers = {"X-API-Key": os.environ.get("SHODH_API_KEYS", "dev-key-shodh-tpu").split(",")[0]}
+        # The UDS HMAC handshake already authenticated this peer; mark the
+        # dispatch with the app's per-process internal token so the HTTP
+        # auth middleware admits it without API keys (fail-closed auth must
+        # not break the local transport's own trust domain).
+        headers = {"X-Shodh-Internal": self.app.get("ipc_token", "")}
         if frame.get("user_id"):
             headers["X-User-ID"] = frame["user_id"]
         resp = await self._client.request(method, path, json=body, headers=headers)

@@ -94,12 +94,19 @@ def register_webhook_routes(app) -> None:
     from aiohttp import web
 
     async def github_webhook(request: web.Request):
+        # Public mount point (deliveries can't attach API keys) — the HMAC
+        # secret is therefore MANDATORY: unconfigured -> 503, never skip.
         secret = os.environ.get("SHODH_GITHUB_WEBHOOK_SECRET", "").encode()
+        if not secret:
+            return web.json_response(
+                {"error": {"code": "WEBHOOK_NOT_CONFIGURED",
+                           "message": "SHODH_GITHUB_WEBHOOK_SECRET unset"}},
+                status=503,
+            )
         body = await request.read()
-        if secret:
-            sig = request.headers.get("X-Hub-Signature-256", "")
-            if not verify_github_signature(secret, body, sig):
-                return web.json_response({"error": "bad signature"}, status=401)
+        sig = request.headers.get("X-Hub-Signature-256", "")
+        if not verify_github_signature(secret, body, sig):
+            return web.json_response({"error": "bad signature"}, status=401)
         event = request.headers.get("X-GitHub-Event", "")
         payload = json.loads(body)
         exp = github_event_to_experience(event, payload)
@@ -114,11 +121,16 @@ def register_webhook_routes(app) -> None:
 
     async def linear_webhook(request: web.Request):
         secret = os.environ.get("SHODH_LINEAR_WEBHOOK_SECRET", "").encode()
+        if not secret:
+            return web.json_response(
+                {"error": {"code": "WEBHOOK_NOT_CONFIGURED",
+                           "message": "SHODH_LINEAR_WEBHOOK_SECRET unset"}},
+                status=503,
+            )
         body = await request.read()
-        if secret:
-            sig = request.headers.get("Linear-Signature", "")
-            if not verify_linear_signature(secret, body, sig):
-                return web.json_response({"error": "bad signature"}, status=401)
+        sig = request.headers.get("Linear-Signature", "")
+        if not verify_linear_signature(secret, body, sig):
+            return web.json_response({"error": "bad signature"}, status=401)
         exp = linear_event_to_experience(json.loads(body))
         if exp is None:
             return web.json_response({"stored": False})
@@ -129,5 +141,7 @@ def register_webhook_routes(app) -> None:
         mem = await asyncio.to_thread(system.remember, exp)
         return web.json_response({"stored": True, "memory_id": mem.id})
 
-    app.router.add_post("/api/sync/github", github_webhook)
-    app.router.add_post("/api/sync/linear", linear_webhook)
+    # Public receivers (OPEN_ROUTES in app.py) — GitHub/Linear deliveries
+    # cannot attach API keys; HMAC verification above is the auth.
+    app.router.add_post("/webhook/github", github_webhook)
+    app.router.add_post("/webhook/linear", linear_webhook)

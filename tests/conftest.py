@@ -15,6 +15,9 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Auth fails closed in production; tests opt into the dev key explicitly
+# (matching the reference's SHODH_DEV_API_KEY contract).
+os.environ.setdefault("SHODH_DEV_API_KEY", "dev-key-shodh-tpu")
 
 import jax  # noqa: E402
 

@@ -133,9 +133,12 @@ class TestMIF:
         src.remember(Experience(content="Alice chose Rust at Acme", entities=["Alice", "Acme", "Rust"]))
         src.todos.add("migrate the index", NOW)
         doc = export_mif(src, NOW)
-        assert doc["mif_version"] == 2
+        assert doc["mif_version"] == "2.0"  # STRING, schema.rs:22
+        assert doc["generator"]["name"] == "shodh-tpu"
+        assert doc["export_meta"]["checksum"]
         assert len(doc["memories"]) == 1
-        assert len(doc["entities"]) >= 2
+        assert doc["memories"][0]["memory_type"] == "observation"
+        assert len(doc["knowledge_graph"]["entities"]) >= 2
         # round-trip through JSON (interchange contract)
         doc = json.loads(json.dumps(doc))
         dst = MemorySystem(tmp_path / "dst")
@@ -147,3 +150,90 @@ class TestMIF:
         assert len(dst.todos.list()) == 1
         src.close()
         dst.close()
+
+    def test_import_reference_shaped_document(self, tmp_path):
+        """A genuine reference export — string "2.0" version, nested
+        knowledge_graph, UUID ids, no vendor extensions — must import
+        (mif/schema.rs:21-39). Round 1 crashed on int("2.0")."""
+        from shodh_tpu.engine.memory_system import MemorySystem
+        from shodh_tpu.types import Query
+
+        doc = {
+            "mif_version": "2.0",
+            "generator": {"name": "shodh-memory", "version": "0.9.0"},
+            "export_meta": {
+                "id": "11111111-1111-5111-8111-111111111111",
+                "created_at": "2026-01-02T00:00:00Z",
+                "user_id": "u1",
+                "checksum": "deadbeef",
+            },
+            "memories": [{
+                "id": "22222222-2222-5222-8222-222222222222",
+                "content": "Bob deployed the staging cluster",
+                "memory_type": "decision",
+                "created_at": "2026-01-01T00:00:00Z",
+                "tags": ["ops"],
+                "entities": [{"name": "Bob", "entity_type": "person", "confidence": 1.0}],
+                "metadata": {"k": "v"},
+                "version": 1,
+            }],
+            "knowledge_graph": {
+                "entities": [
+                    {"id": "33333333-3333-5333-8333-333333333333", "name": "Bob",
+                     "types": ["person"], "attributes": {}, "summary": "",
+                     "created_at": "2026-01-01T00:00:00Z",
+                     "last_seen_at": "2026-01-01T00:00:00Z"},
+                    {"id": "44444444-4444-5444-8444-444444444444", "name": "staging cluster",
+                     "types": ["technology"], "attributes": {}, "summary": "",
+                     "created_at": "2026-01-01T00:00:00Z",
+                     "last_seen_at": "2026-01-01T00:00:00Z"},
+                ],
+                "relationships": [{
+                    "id": "55555555-5555-5555-8555-555555555555",
+                    "source_entity_id": "33333333-3333-5333-8333-333333333333",
+                    "target_entity_id": "44444444-4444-5444-8444-444444444444",
+                    "relation_type": "works_with", "context": "", "confidence": 0.8,
+                    "created_at": "2026-01-01T00:00:00Z",
+                    "valid_at": "2026-01-01T00:00:00Z",
+                }],
+                "episodes": [],
+            },
+            "todos": [{
+                "id": "66666666-6666-5666-8666-666666666666",
+                "content": "rotate certs", "status": "backlog", "priority": "none",
+                "created_at": "2026-01-01T00:00:00Z",
+                "updated_at": "2026-01-01T00:00:00Z",
+            }],
+            "projects": [],
+            "reminders": [{
+                "id": "77777777-7777-5777-8777-777777777777",
+                "content": "check backup", "status": "pending", "priority": 3,
+                "tags": [], "created_at": "2026-01-01T00:00:00Z",
+                "trigger": {"type": "time", "at": "2026-02-01T00:00:00Z"},
+            }],
+            "vendor_extensions": {},
+        }
+        dst = MemorySystem(tmp_path / "ref_dst")
+        counts = import_mif(dst, doc)
+        # "Bob" was already created by the memory ingest itself, so only
+        # "staging cluster" is a NEW graph entity (dedup by canonical name)
+        assert counts["memories"] == 1 and counts["relationships"] == 1
+        assert counts["entities"] == 1 and counts["todos"] == 1
+        assert counts["reminders"] == 1
+        assert "bob" in dst.graph.entities and "staging cluster" in dst.graph.entities
+        res = dst.recall(Query(query_text="staging cluster deploy"))
+        assert len(res.ids) == 1
+        assert dst.graph.get_edge("Bob", "staging cluster") is not None
+        todos = dst.todos.list()
+        assert todos[0].status == "pending" and todos[0].priority == "low"
+        assert len(dst.prospective.pending()) == 1
+        dst.close()
+
+    def test_version_parse_lenient(self):
+        from shodh_tpu.storage.mif import parse_mif_version
+
+        assert parse_mif_version("2.0") == 2
+        assert parse_mif_version(2) == 2
+        assert parse_mif_version("1.3") == 1
+        with pytest.raises(ValueError):
+            parse_mif_version("banana")

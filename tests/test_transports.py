@@ -130,21 +130,110 @@ class TestLocalIpc:
         loop.run_until_complete(server.stop())
 
 
-class TestWebhooks:
-    def test_github_pr_merged(self, harness):
+class TestAuthFailClosed:
+    def test_no_keys_configured_503(self, harness, monkeypatch):
+        """auth.rs contract: with no keys configured, authenticated routes
+        reject with AUTH_NOT_CONFIGURED — never an implicit dev key."""
         loop, client, manager, app = harness
+        monkeypatch.delenv("SHODH_API_KEYS", raising=False)
+        monkeypatch.delenv("SHODH_DEV_API_KEY", raising=False)
+
+        async def go():
+            resp = await client.post("/api/remember", json={"content": "x"}, headers=HEADERS)
+            health = await client.get("/health")
+            return resp.status, (await resp.json())["error"]["code"], health.status
+
+        status, code, health = loop.run_until_complete(go())
+        assert status == 503 and code == "AUTH_NOT_CONFIGURED"
+        assert health == 200  # probes stay open
+
+    def test_dev_key_only_when_explicit(self, harness, monkeypatch):
+        loop, client, manager, app = harness
+        monkeypatch.delenv("SHODH_API_KEYS", raising=False)
+        monkeypatch.setenv("SHODH_DEV_API_KEY", "my-dev-key")
+
+        async def go():
+            ok = await client.get("/api/stats", headers={"X-API-Key": "my-dev-key", "X-User-ID": "t"})
+            bad = await client.get("/api/stats", headers={"X-API-Key": DEV_KEY, "X-User-ID": "t"})
+            return ok.status, bad.status
+
+        ok, bad = loop.run_until_complete(go())
+        assert ok == 200 and bad == 401
+
+
+class TestIpcLargeFrames:
+    def test_frame_between_64k_and_8m(self, harness, tmp_path, monkeypatch):
+        """Frames above asyncio's 64 KiB default readline limit must work
+        (local_ipc.rs supports full 8 MiB frames)."""
+        loop, client, manager, app = harness
+        from shodh_tpu.server.local_ipc import LocalIpcClient, LocalIpcServer
+
+        monkeypatch.delenv("SHODH_IPC_SECRET", raising=False)
+        sock = tmp_path / "big.sock"
+        server = LocalIpcServer(app, sock)
+        loop.run_until_complete(server.start())
+
+        big = "y" * (300 * 1024)  # 300 KiB frame — killed the conn in round 1
+
+        def client_work():
+            ipc = LocalIpcClient(sock)
+            return ipc.exchange([
+                {"method": "POST", "path": "/api/remember",
+                 "body": {"content": big[:9000]}, "user_id": "big",
+                 "padding": big},
+                {"method": "GET", "path": "/api/stats", "user_id": "big"},
+            ])
+
+        out = loop.run_until_complete(asyncio.to_thread(client_work))
+        assert out[0]["status"] == 200
+        assert out[1]["body"]["total_memories"] == 1
+        loop.run_until_complete(server.stop())
+
+    def test_oversized_frame_reports_and_survives(self, harness, tmp_path, monkeypatch):
+        loop, client, manager, app = harness
+        from shodh_tpu.server.local_ipc import LocalIpcClient, LocalIpcServer, MAX_FRAME
+
+        monkeypatch.delenv("SHODH_IPC_SECRET", raising=False)
+        sock = tmp_path / "huge.sock"
+        server = LocalIpcServer(app, sock)
+        loop.run_until_complete(server.start())
+
+        def client_work():
+            ipc = LocalIpcClient(sock)
+            return ipc.exchange([
+                {"method": "GET", "path": "/health", "padding": "z" * (MAX_FRAME + 100)},
+                {"method": "GET", "path": "/health"},  # conn must still work
+            ])
+
+        out = loop.run_until_complete(asyncio.to_thread(client_work))
+        assert out[0] == {"error": "frame too large"}
+        assert out[1]["status"] == 200
+        loop.run_until_complete(server.stop())
+
+
+class TestWebhooks:
+    """Webhook receivers are PUBLIC (deliveries can't attach API keys) with
+    MANDATORY HMAC: unset secret -> 503, bad signature -> 401."""
+
+    def test_github_pr_merged(self, harness, monkeypatch):
+        loop, client, manager, app = harness
+        monkeypatch.setenv("SHODH_GITHUB_WEBHOOK_SECRET", "topsecret")
         payload = {
             "action": "closed",
             "pull_request": {"merged": True, "title": "Add retries", "body": "adds retry logic",
                              "html_url": "https://github.com/x/y/pull/1", "user": {"login": "alice"}},
             "repository": {"full_name": "acme/backend"},
         }
+        raw = json.dumps(payload).encode()
+        sig = "sha256=" + hmac.new(b"topsecret", raw, hashlib.sha256).hexdigest()
 
         async def go():
+            # NO API key header: the route is public, HMAC is the auth
             resp = await client.post(
-                "/api/sync/github?user_id=tester",
-                data=json.dumps(payload),
-                headers={**HEADERS, "X-GitHub-Event": "pull_request",
+                "/webhook/github?user_id=tester",
+                data=raw,
+                headers={"X-GitHub-Event": "pull_request",
+                         "X-Hub-Signature-256": sig,
                          "Content-Type": "application/json"},
             )
             return resp.status, await resp.json()
@@ -154,6 +243,19 @@ class TestWebhooks:
         mem = manager.get_user_memory("tester").get(body["memory_id"])
         assert mem.experience.experience_type.value == "decision"
 
+    def test_github_secret_mandatory(self, harness, monkeypatch):
+        loop, client, manager, app = harness
+        monkeypatch.delenv("SHODH_GITHUB_WEBHOOK_SECRET", raising=False)
+
+        async def go():
+            resp = await client.post(
+                "/webhook/github", data=b"{}",
+                headers={"X-GitHub-Event": "push", "Content-Type": "application/json"},
+            )
+            return resp.status
+
+        assert loop.run_until_complete(go()) == 503
+
     def test_github_signature_enforced(self, harness, monkeypatch):
         loop, client, manager, app = harness
         monkeypatch.setenv("SHODH_GITHUB_WEBHOOK_SECRET", "topsecret")
@@ -161,9 +263,9 @@ class TestWebhooks:
 
         async def go(sig):
             resp = await client.post(
-                "/api/sync/github",
+                "/webhook/github",
                 data=body,
-                headers={**HEADERS, "X-GitHub-Event": "issues",
+                headers={"X-GitHub-Event": "issues",
                          "X-Hub-Signature-256": sig, "Content-Type": "application/json"},
             )
             return resp.status
@@ -174,16 +276,19 @@ class TestWebhooks:
         ok = loop.run_until_complete(go(good_sig))
         assert ok == 200
 
-    def test_linear_issue(self, harness):
+    def test_linear_issue(self, harness, monkeypatch):
         loop, client, manager, app = harness
+        monkeypatch.setenv("SHODH_LINEAR_WEBHOOK_SECRET", "linsecret")
         payload = {"type": "Issue", "action": "create",
                    "data": {"title": "Fix login", "state": {"name": "Todo"}, "url": "https://linear.app/x"}}
+        raw = json.dumps(payload).encode()
+        sig = hmac.new(b"linsecret", raw, hashlib.sha256).hexdigest()
 
         async def go():
             resp = await client.post(
-                "/api/sync/linear?user_id=tester",
-                data=json.dumps(payload),
-                headers={**HEADERS, "Content-Type": "application/json"},
+                "/webhook/linear?user_id=tester",
+                data=raw,
+                headers={"Linear-Signature": sig, "Content-Type": "application/json"},
             )
             return await resp.json()
 
@@ -204,5 +309,5 @@ class TestMifRoutes:
             return doc, await resp2.json()
 
         doc, counts = loop.run_until_complete(go())
-        assert doc["mif_version"] == 2
+        assert doc["mif_version"] == "2.0"
         assert counts["memories"] == 1
