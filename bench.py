@@ -50,7 +50,12 @@ def run_scales() -> None:
     import jax
     import jax.numpy as jnp
 
-    from shodh_tpu.ops.fused_topk import TILE_N, two_level_topk
+    from shodh_tpu.ops.fused_topk import (
+        TILE_N,
+        _certified_parts,
+        corpus_score_bound,
+        two_level_topk,
+    )
 
     d, b, k = 384, 256, 10
     log(f"backend={jax.default_backend()}")
@@ -75,30 +80,52 @@ def run_scales() -> None:
         t0 = time.perf_counter()
         corpus, scales = build_corpus(n)
         valid = jnp.ones((n,), jnp.float32)
+        bound = corpus_score_bound(corpus, scales, valid)
         log(f"{label}: corpus built in {time.perf_counter() - t0:.1f}s")
 
         import functools
 
         @functools.partial(jax.jit, static_argnames=("iters",))
-        def scan_batches(corpus, scales, valid, seed, iters):
+        def scan_batches(corpus, scales, valid, bound, seed, iters):
             def body(carry, i):
                 q = jax.random.normal(jax.random.fold_in(seed, i), (b, d), jnp.float32)
                 q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
-                vals, rows = two_level_topk(q, corpus, valid, k, scales)
+                vals, rows = two_level_topk(q, corpus, valid, k, scales, bound=bound)
                 return carry + jnp.sum(vals[:, 0]), None
 
             total, _ = jax.lax.scan(body, 0.0, jnp.arange(iters))
             return total
 
+        @functools.partial(jax.jit, static_argnames=("iters",))
+        def verify_batches(corpus, scales, valid, bound, seed, iters):
+            """Certificate diagnostics + equality vs the exact path."""
+            def body(carry, i):
+                q = jax.random.normal(jax.random.fold_in(seed, i), (b, d), jnp.float32)
+                q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+                fv, fr, safe = _certified_parts(q, corpus, valid, k, scales, bound)
+                ev, er = two_level_topk(q, corpus, valid, k, scales)  # exact path
+                # rows must be identical; values differ only by gathered-
+                # contraction ulp noise (same contract as the pallas pass 2)
+                same = jnp.all(fr == er) & jnp.all(jnp.abs(fv - ev) <= 1e-5)
+                n_safe, n_same = carry
+                return (n_safe + safe.astype(jnp.int32), n_same + same.astype(jnp.int32)), None
+
+            (n_safe, n_same), _ = jax.lax.scan(
+                body, (jnp.int32(0), jnp.int32(0)), jnp.arange(iters)
+            )
+            return n_safe, n_same
+
         seed = jax.random.PRNGKey(42)
+        ns, nm = verify_batches(corpus, scales, valid, bound, seed, 4)
+        log(f"{label}: certificate safe {int(ns)}/4 batches, fast==exact {int(nm)}/4")
         # Warm up the EXACT variant being timed (static iters => its own
         # compilation; timing a cold variant measures the compiler)
         t0 = time.perf_counter()
-        sink = float(scan_batches(corpus, scales, valid, seed, iters))
+        sink = float(scan_batches(corpus, scales, valid, bound, seed, iters))
         compile_s = time.perf_counter() - t0
         log(f"{label}: compile+{iters} batches {compile_s:.1f}s (sink {sink:.2f})")
         t0 = time.perf_counter()
-        sink = float(scan_batches(corpus, scales, valid, seed, iters))
+        sink = float(scan_batches(corpus, scales, valid, bound, seed, iters))
         total_s = time.perf_counter() - t0
         per_batch = total_s / iters
         qps = b / per_batch

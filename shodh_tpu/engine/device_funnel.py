@@ -119,7 +119,7 @@ class DeviceRecallEngine:
         arrays = index._device_arrays()
         if arrays is None:
             return []
-        vecs, scales, valid = arrays
+        vecs, scales, valid = arrays[:3]
         kk = min(k * 2, cap)
         vals, rows = fused_recall(
             jnp.asarray(qvec), vecs, scales, valid,

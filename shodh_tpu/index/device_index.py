@@ -77,7 +77,7 @@ class DeviceVectorIndex:
         self._pending: list[np.ndarray] = []
         self._pending_rows = 0
         # Device arrays (lazily materialized)
-        self._device = None  # tuple(vecs, scales, valid) | None
+        self._device = None  # tuple(vecs, scales, valid, score_bound) | None
         self._n_deleted = 0
 
     # -- properties ---------------------------------------------------------
@@ -151,7 +151,7 @@ class DeviceVectorIndex:
         import jax
         import jax.numpy as jnp
 
-        vecs, scales, valid = self._device
+        vecs, scales, valid, bound = self._device
         vecs = jax.lax.dynamic_update_slice(
             vecs, jnp.asarray(self._vecs_np[start:end]), (start, 0)
         )
@@ -161,7 +161,16 @@ class DeviceVectorIndex:
         valid = jax.lax.dynamic_update_slice(
             valid, jnp.ones((n_new,), jnp.float32), (start,)
         )
-        self._device = (vecs, scales, valid)
+        # Certificate bound only grows on append (soft deletes only shrink
+        # the true max, and a larger bound stays sound) — fold in the new
+        # rows' scale*norm on host, no device pass needed.
+        new_term = float(
+            np.max(
+                np.linalg.norm(self._vecs_np[start:end].astype(np.float32), axis=1)
+                * self._scales_np[start:end]
+            )
+        )
+        self._device = (vecs, scales, valid, jnp.maximum(bound, new_term))
 
     def _grow(self, min_rows: int) -> None:
         quantum = INDEX_CAPACITY_QUANTUM
@@ -208,11 +217,14 @@ class DeviceVectorIndex:
 
         self.flush()
         if self._device is None and self._capacity > 0:
-            self._device = (
-                jnp.asarray(self._vecs_np),
-                jnp.asarray(self._scales_np),
-                jnp.asarray(self._valid_np),
-            )
+            from shodh_tpu.ops.fused_topk import corpus_score_bound
+
+            vecs = jnp.asarray(self._vecs_np)
+            scales = jnp.asarray(self._scales_np)
+            valid = jnp.asarray(self._valid_np)
+            # Certificate term for the quantized fast pass-1 (one corpus
+            # pass per index version, amortized across all queries).
+            self._device = (vecs, scales, valid, corpus_score_bound(vecs, scales, valid))
         return self._device
 
     def search(self, queries: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -236,7 +248,7 @@ class DeviceVectorIndex:
         if self._capacity <= _HOST_MAX and b <= 32:
             return self._search_host(queries, k)
         arrays = self._device_arrays()
-        vecs, scales, valid = arrays
+        vecs, scales, valid, bound = arrays
         bp = _pad_batch(b)
         kp = min(_pad_k(k), self._capacity)
         qpad = np.zeros((bp, self.dim), np.float32)
@@ -244,7 +256,7 @@ class DeviceVectorIndex:
         q = jnp.asarray(qpad)
         use_fused = self._capacity > _BRUTE_MAX and self._capacity % TILE_N == 0
         if use_fused:
-            vals, rows = two_level_topk(q, vecs, valid, kp, scales)
+            vals, rows = two_level_topk(q, vecs, valid, kp, scales, bound=bound)
         else:
             vals, rows = brute_topk(q, vecs, valid, kp, scales)
         vals = np.asarray(vals)[:b, :k]

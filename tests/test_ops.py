@@ -81,6 +81,106 @@ def test_two_level_topk_exact_parity(impl, monkeypatch):
     two_level_topk._clear_cache()
 
 
+class TestCertifiedFastTopk:
+    """Quantized pass-1 selection with the exactness certificate: output
+    must be bit-identical to brute force in every case — the certificate
+    routes thin-margin batches to the exact path."""
+
+    def _setup(self, n=16 * TILE_N, d=128, b=4, seed=7):
+        # n=16*TILE_N -> 128 groups > the 40-group slack, so the
+        # certificate actually excludes groups (smaller n degenerates to
+        # m == G, full rescore)
+        from shodh_tpu.ops.fused_topk import corpus_score_bound
+
+        corpus = jnp.asarray(_random_unit(n, d, seed=seed))
+        queries = jnp.asarray(_random_unit(b, d, seed=seed + 1))
+        valid = jnp.ones(n, jnp.float32)
+        scales = jnp.ones(n, jnp.float32)
+        bound = corpus_score_bound(corpus, scales, valid)
+        return queries, corpus, valid, scales, bound
+
+    def test_bit_identical_to_brute(self, monkeypatch):
+        monkeypatch.setenv("SHODH_TOPK_IMPL", "xla")
+        two_level_topk._clear_cache()
+        queries, corpus, valid, scales, bound = self._setup()
+        k = 10
+        bv, br = brute_topk(queries, corpus, valid, k, scales=scales)
+        fv, fr = two_level_topk(queries, corpus, valid, k, scales, bound=bound)
+        np.testing.assert_array_equal(np.asarray(br), np.asarray(fr))
+        np.testing.assert_allclose(np.asarray(bv), np.asarray(fv), rtol=1e-6)
+        two_level_topk._clear_cache()
+
+    def test_certificate_safe_on_separated_data(self, monkeypatch):
+        """On well-separated data the fast branch itself (not the fallback)
+        must produce the exact answer AND certify it."""
+        from shodh_tpu.ops.fused_topk import _certified_parts
+
+        queries, corpus, valid, scales, bound = self._setup()
+        k = 10
+        vals, ids, safe = _certified_parts(queries, corpus, valid, k, scales, bound)
+        assert bool(safe)
+        bv, br = brute_topk(queries, corpus, valid, k, scales=scales)
+        np.testing.assert_array_equal(np.asarray(br), np.asarray(ids))
+        # values: rescore is a different (gathered) contraction — last-ulp
+        # noise allowed, rows must be identical
+        np.testing.assert_allclose(np.asarray(bv), np.asarray(vals), rtol=1e-6)
+
+    def test_adversarial_ties_fall_back_exactly(self, monkeypatch):
+        """Plant a wall of EXACT ties at the k-th boundary spanning many
+        groups: the strict certificate must fail and the fallback must
+        reproduce brute force's lowest-index tie-breaks."""
+        monkeypatch.setenv("SHODH_TOPK_IMPL", "xla")
+        two_level_topk._clear_cache()
+        n, d, k = 16 * TILE_N, 128, 10
+        rng = np.random.default_rng(3)
+        base = _random_unit(n, d, seed=3) * 0.1
+        target = _random_unit(1, d, seed=4)[0]
+        # 64 identical rows == the query direction, scattered across groups,
+        # far more than k: ties at ranks 1..64 decided purely by row index
+        tie_rows = rng.choice(n, size=64, replace=False)
+        base[tie_rows] = target
+        corpus = jnp.asarray(base)
+        queries = jnp.asarray(np.stack([target, -target]).astype(np.float32))
+        valid = jnp.ones(n, jnp.float32)
+        scales = jnp.ones(n, jnp.float32)
+        from shodh_tpu.ops.fused_topk import corpus_score_bound
+
+        bound = corpus_score_bound(corpus, scales, valid)
+        bv, br = brute_topk(queries, corpus, valid, k, scales=scales)
+        fv, fr = two_level_topk(queries, corpus, valid, k, scales, bound=bound)
+        np.testing.assert_array_equal(np.asarray(br), np.asarray(fr))
+        np.testing.assert_array_equal(np.asarray(bv), np.asarray(fv))
+        # the certificate must have rejected the tied query
+        from shodh_tpu.ops.fused_topk import _certified_parts
+
+        _, _, safe = _certified_parts(queries, corpus, valid, k, scales, bound)
+        assert not bool(safe)
+        two_level_topk._clear_cache()
+
+    def test_huge_bound_forces_fallback_still_exact(self, monkeypatch):
+        monkeypatch.setenv("SHODH_TOPK_IMPL", "xla")
+        two_level_topk._clear_cache()
+        queries, corpus, valid, scales, _ = self._setup(seed=11)
+        k = 16
+        bv, br = brute_topk(queries, corpus, valid, k, scales=scales)
+        fv, fr = two_level_topk(
+            queries, corpus, valid, k, scales, bound=jnp.float32(1e9)
+        )
+        np.testing.assert_array_equal(np.asarray(br), np.asarray(fr))
+        np.testing.assert_array_equal(np.asarray(bv), np.asarray(fv))
+        two_level_topk._clear_cache()
+
+    def test_kill_switch(self, monkeypatch):
+        monkeypatch.setenv("SHODH_TOPK_IMPL", "xla")
+        monkeypatch.setenv("SHODH_TOPK_FAST", "0")
+        two_level_topk._clear_cache()
+        queries, corpus, valid, scales, bound = self._setup(seed=13)
+        bv, br = brute_topk(queries, corpus, valid, 8, scales=scales)
+        fv, fr = two_level_topk(queries, corpus, valid, 8, scales, bound=bound)
+        np.testing.assert_array_equal(np.asarray(br), np.asarray(fr))
+        two_level_topk._clear_cache()
+
+
 def test_two_level_topk_int8():
     n = 2 * TILE_N
     corpus = _random_unit(n, 128)
