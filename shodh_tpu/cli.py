@@ -57,6 +57,13 @@ def main(argv: list[str] | None = None) -> int:
     i = sub.add_parser("init", help="scaffold a data dir + API key")
     i.add_argument("--data-dir", default="~/.shodh-tpu")
 
+    sm = sub.add_parser(
+        "setup-models",
+        help="download + verify the MiniLM checkpoint and run the geometry parity check",
+    )
+    sm.add_argument("--target-dir", default=None, help="checkpoint dir (default ~/.cache/shodh-tpu/minilm)")
+    sm.add_argument("--skip-parity", action="store_true")
+
     h = sub.add_parser("setup-hooks", help="install Claude Code hooks into a project")
     h.add_argument("--project", default=".", help="project dir (writes .claude/settings.json)")
 
@@ -158,6 +165,37 @@ def main(argv: list[str] | None = None) -> int:
             print(f"initialized {data_dir}")
         print(f"api key: {key}")
         print(f"serve with: SHODH_API_KEYS={key} python -m shodh_tpu.cli serve --data-dir {data_dir}")
+        return 0
+
+    if args.cmd == "setup-models":
+        from shodh_tpu.models.downloader import OfflineError, ensure_minilm
+        from shodh_tpu.models.parity import checkpoint_available, minilm_geometry_parity
+
+        try:
+            ckpt = ensure_minilm(target_dir=args.target_dir)
+        except OfflineError as exc:
+            print(f"offline: {exc}", file=sys.stderr)
+            return 1
+        except OSError as exc:
+            print(
+                f"download failed ({exc}); if this host has no egress, copy "
+                "config.json/vocab.txt/model.safetensors from "
+                "sentence-transformers/all-MiniLM-L6-v2 into the target dir.",
+                file=sys.stderr,
+            )
+            return 1
+        print(f"checkpoint: {ckpt}")
+        if args.skip_parity:
+            return 0
+        if not checkpoint_available(ckpt):
+            print("checkpoint incomplete", file=sys.stderr)
+            return 1
+        report = minilm_geometry_parity(ckpt)
+        print(json.dumps(report, indent=1))
+        if not report["pass"]:
+            print("geometry parity FAILED (cosine < 0.999)", file=sys.stderr)
+            return 1
+        print("geometry parity OK — MiniLM is now the default embedder")
         return 0
 
     if args.cmd == "setup-hooks":

@@ -241,10 +241,16 @@ class MemorySystem:
 
         # 4. Entity extraction (NER: neural when plugged, rules otherwise)
         entity_labels: dict[str, str] = {}
+        entity_fine: dict[str, str] = {}
         if self.ner is not None:
             mentions = self.ner.extract(experience.content)
             entity_labels = {
                 m.text: m.label for m in mentions if m.confidence >= C.NER_GRAPH_CONFIDENCE_FLOOR
+            }
+            entity_fine = {
+                m.text: m.fine
+                for m in mentions
+                if m.fine and m.confidence >= C.NER_GRAPH_CONFIDENCE_FLOOR
             }
             if not experience.entities:
                 experience.entities = [m.text for m in mentions]
@@ -310,7 +316,9 @@ class MemorySystem:
 
         # 9. Graph ingest (entities, co-occurrence edges, episode nodes)
         if self.graph is not None and experience.entities:
-            self.graph.ingest_experience(mem, now=now, entity_labels=entity_labels)
+            self.graph.ingest_experience(
+                mem, now=now, entity_labels=entity_labels, entity_fine=entity_fine
+            )
 
         # 10. Temporal fact extraction
         if self.temporal_facts is not None:

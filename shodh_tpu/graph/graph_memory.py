@@ -177,6 +177,8 @@ class GraphMemory:
         ent.last_seen = now
         if label != "concept" and ent.label == "concept":
             ent.label = label
+        if fine_type and not ent.fine_type:
+            ent.fine_type = fine_type  # GLiNER fine typing upgrades in place
         # Salience: recency-weighted mention frequency, saturating
         ent.salience = min(1.0, ent.salience + 0.05 * (1.0 - ent.salience))
         self._dirty_entities.add(eid)
@@ -287,13 +289,18 @@ class GraphMemory:
         mem: Memory,
         now: Optional[datetime] = None,
         entity_labels: Optional[dict[str, str]] = None,
+        entity_fine: Optional[dict[str, str]] = None,
     ) -> None:
         now = now or scoring_now()
         exp = mem.experience
         labels = entity_labels or {}
+        fine = entity_fine or {}
         eids: list[str] = []
         for name in exp.entities[:16]:
-            eid = self.add_entity(name, label=labels.get(name, "concept"), now=now)
+            eid = self.add_entity(
+                name, label=labels.get(name, "concept"), now=now,
+                fine_type=fine.get(name, ""),
+            )
             if eid is not None:
                 eids.append(eid)
                 mems = self.entity_memories.setdefault(eid, [])

@@ -256,13 +256,12 @@ def _encoder_layer(x, mask_bias, lp, heads: int, eps: float, dtype):
 
 
 @partial(jax.jit, static_argnames=("heads", "eps", "compute_dtype"))
-def encode_tokens(params, ids, mask, heads: int = 6, eps: float = 1e-12,
-                  compute_dtype: str = "float32"):
-    """(B, L) token ids + mask -> (B, H) L2-normalized sentence embeddings.
+def encode_token_states(params, ids, mask, heads: int = 6, eps: float = 1e-12,
+                        compute_dtype: str = "float32"):
+    """(B, L) token ids + mask -> (B, L, H) contextual token states.
 
-    Mean pooling over unmasked positions then L2 norm, matching the
-    reference embedder (minilm.rs mean-pool + NaN scrub + normalize).
-    """
+    The shared transformer trunk; sentence embeddings pool over this, and
+    the GLiNER-shape span typer gathers word states from it."""
     dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
     L = ids.shape[1]
     x = (
@@ -274,6 +273,19 @@ def encode_tokens(params, ids, mask, heads: int = 6, eps: float = 1e-12,
     mask_bias = (1.0 - mask)[:, None, None, :] * -1e30
     for lp in params["layers"]:
         x = _encoder_layer(x, mask_bias, lp, heads, eps, dtype)
+    return x
+
+
+@partial(jax.jit, static_argnames=("heads", "eps", "compute_dtype"))
+def encode_tokens(params, ids, mask, heads: int = 6, eps: float = 1e-12,
+                  compute_dtype: str = "float32"):
+    """(B, L) token ids + mask -> (B, H) L2-normalized sentence embeddings.
+
+    Mean pooling over unmasked positions then L2 norm, matching the
+    reference embedder (minilm.rs mean-pool + NaN scrub + normalize).
+    """
+    x = encode_token_states(params, ids, mask, heads=heads, eps=eps,
+                            compute_dtype=compute_dtype)
     # Mean pool over real tokens
     denom = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1e-9)
     pooled = jnp.sum(x * mask[:, :, None], axis=1) / denom

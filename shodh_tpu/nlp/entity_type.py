@@ -95,6 +95,21 @@ def qid_of(label: str) -> str | None:
     return _QID.get(label.strip().lower().replace(" ", "_"))
 
 
+def fine_labels_in_schema_order() -> list[str]:
+    """The 141 fine labels in schema file order — the GLiNER label-tower
+    class axis (gliner.rs:26: `labels_embeds [141, 384]`; class index ->
+    fine label mapping must be stable)."""
+    import json
+    from pathlib import Path
+
+    path = Path(__file__).with_name("entity_type_schema.json")
+    try:
+        schema = json.loads(path.read_text())
+    except (OSError, ValueError):
+        return sorted(FINE_TO_COARSE)
+    return [f["label"].strip().lower().replace(" ", "_") for f in schema["fine"]]
+
+
 def register_fine_type(fine: str, coarse: str) -> None:
     assert coarse in COARSE, f"unknown coarse class {coarse}"
     FINE_TO_COARSE[fine.strip().lower().replace(" ", "_")] = coarse

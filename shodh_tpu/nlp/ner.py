@@ -43,6 +43,7 @@ class EntityMention:
     label: str  # person | organization | location | technology | concept | other
     confidence: float
     start: int = 0
+    fine: str = ""  # GLiNER fine label when the neural typer produced it
 
 
 class RuleBasedExtractor:
@@ -123,6 +124,34 @@ class RuleBasedExtractor:
         return "concept", 0.5
 
 
+def maybe_load_gliner(ner: "NeuralNer") -> bool:
+    """Plug the GLiNER-shape span typer when a checkpoint is configured.
+
+    ``SHODH_GLINER_DIR`` must contain model.npz + label_embeds.npy +
+    vocab.txt (models/gliner.py layout). Returns True when activated;
+    the rule fallback stays armed behind it (ner.rs degradation contract).
+    """
+    import os
+    from pathlib import Path
+
+    d = os.environ.get("SHODH_GLINER_DIR", "")
+    if not d or not (Path(d) / "model.npz").exists():
+        return False
+    from shodh_tpu.models.gliner import load_typer
+
+    typer = load_typer(d)
+
+    def fn(text: str) -> list[EntityMention]:
+        return [
+            EntityMention(text=s.text, label=s.coarse, confidence=s.score,
+                          start=s.start, fine=s.fine_label)
+            for s in typer.extract(text)
+        ]
+
+    ner.set_model(fn)
+    return True
+
+
 class NeuralNer:
     """Production facade: neural model when plugged, rule fallback always.
 
@@ -134,6 +163,10 @@ class NeuralNer:
         self._rules = RuleBasedExtractor()
         self._model: Optional[Callable[[str], list[EntityMention]]] = None
         self._model_failed = False
+        try:
+            maybe_load_gliner(self)
+        except Exception:
+            pass  # a broken checkpoint must never take down the engine
 
     def set_model(self, fn: Callable[[str], list[EntityMention]]) -> None:
         self._model = fn

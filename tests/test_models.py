@@ -49,6 +49,62 @@ class TestTokenizer:
         assert ids[-1] == tok.sep_id
 
 
+class TestMiniLMRealWeights:
+    """SURVEY §7 step 2 acceptance: cosine >= 0.999 vs the reference
+    geometry on a REAL all-MiniLM-L6-v2 checkpoint. Skips when no
+    checkpoint is on disk (this build environment has zero egress; run
+    `shodh-tpu setup-models` on a networked host to activate)."""
+
+    @pytest.mark.slow
+    def test_parity_machinery_on_synthetic_checkpoint(self, tmp_path):
+        """End-to-end setup-models parity path against a saved HF checkpoint
+        (random weights): exercises safetensors loading, config adaptation,
+        tokenizer agreement with BertTokenizerFast, and the oracle recipe."""
+        torch = pytest.importorskip("torch")
+        from transformers import BertConfig, BertModel
+
+        from shodh_tpu.models.minilm import CONFIG
+        from shodh_tpu.models.parity import minilm_geometry_parity
+
+        cfg = BertConfig(
+            vocab_size=None,
+            hidden_size=CONFIG["hidden"],
+            num_hidden_layers=2,
+            num_attention_heads=CONFIG["heads"],
+            intermediate_size=CONFIG["ffn"],
+            max_position_embeddings=128,
+        )
+        words = (
+            "[PAD] [UNK] [CLS] [SEP] [MASK] the we to for a of on with use "
+            "decided sqlite storage layer first deploy failed permissions "
+            "error socket alice prefers reviewing pull requests in morning "
+            "quarterly numbers revenue grew while churn stayed flat remind "
+            "me rotate api credentials before friday robot lidar flagged an "
+            "obstacle near waypoint seven how do transformers handle long "
+            "range dependencies migration vector index finished without "
+            "data loss ##s ##ed ##ing ##er 14 % . : ' ?"
+        ).split()
+        cfg.vocab_size = len(words)
+        (tmp_path / "vocab.txt").write_text("\n".join(words) + "\n")
+        torch.manual_seed(0)
+        BertModel(cfg).eval().save_pretrained(tmp_path)
+
+        report = minilm_geometry_parity(tmp_path)
+        assert report["pass"], report
+
+    def test_geometry_parity_real_checkpoint(self):
+        from shodh_tpu.models.parity import checkpoint_available, minilm_geometry_parity
+
+        if not checkpoint_available():
+            pytest.skip("no MiniLM checkpoint on disk (zero-egress host); see setup-models")
+        from shodh_tpu.models.embedder import DEFAULT_MINILM_DIR
+
+        report = minilm_geometry_parity(DEFAULT_MINILM_DIR)
+        assert report["pass"], report
+        # int8 weight-only quant: sub-percent geometry loss expected
+        assert report["int8"]["min_cosine"] > 0.99, report
+
+
 class TestMiniLMArchitecture:
     @pytest.mark.slow
     def test_parity_with_transformers_bert(self):
