@@ -165,6 +165,11 @@ class TokenTracker {
   total = 0;
   perTool: Record<string, number> = {};
 
+  reset(): void {
+    this.total = 0;
+    this.perTool = {};
+  }
+
   record(tool: string, text: string): string {
     const budget = Number(process.env.SHODH_MCP_RESULT_TOKEN_BUDGET ?? 2000);
     let out = text;
@@ -259,7 +264,7 @@ const N = { type: "number" } as const;
 const B = { type: "boolean" } as const;
 const ARR_S = { type: "array", items: { type: "string" } } as const;
 
-function buildTools(http: HttpClient, userId: string): Map<string, [ToolSpec, Handler]> {
+function buildTools(http: HttpClient, userId: string, tracker: TokenTracker): Map<string, [ToolSpec, Handler]> {
   const tools = new Map<string, [ToolSpec, Handler]>();
   const reg = (
     name: string,
@@ -469,6 +474,93 @@ function buildTools(http: HttpClient, userId: string): Map<string, [ToolSpec, Ha
     return String(r).slice(0, 8000);
   });
 
+
+  // -- round-2 tail: remaining tools in the 51-tool catalog ----------------------
+  reg("query", "Natural-language memory query (full parsed funnel).", { query: S, limit: N }, ["query"], async (a) => {
+    const r = await http.call("POST", "/api/recall", { query: a.query, max_results: a.limit ?? 10 });
+    return formatMemories(r.memories);
+  });
+  reg("topic", "Everything stored about a topic: memories + facts.", { topic: S }, ["topic"], async (a) => {
+    const mems = await http.call("POST", "/api/recall", { query: a.topic, max_results: 5 });
+    const facts = await http.call("GET", `/api/facts/by-entity?entity=${encodeURIComponent(a.topic)}`);
+    const parts = [];
+    if (facts.facts?.length) parts.push("Facts:\n" + facts.facts.map((f) => `- ${f.statement}`).join("\n"));
+    if (mems.memories?.length) parts.push("Memories:\n" + mems.memories.map((m) => `- ${String(m.experience?.content ?? "").slice(0, 150)}`).join("\n"));
+    return parts.join("\n\n") || "Nothing known about this topic.";
+  });
+  reg("count", "Count memories (optionally matching a query or tags).", { query: S, tags: ARR_S }, [], async (a) => {
+    const stats = await http.call("GET", "/api/stats");
+    if (a.query || a.tags) {
+      const r = await http.call("POST", "/api/recall", { query: a.query, tags: a.tags, max_results: 100 });
+      return JSON.stringify({ matching: r.memories?.length ?? 0, total: stats.total_memories });
+    }
+    return JSON.stringify({ total: stats.total_memories });
+  });
+  reg("context_summary", "Compact summary of recent memory context.", {}, [], async () =>
+    JSON.stringify(await http.call("GET", "/api/context_summary")),
+  );
+  reg("session_summary", "Digest of this MCP session: tool usage and token accounting.", {}, [], async () =>
+    JSON.stringify({ tools_used: tracker.perTool, tokens_emitted: tracker.total }),
+  );
+  reg("session_digest", "Digest of the engine's latest session.", {}, [], async () => {
+    const r = await http.call("POST", "/api/sessions/digest", {});
+    return r.digest ?? "No session activity.";
+  });
+  reg("purge_facts", "Delete ALL distilled facts.", {}, [], async () => {
+    const r = await http.call("POST", "/api/facts/purge", {});
+    return `Purged ${r.purged} facts.`;
+  });
+  reg("reorder_todo", "Set a todo's sort order.", { todo_id: S, order: N }, ["todo_id", "order"], async (a) => {
+    await http.call("POST", "/api/todos/reorder", { todo_id: a.todo_id, order: a.order });
+    return "Reordered.";
+  });
+  reg("list_subtasks", "Subtasks of a todo.", { todo_id: S }, ["todo_id"], async (a) => {
+    const r = await http.call("GET", `/api/todos/${a.todo_id}/subtasks`);
+    return formatList(r.subtasks, (t) => `[${String(t.id).slice(0, 8)}] (${t.status}) ${t.title}`, "No subtasks.");
+  });
+  reg("list_todo_comments", "Comments on a todo.", { todo_id: S }, ["todo_id"], async (a) => {
+    const r = await http.call("GET", `/api/todos/${a.todo_id}`);
+    return formatList(r.comments, (c) => `[${String(c.id).slice(0, 8)}] ${c.text}`, "No comments.");
+  });
+  reg("update_todo_comment", "Edit a todo comment.", { todo_id: S, comment_id: S, text: S }, ["todo_id", "comment_id", "text"], async (a) => {
+    await http.call("POST", `/api/todos/${a.todo_id}/comments/${a.comment_id}/update`, { text: a.text });
+    return "Updated.";
+  });
+  reg("delete_todo_comment", "Delete a todo comment.", { todo_id: S, comment_id: S }, ["todo_id", "comment_id"], async (a) => {
+    await http.call("DELETE", `/api/todos/${a.todo_id}/comments/${a.comment_id}`);
+    return "Deleted.";
+  });
+  reg("archive_project", "Archive a project (hidden from active lists).", { project_id: S }, ["project_id"], async (a) => {
+    const r = await http.call("POST", `/api/projects/${a.project_id}/update`, { status: "archived" });
+    return `Project ${r.name} -> archived.`;
+  });
+  reg("delete_project", "Delete a project.", { project_id: S }, ["project_id"], async (a) => {
+    const r = await http.call("POST", `/api/projects/${a.project_id}/delete`, {});
+    return r.deleted ? "Deleted." : "Not found.";
+  });
+  reg("repair_index", "Verify the index and rebuild it when inconsistent.", {}, [], async () =>
+    JSON.stringify(await http.call("POST", "/api/index/repair", {})),
+  );
+  reg("token_status", "Token accounting for tool output this session.", {}, [], async () =>
+    JSON.stringify({ tokens: tracker.total, per_tool: tracker.perTool }),
+  );
+  reg("reset_token_session", "Reset the session token counter.", {}, [], async () => {
+    tracker.reset();
+    return "Token session reset.";
+  });
+  reg("backup_verify", "Verify a backup's checksums.", { backup_dir: S }, ["backup_dir"], async (a) => {
+    const r = await http.call("POST", "/api/backup/verify", { path: a.backup_dir });
+    return JSON.stringify({ ok: r.valid });
+  });
+  reg("backup_restore", "Restore the engine state from a backup.", { backup_dir: S }, ["backup_dir"], async (a) => {
+    const r = await http.call("POST", "/api/backup/restore", { backup_dir: a.backup_dir });
+    return r.restored ? `Restored into ${r.data_dir}.` : JSON.stringify(r);
+  });
+  reg("backup_purge", "Prune old backups, keeping the newest N.", { keep: N }, [], async (a) => {
+    const r = await http.call("POST", "/api/backup/purge", { keep: a.keep ?? 5 });
+    return `Purged ${r.purged} backups.`;
+  });
+
   return tools;
 }
 
@@ -482,9 +574,9 @@ async function main(): Promise<void> {
   const backend = new BackendLifecycle(apiKey);
   const userId = process.env.SHODH_USER_ID ?? "default";
   const http = new HttpClient(backend, apiKey, userId);
-  const tools = buildTools(http, userId);
   const drain = new DrainController();
   const tracker = new TokenTracker();
+  const tools = buildTools(http, userId, tracker);
 
   const write = (msg: unknown) => process.stdout.write(JSON.stringify(msg) + "\n");
 

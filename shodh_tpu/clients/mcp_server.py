@@ -50,6 +50,14 @@ class McpMemoryServer:
         self.system = MemorySystem(Path(data_dir).expanduser() / user_id)
         self.user_id = user_id
         self._tools: dict[str, tuple[dict, Callable[[dict], Any]]] = {}
+        # Session accounting (reference TokenTracker, mcp index.ts:300-321):
+        # ~4 chars/token estimate over emitted tool output.
+        import os
+
+        self._token_budget = max(1, int(os.environ.get("SHODH_TOKEN_BUDGET", "100000")))
+        self._tokens_emitted = 0
+        self._tool_counts: dict[str, int] = {}
+        self._session_created = 0
         self._register_tools()
 
     # ------------------------------------------------------------------
@@ -281,8 +289,197 @@ class McpMemoryServer:
             _tool("verify_index", "Verify index/storage consistency.", {}),
             lambda a: json.dumps(self._verify_index()),
         )
+        # -- round-2 tail: remaining tools in the 51-tool catalog
+        #    (/root/reference/README.md:190-234) --------------------------------
+        reg(
+            _tool("query", "Natural-language memory query (full parsed funnel).",
+                  {"query": S, "limit": N}, ["query"]),
+            lambda a: fmt_memories(
+                sys_.recall(Query(query_text=a["query"],
+                                  max_results=int(a.get("limit", 10)))).memories
+            ),
+        )
+        reg(
+            _tool("topic", "Everything stored about a topic: memories + facts + graph.",
+                  {"topic": S}, ["topic"]),
+            lambda a: self._what_i_know(a["topic"]),
+        )
+        reg(
+            _tool("count", "Count memories (optionally matching a query or tags).",
+                  {"query": S, "tags": ARR_S}),
+            lambda a: json.dumps(self._count(a)),
+        )
+        reg(
+            _tool("context_summary", "Compact summary of recent memory context.", {}),
+            lambda a: self._context_summary(),
+        )
+        reg(
+            _tool("session_summary", "Digest of this MCP session: tool usage, memories touched, tokens.", {}),
+            lambda a: json.dumps({
+                "tools_used": dict(sorted(self._tool_counts.items())),
+                "memories_created": self._session_created,
+                "tokens_emitted": self._tokens_emitted,
+                "token_budget": self._token_budget,
+            }),
+        )
+        reg(
+            _tool("session_digest", "Digest of the engine's latest session.", {}),
+            lambda a: (
+                (sys_.sessions.make_digest(sys_.sessions.history(limit=1)[0], sys_.storage)
+                 if sys_.sessions is not None and sys_.sessions.history(limit=1) else None)
+                or "No session activity."
+            ),
+        )
+        reg(
+            _tool("purge_facts", "Delete ALL distilled facts.", {}),
+            lambda a: f"Purged {sys_.facts.purge() if sys_.facts else 0} facts.",
+        )
+        reg(
+            _tool("reorder_todo", "Set a todo's sort order.",
+                  {"todo_id": S, "order": N}, ["todo_id", "order"]),
+            lambda a: (sys_.todos.reorder(a["todo_id"], float(a["order"])), "Reordered.")[1],
+        )
+        reg(
+            _tool("list_subtasks", "Subtasks of a todo.", {"todo_id": S}, ["todo_id"]),
+            lambda a: "\n".join(
+                f"[{t.id[:8]}] ({t.status}) {t.title}"
+                for t in sys_.todos.subtasks(a["todo_id"])
+            ) or "No subtasks.",
+        )
+        reg(
+            _tool("list_todo_comments", "Comments on a todo.", {"todo_id": S}, ["todo_id"]),
+            lambda a: "\n".join(
+                f"[{c.id[:8]}] {c.text}" for c in sys_.todos.list_comments(a["todo_id"])
+            ) or "No comments.",
+        )
+        reg(
+            _tool("update_todo_comment", "Edit a todo comment.",
+                  {"todo_id": S, "comment_id": S, "text": S},
+                  ["todo_id", "comment_id", "text"]),
+            lambda a: "Updated." if sys_.todos.update_comment(
+                a["todo_id"], a["comment_id"], a["text"]) else "Not found.",
+        )
+        reg(
+            _tool("delete_todo_comment", "Delete a todo comment.",
+                  {"todo_id": S, "comment_id": S}, ["todo_id", "comment_id"]),
+            lambda a: "Deleted." if sys_.todos.delete_comment(
+                a["todo_id"], a["comment_id"]) else "Not found.",
+        )
+        reg(
+            _tool("archive_project", "Archive a project (hidden from active lists).",
+                  {"project_id": S}, ["project_id"]),
+            lambda a: self._set_project_status(a["project_id"], "archived"),
+        )
+        reg(
+            _tool("delete_project", "Delete a project.", {"project_id": S}, ["project_id"]),
+            lambda a: "Deleted." if sys_.todos.delete_project(a["project_id"]) else "Not found.",
+        )
+        reg(
+            _tool("repair_index", "Verify the index and rebuild it when inconsistent.", {}),
+            lambda a: json.dumps(self._repair_index()),
+        )
+        reg(
+            _tool("token_status", "Token budget status for memory injections this session.", {}),
+            lambda a: json.dumps({
+                "tokens": self._tokens_emitted,
+                "budget": self._token_budget,
+                "remaining": max(0, self._token_budget - self._tokens_emitted),
+                "percent": round(100.0 * self._tokens_emitted / self._token_budget, 1),
+                "alert": "approaching budget"
+                if self._tokens_emitted >= 0.8 * self._token_budget else None,
+            }),
+        )
+        reg(
+            _tool("reset_token_session", "Reset the session token counter.", {}),
+            lambda a: (self._reset_tokens(), "Token session reset.")[1],
+        )
+        reg(
+            _tool("backup_verify", "Verify a backup's checksums.", {"backup_dir": S}, ["backup_dir"]),
+            lambda a: json.dumps({"ok": self._backup_verify(a["backup_dir"])}),
+        )
+        reg(
+            _tool("backup_restore", "Restore the engine state from a backup.",
+                  {"backup_dir": S}, ["backup_dir"]),
+            lambda a: self._backup_restore(a["backup_dir"]),
+        )
+        reg(
+            _tool("backup_purge", "Prune old backups, keeping the newest N.", {"keep": N}),
+            lambda a: f"Purged {self._backup_purge(int(a.get('keep', 5)))} backups.",
+        )
 
     # -- composite tool bodies ----------------------------------------------------
+
+    def _count(self, a: dict) -> dict:
+        if a.get("query") or a.get("tags"):
+            res = self.system.recall(
+                Query(query_text=a.get("query"), tags=a.get("tags"), max_results=100)
+            )
+            return {"matching": len(res.memories), "total": self.system.storage.count()}
+        return {"total": self.system.storage.count()}
+
+    def _context_summary(self) -> str:
+        sys_ = self.system
+        recent = sorted(
+            sys_.get_all(limit=30), key=lambda m: m.created_at, reverse=True
+        )[:8]
+        parts = ["Recent memories:"]
+        parts += [f"- {m.experience.content[:120]}" for m in recent] or ["(none)"]
+        if sys_.graph is not None and sys_.graph.entities:
+            top = sorted(sys_.graph.entities.values(), key=lambda e: (-e.salience, e.id))[:8]
+            parts.append("Active entities: " + ", ".join(e.name for e in top))
+        st = sys_.stats()
+        parts.append(f"Total memories: {st.total_memories}")
+        return "\n".join(parts)
+
+    def _set_project_status(self, project_id: str, status: str) -> str:
+        from shodh_tpu.engine.todos import NS_PROJECT
+        from shodh_tpu.storage.serialization import encode
+
+        p = self.system.todos.get_project(project_id)
+        if p is None:
+            return "Not found."
+        p.status = status
+        self.system.todos.kv.put(NS_PROJECT, p.id, encode(p.to_dict()))
+        return f"Project {p.name} -> {status}."
+
+    def _repair_index(self) -> dict:
+        report = self._verify_index()
+        healthy = report.get("inconsistent", 0) == 0
+        if healthy:
+            return {"was_healthy": True, "repaired": False}
+        n = self.system.rebuild_index()
+        return {"was_healthy": False, "repaired": True, "reindexed": n}
+
+    def _reset_tokens(self) -> None:
+        self._tokens_emitted = 0
+
+    def _backup_verify(self, backup_dir: str) -> bool:
+        from shodh_tpu.storage.backup import verify_backup
+
+        return verify_backup(backup_dir)
+
+    def _backup_restore(self, backup_dir: str) -> str:
+        from shodh_tpu.storage.backup import restore_backup
+
+        data_dir = self.system.data_dir
+        self.system.close()
+        restore_backup(backup_dir, data_dir)
+        from shodh_tpu.engine.memory_system import MemorySystem
+
+        self.system = MemorySystem(data_dir)
+        self._rebind_tools()
+        return f"Restored from {backup_dir}."
+
+    def _backup_purge(self, keep: int) -> int:
+        from shodh_tpu.storage.backup import purge_backups
+
+        # same root _backup_create writes to
+        return purge_backups(self.system.data_dir.parent / "backups", keep)
+
+    def _rebind_tools(self) -> None:
+        """After a restore swaps self.system, re-register closures."""
+        self._tools.clear()
+        self._register_tools()
 
     def _what_i_know(self, topic: str) -> str:
         parts = []
@@ -417,7 +614,15 @@ class McpMemoryServer:
                         "error": {"code": -32601, "message": f"unknown tool {name}"}}
             try:
                 out = entry[1](args)
-                result = {"content": [{"type": "text", "text": str(out)}]}
+                text = str(out)
+                # session accounting (token_status / session_summary tools);
+                # meta tools don't count against the budget (index.ts:1743)
+                if name not in ("token_status", "reset_token_session", "proactive_context"):
+                    self._tokens_emitted += max(1, len(text) // 4)
+                self._tool_counts[name] = self._tool_counts.get(name, 0) + 1
+                if name == "remember":
+                    self._session_created += 1
+                result = {"content": [{"type": "text", "text": text}]}
             except Exception as exc:  # noqa: BLE001 — tool errors go to the client
                 result = {
                     "content": [{"type": "text", "text": f"error: {exc}"}],

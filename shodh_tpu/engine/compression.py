@@ -94,6 +94,21 @@ class CompressionPipeline:
             compressed += 1
         return compressed
 
+    def compress_one(self, mem: Memory) -> bool:
+        """Force-compress a specific memory (handlers/compression.rs
+        compress_memory — explicit request bypasses the eligibility
+        heuristics but not the does-it-shrink check)."""
+        if COMPRESSED_MARKER in mem.experience.metadata:
+            return False
+        original = mem.experience.content
+        blob = compress_content(original)
+        if len(blob) >= len(original.encode()):
+            return False
+        mem.experience.metadata[COMPRESSED_MARKER] = blob.hex()
+        mem.experience.content = extractive_summary(original)
+        self.storage.update(mem)
+        return True
+
     def decompress(self, mem: Memory) -> str:
         blob_hex = mem.experience.metadata.get(COMPRESSED_MARKER)
         if not blob_hex:

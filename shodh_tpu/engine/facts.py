@@ -117,6 +117,71 @@ class SemanticFactStore:
                     break
         return out
 
+    def search(self, query: str, limit: int = 20) -> list[tuple[SemanticFact, float]]:
+        """Rank facts against a query: embedding cosine when both sides have
+        vectors, token-Jaccard fallback (handlers/facts.rs search_facts)."""
+        q_emb = None
+        if self.embedder is not None:
+            q_emb = np.asarray(self.embedder.encode_query(query), np.float32)
+        q_toks = set(tokenize(query))
+        scored = []
+        for fact in self.all_facts():
+            score = 0.0
+            if q_emb is not None and fact.embedding is not None:
+                score = float(np.dot(q_emb, np.asarray(fact.embedding, np.float32)))
+            jac = _jaccard(q_toks, set(tokenize(fact.statement)))
+            score = max(score, jac)
+            if score > 0.05:
+                scored.append((fact, score))
+        scored.sort(key=lambda t: (-t[1], t[0].created_at.isoformat(), t[0].id))
+        return scored[:limit]
+
+    def stats(self) -> dict:
+        facts = self.all_facts()
+        by_type: dict[str, int] = {}
+        for f in facts:
+            by_type[f.fact_type] = by_type.get(f.fact_type, 0) + 1
+        return {
+            "total_facts": len(facts),
+            "by_type": by_type,
+            "avg_confidence": round(
+                sum(f.confidence for f in facts) / len(facts), 4
+            ) if facts else 0.0,
+            "avg_support": round(sum(f.support for f in facts) / len(facts), 2)
+            if facts else 0.0,
+        }
+
+    def narratives(self, entity_filter: Optional[str] = None) -> list[dict]:
+        """Cluster facts by shared entity into chronological narrative
+        threads (handlers/facts.rs fact_narratives)."""
+        clusters: dict[str, list[SemanticFact]] = {}
+        for fact in self.all_facts():
+            for ent in fact.entities or ["(unattributed)"]:
+                key = ent.lower()
+                if entity_filter and key != entity_filter.lower():
+                    continue
+                clusters.setdefault(key, []).append(fact)
+        out = []
+        for ent in sorted(clusters):
+            facts = sorted(clusters[ent], key=lambda f: (f.created_at.isoformat(), f.id))
+            out.append({
+                "entity": ent,
+                "facts": [
+                    {"id": f.id, "statement": f.statement,
+                     "confidence": f.confidence, "created_at": format_ts(f.created_at)}
+                    for f in facts
+                ],
+                "narrative": " ".join(f.statement.rstrip(".") + "." for f in facts),
+            })
+        return out
+
+    def purge(self) -> int:
+        """Delete ALL facts (handlers/facts.rs purge_facts). Returns count."""
+        facts = self.all_facts()
+        for f in facts:
+            self.delete(f.id)
+        return len(facts)
+
     def reinforce(self, fact_id: str, now: datetime) -> None:
         fact = self.get(fact_id)
         if fact is not None:

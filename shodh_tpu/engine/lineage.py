@@ -153,6 +153,44 @@ class LineageStore:
                 out.append(LineageEdge.from_dict(decode(raw)))
         return out
 
+    def list_edges(self, limit: int = 100) -> list["LineageEdge"]:
+        """All lineage edges, deterministic order (lineage.rs list_edges)."""
+        out = [
+            LineageEdge.from_dict(decode(v))
+            for _, v in self.kv.scan_prefix(NS_LEDGE, "")
+        ]
+        out.sort(key=lambda e: (e.created_at.isoformat(), e.id))
+        return out[:limit]
+
+    def get_edge(self, edge_id: str) -> Optional["LineageEdge"]:
+        raw = self.kv.get(NS_LEDGE, edge_id)
+        return LineageEdge.from_dict(decode(raw)) if raw else None
+
+    def confirm_edge(self, edge_id: str) -> Optional["LineageEdge"]:
+        """Human confirmation of an inferred edge: pins confidence high and
+        clears the inferred flag (lineage.rs confirm)."""
+        edge = self.get_edge(edge_id)
+        if edge is None:
+            return None
+        edge.inferred = False
+        edge.confidence = max(edge.confidence, 0.95)
+        self.kv.put(NS_LEDGE, edge.id, encode(edge.to_dict()))
+        return edge
+
+    def reject_edge(self, edge_id: str) -> bool:
+        """Human rejection deletes the edge and its direction indexes."""
+        edge = self.get_edge(edge_id)
+        if edge is None:
+            return False
+        self.kv.write_batch(
+            [
+                ("del", NS_LEDGE, edge.id, None),
+                ("del", NS_LFROM, f"{edge.from_memory}:{edge.id}", None),
+                ("del", NS_LTO, f"{edge.to_memory}:{edge.id}", None),
+            ]
+        )
+        return True
+
     # -- queries (mod.rs:10116 trace_lineage, :10200 find_root_cause) ----------
 
     def trace(self, memory_id: str, direction: str = "ancestors", max_depth: int = 10) -> list[LineageEdge]:

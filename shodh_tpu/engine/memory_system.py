@@ -1140,6 +1140,26 @@ class MemorySystem:
             self.bm25.flush()
 
     @_locked
+    def rebuild_index(self) -> int:
+        """Re-embed + re-index every stored memory from scratch
+        (consolidation.rs rebuild_index). Returns memory count."""
+        from shodh_tpu.index.device_index import DeviceVectorIndex
+        from shodh_tpu.models.chunking import chunk_content
+
+        new_index = DeviceVectorIndex(dim=self.embedder.dimension, dtype=self.index.dtype)
+        n = 0
+        for mem in self.storage.iter_memories():
+            chunks = chunk_content(mem.experience.content)
+            vecs = self.embedder.encode_batch(chunks)
+            rows = new_index.add(vecs)
+            self.storage.set_vector_rows(mem.id, rows)
+            n += 1
+        self.index = new_index
+        if self._device_funnel is not None:
+            self._device_funnel.invalidate()
+        return n
+
+    @_locked
     def save(self) -> None:
         self.flush()
         self.index.save(self.data_dir / "index" / "text")

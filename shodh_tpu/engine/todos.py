@@ -178,6 +178,32 @@ class TodoStore:
         self.update(todo)
         return c
 
+    def update_comment(self, todo_id: str, comment_id: str, text: str) -> Optional[Comment]:
+        todo = self.get(todo_id)
+        if todo is None:
+            return None
+        for c in todo.comments:
+            if c.id == comment_id:
+                c.text = text
+                self.update(todo)
+                return c
+        return None
+
+    def delete_comment(self, todo_id: str, comment_id: str) -> bool:
+        todo = self.get(todo_id)
+        if todo is None:
+            return False
+        before = len(todo.comments)
+        todo.comments = [c for c in todo.comments if c.id != comment_id]
+        if len(todo.comments) == before:
+            return False
+        self.update(todo)
+        return True
+
+    def list_comments(self, todo_id: str) -> list[Comment]:
+        todo = self.get(todo_id)
+        return list(todo.comments) if todo else []
+
     def reorder(self, todo_id: str, new_order: float) -> None:
         todo = self.get(todo_id)
         if todo is not None:

@@ -29,14 +29,14 @@ from aiohttp import web
 from shodh_tpu import __version__
 from shodh_tpu.server.metrics import METRICS
 from shodh_tpu.server.state import MultiUserMemoryManager, validate_user_id
-from shodh_tpu.types import Experience, Query, parse_ts
+from shodh_tpu.types import Experience, Query, format_ts, parse_ts
 
 DEV_KEY = "dev-key-shodh-tpu"
 MAX_BODY = 8 * 1024 * 1024  # 8 MiB frame cap (local_ipc.rs parity)
 
 PROBE_ROUTES = {
     "/health", "/health/live", "/health/ready", "/health/index", "/version",
-    "/dashboard", "/",  # static page; the data it fetches is still key-gated
+    "/dashboard", "/", "/graph/view",  # static pages; fetched data stays key-gated
 }
 
 # Public receivers that CANNOT attach API keys (GitHub/Linear deliveries);
@@ -1114,22 +1114,7 @@ def make_app(manager: MultiUserMemoryManager) -> web.Application:
         uid = user_of(request, body)
         sys_ = mgr(request).get_user_memory(uid)
 
-        def rebuild():
-            from shodh_tpu.index.device_index import DeviceVectorIndex
-            from shodh_tpu.models.chunking import chunk_content
-
-            new_index = DeviceVectorIndex(dim=sys_.embedder.dimension, dtype=sys_.index.dtype)
-            n = 0
-            for mem in sys_.storage.iter_memories():
-                chunks = chunk_content(mem.experience.content)
-                vecs = sys_.embedder.encode_batch(chunks)
-                rows = new_index.add(vecs)
-                sys_.storage.set_vector_rows(mem.id, rows)
-                n += 1
-            sys_.index = new_index
-            return n
-
-        n = await run(rebuild)
+        n = await run(sys_.rebuild_index)
         return web.json_response({"rebuilt": n})
 
     async def storage_stats(request):
@@ -1359,6 +1344,847 @@ def make_app(manager: MultiUserMemoryManager) -> web.Application:
 
     app.router.add_get("/api/export/mif", export_mif_route)
     app.router.add_post("/api/import/mif", import_mif_route)
+
+    # ==========================================================================
+    # Extended surface (round 2): the remaining router.rs registrations.
+    # Handlers stay thin adapters over the engine, grouped as in router.rs.
+    # ==========================================================================
+    from shodh_tpu.utils.clock import scoring_now
+
+    # -- MIF adapters (mif/adapters/, router.rs:467) ---------------------------
+    async def mif_adapters_route(request):
+        from shodh_tpu.storage.mif_adapters import AdapterRegistry
+
+        reg = AdapterRegistry()
+        return web.json_response(
+            {"adapters": reg.list_adapters(), "default_export": "shodh"}
+        )
+
+    async def import_auto_route(request):
+        """Import any supported vendor format (auto-detected)."""
+        from shodh_tpu.storage.mif import import_mif
+        from shodh_tpu.storage.mif_adapters import AdapterRegistry
+
+        raw = await request.read()
+        uid = user_of(request)
+        fmt = request.query.get("format")
+        reg = AdapterRegistry()
+        try:
+            doc = reg.to_mif(raw, format_id=fmt)
+        except ValueError as exc:
+            return _err(400, "unknown_format", str(exc))
+        sys_ = mgr(request).get_user_memory(uid)
+        counts = await run(import_mif, sys_, doc)
+        adapter = fmt or reg.detect(raw).format_id
+        return web.json_response({"adapter": adapter, **counts})
+
+    app.router.add_get("/api/mif/adapters", mif_adapters_route)
+    app.router.add_post("/api/import/auto", import_auto_route)
+
+    # -- context status board (health.rs context_status; TUI) ------------------
+    async def context_status_get(request):
+        uid = user_of(request)
+        st = mgr(request).context_status.get(uid)
+        return web.json_response(st or {"status": "unknown", "updated_at": None})
+
+    async def context_status_post(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        entry = {k: v for k, v in body.items() if k != "user_id"}
+        entry["updated_at"] = format_ts(scoring_now())
+        mgr(request).context_status[uid] = entry
+        mgr(request).audit(uid, "context_status", entry)
+        return web.json_response({"ok": True, "status": entry})
+
+    async def context_sse(request):
+        """SSE stream of context-status updates (webhooks.rs context_status_sse)."""
+        resp = web.StreamResponse(
+            headers={"Content-Type": "text/event-stream", "Cache-Control": "no-cache"}
+        )
+        await resp.prepare(request)
+        q: asyncio.Queue = asyncio.Queue(maxsize=256)
+        mgr(request).subscribe(q)
+        try:
+            while True:
+                event = await q.get()
+                if event.get("action") == "context_status":
+                    await resp.write(f"data: {json.dumps(event)}\n\n".encode())
+        except (asyncio.CancelledError, ConnectionResetError):
+            pass
+        finally:
+            mgr(request).unsubscribe(q)
+        return resp
+
+    async def context_monitor_ws(request):
+        """WS feed of all memory events (webhooks.rs context_monitor_ws)."""
+        ws = web.WebSocketResponse()
+        await ws.prepare(request)
+        q: asyncio.Queue = asyncio.Queue(maxsize=256)
+        mgr(request).subscribe(q)
+        try:
+            while True:
+                event = await q.get()
+                await ws.send_json(event)
+        except (asyncio.CancelledError, ConnectionResetError):
+            pass
+        finally:
+            mgr(request).unsubscribe(q)
+        return ws
+
+    app.router.add_get("/api/context/status", context_status_get)
+    app.router.add_post("/api/context/status", context_status_post)
+    app.router.add_get("/api/context_status", context_status_get)  # TUI alias
+    app.router.add_post("/api/context_status", context_status_post)
+    app.router.add_get("/api/context/sse", context_sse)
+    app.router.add_get("/api/context/monitor", context_monitor_ws)
+    app.router.add_get("/api/events", events_sse)  # TUI alias (router.rs:455)
+
+    # -- facts tail (handlers/facts.rs) ----------------------------------------
+    async def facts_search(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        if sys_.facts is None:
+            return web.json_response({"facts": []})
+        hits = await run(sys_.facts.search, body.get("query", ""), int(body.get("limit", 20)))
+        return web.json_response(
+            {"facts": [{**f.to_dict(), "score": round(s, 4)} for f, s in hits]}
+        )
+
+    async def facts_stats(request):
+        body = await body_json(request) if request.method == "POST" else {}
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        return web.json_response(await run(sys_.facts.stats) if sys_.facts else {})
+
+    async def facts_narratives(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        if sys_.facts is None:
+            return web.json_response({"clusters": []})
+        clusters = await run(sys_.facts.narratives, body.get("entity_filter"))
+        offset = int(body.get("offset", 0))
+        limit = int(body.get("limit", 50))
+        return web.json_response(
+            {
+                "total_clusters": len(clusters),
+                "total_facts": sum(len(c["facts"]) for c in clusters),
+                "clusters": clusters[offset : offset + limit],
+            }
+        )
+
+    async def facts_purge(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        n = await run(sys_.facts.purge) if sys_.facts else 0
+        mgr(request).audit(uid, "facts_purge", {"purged": n})
+        return web.json_response({"purged": n})
+
+    app.router.add_post("/api/facts/search", facts_search)
+    app.router.add_post("/api/facts/stats", facts_stats)
+    app.router.add_get("/api/facts/stats", facts_stats)
+    app.router.add_post("/api/facts/narratives", facts_narratives)
+    app.router.add_post("/api/facts/purge", facts_purge)
+
+    # -- lineage tail (handlers/lineage.rs) -------------------------------------
+    async def lineage_edges(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        edges = await run(sys_.lineage.list_edges, int(body.get("limit", 100)))
+        return web.json_response({"edges": [e.to_dict() for e in edges]})
+
+    async def lineage_confirm(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        edge = await run(sys_.lineage.confirm_edge, body.get("edge_id", ""))
+        if edge is None:
+            return _err(404, "not_found", "lineage edge not found")
+        return web.json_response(edge.to_dict())
+
+    async def lineage_reject(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        ok = await run(sys_.lineage.reject_edge, body.get("edge_id", ""))
+        if not ok:
+            return _err(404, "not_found", "lineage edge not found")
+        return web.json_response({"rejected": True})
+
+    app.router.add_post("/api/lineage/edges", lineage_edges)
+    app.router.add_post("/api/lineage/confirm", lineage_confirm)
+    app.router.add_post("/api/lineage/reject", lineage_reject)
+
+    # -- memory compression (handlers/compression.rs) ---------------------------
+    async def memory_compress(request):
+        from shodh_tpu.engine.compression import COMPRESSED_MARKER, CompressionPipeline
+
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        mem = sys_.get(body.get("memory_id", ""))
+        if mem is None:
+            return _err(404, "not_found", "memory not found")
+        if COMPRESSED_MARKER in mem.experience.metadata:
+            return web.json_response({"compressed": False, "reason": "already compressed"})
+        pipe = CompressionPipeline(sys_.storage)
+        await run(pipe.compress_one, mem)
+        return web.json_response({"compressed": True, "memory_id": mem.id})
+
+    async def memory_decompress(request):
+        from shodh_tpu.engine.compression import CompressionPipeline
+
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        mem = sys_.get(body.get("memory_id", ""))
+        if mem is None:
+            return _err(404, "not_found", "memory not found")
+        pipe = CompressionPipeline(sys_.storage)
+        content = await run(pipe.decompress, mem)
+        return web.json_response({"memory_id": mem.id, "content": content})
+
+    async def storage_uncompressed(request):
+        """Old memories not yet compressed (mif.rs get_uncompressed_old)."""
+        from datetime import timedelta
+
+        from shodh_tpu.engine.compression import COMPRESSED_MARKER
+
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        age_days = float(body.get("age_days", 30))
+        cutoff = scoring_now() - timedelta(days=age_days)
+
+        def collect():
+            out = []
+            for mem in sys_.storage.iter_memories():
+                if mem.created_at < cutoff and COMPRESSED_MARKER not in mem.experience.metadata:
+                    out.append({"id": mem.id, "created_at": format_ts(mem.created_at),
+                                "size": len(mem.experience.content)})
+                if len(out) >= int(body.get("limit", 100)):
+                    break
+            return out
+
+        return web.json_response({"memories": await run(collect)})
+
+    app.router.add_post("/api/memory/compress", memory_compress)
+    app.router.add_post("/api/memory/decompress", memory_decompress)
+    app.router.add_post("/api/storage/uncompressed", storage_uncompressed)
+
+    # -- storage migrate + bulk + list (crud.rs, migration) ---------------------
+    async def storage_migrate(request):
+        from shodh_tpu.storage.migration import migrate_data_dir
+
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        report = await run(migrate_data_dir, sys_.data_dir, body.get("backup_dir"))
+        return web.json_response(report)
+
+    async def memories_bulk_delete(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        ids = body.get("memory_ids", body.get("ids", []))
+        if not isinstance(ids, list) or len(ids) > 1000:
+            return _err(400, "invalid_input", "memory_ids must be a list (max 1000)")
+
+        def bulk():
+            deleted = 0
+            for mid in ids:
+                if sys_.forget(str(mid)):
+                    deleted += 1
+            return deleted
+
+        deleted = await run(bulk)
+        mgr(request).audit(uid, "bulk_delete", {"deleted": deleted})
+        return web.json_response({"deleted": deleted, "requested": len(ids)})
+
+    async def list_memories_tui(request):
+        """GET /api/list/{user_id} — TUI listing (router.rs:134)."""
+        uid = validate_user_id(request.match_info["user_id"])
+        sys_ = mgr(request).get_user_memory(uid)
+        limit = int(request.query.get("limit", 50))
+        offset = int(request.query.get("offset", 0))
+
+        def collect():
+            mems = sorted(
+                sys_.storage.iter_memories(),
+                key=lambda m: (m.created_at.isoformat(), m.id), reverse=True,
+            )
+            return [m.to_dict() for m in mems[offset : offset + limit]]
+
+        return web.json_response({"memories": await run(collect)})
+
+    app.router.add_post("/api/storage/migrate", storage_migrate)
+    app.router.add_post("/api/memories/bulk", memories_bulk_delete)
+    app.router.add_get("/api/list/{user_id}", list_memories_tui)
+
+    # -- index repair (consolidation.rs) ----------------------------------------
+    async def index_repair(request):
+        """Verify row<->memory mapping; full rebuild when inconsistent
+        (consolidation.rs repair = verify + conditional rebuild)."""
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+
+        def check():
+            bad = 0
+            for mid in sys_.storage.iter_ids():
+                for modality, rows in sys_.storage.get_vector_map(mid).items():
+                    for r in rows:
+                        if sys_.storage.memory_for_row(r, modality) != mid:
+                            bad += 1
+            return bad
+
+        bad = await run(check)
+        if bad == 0:
+            return web.json_response({"was_healthy": True, "repaired": False})
+        rebuild_resp = await index_rebuild(request)
+        return web.json_response({
+            "was_healthy": False,
+            "inconsistent_rows": bad,
+            "rebuild": json.loads(rebuild_resp.text),
+        })
+
+    app.router.add_post("/api/index/repair", index_repair)
+
+    # -- backups tail (consolidation.rs) ----------------------------------------
+    async def backup_purge(request):
+        from shodh_tpu.storage.backup import purge_backups
+
+        body = await body_json(request)
+        uid = user_of(request, body)
+        keep = int(body.get("keep", 5))
+        root = mgr(request).data_dir / "backups" / uid
+        purged = await run(purge_backups, root, keep)
+        return web.json_response({"purged": purged, "kept": keep})
+
+    async def backup_restore(request):
+        from shodh_tpu.storage.backup import restore_backup
+
+        body = await body_json(request)
+        uid = user_of(request, body)
+        backup_dir = body.get("backup_dir", "")
+        manager_ = mgr(request)
+        backups_root = (manager_.data_dir / "backups").resolve()
+        resolved = Path(backup_dir).expanduser().resolve() if backup_dir else None
+        if resolved is None or not resolved.is_relative_to(backups_root):
+            return _err(400, "invalid_input",
+                        f"backup_dir must be a backup under {backups_root}")
+        data_dir = manager_.data_dir / "users" / uid
+
+        def restore():
+            manager_.drop_user(uid)  # close handles before overwriting
+            restore_backup(resolved, data_dir)
+
+        await run(restore)
+        manager_.audit(uid, "backup_restore", {"from": str(resolved)})
+        return web.json_response({"restored": True, "data_dir": str(data_dir)})
+
+    app.router.add_post("/api/backup/purge", backup_purge)
+    app.router.add_post("/api/backups/purge", backup_purge)  # MCP alias
+    app.router.add_post("/api/backup/restore", backup_restore)
+    app.router.add_post("/api/backups", backup_list)  # MCP alias (router.rs:204)
+
+    # -- graph tail (handlers/graph.rs + visualization.rs) -----------------------
+    async def graph_entities_all(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        if sys_.graph is None:
+            return web.json_response({"entities": []})
+        ents = sorted(sys_.graph.entities.values(), key=lambda e: (-e.salience, e.id))
+        limit = int(body.get("limit", 200))
+        return web.json_response({"entities": [e.to_dict() for e in ents[:limit]]})
+
+    async def graph_episode_get(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        epi = (sys_.graph.episodes if sys_.graph else {}).get(body.get("episode_id", ""))
+        if epi is None:
+            return _err(404, "not_found", "episode not found")
+        return web.json_response(epi if isinstance(epi, dict) else epi.to_dict())
+
+    async def graph_curvature(request):
+        """Forman-Ricci curvature census (graph/topology.py; graph_memory.rs
+        topology protection)."""
+        from shodh_tpu.graph.topology import forman_curvature
+
+        uid = validate_user_id(request.match_info["user_id"])
+        sys_ = mgr(request).get_user_memory(uid)
+        if sys_.graph is None:
+            return web.json_response({"edges": []})
+
+        def census():
+            g = sys_.graph
+            deg = {eid: len(g.adjacency.get(eid, ())) for eid in g.entities}
+            rows = []
+            for edge in g.edges.values():
+                c = forman_curvature(deg.get(edge.src, 0), deg.get(edge.dst, 0), edge.strength)
+                rows.append({"src": edge.src, "dst": edge.dst, "curvature": round(c, 4)})
+            rows.sort(key=lambda r: (r["curvature"], r["src"], r["dst"]))
+            return rows
+
+        rows = await run(census)
+        return web.json_response({"edges": rows[: int(request.query.get("limit", 200))]})
+
+    async def graph_rebuild(request):
+        uid = validate_user_id(request.match_info["user_id"])
+        sys_ = mgr(request).get_user_memory(uid)
+        if sys_.graph is None:
+            return web.json_response({"rebuilt": False})
+
+        def rebuild():
+            g = sys_.graph
+            g.adjacency.clear()
+            for edge in g.edges.values():
+                g.adjacency.setdefault(edge.src, set()).add(edge.dst)
+                g.adjacency.setdefault(edge.dst, set()).add(edge.src)
+            g.flush()
+            return {"rebuilt": True, "entities": len(g.entities), "edges": len(g.edges)}
+
+        return web.json_response(await run(rebuild))
+
+    async def graph_data(request):
+        """d3-ready nodes+edges (visualization.rs get_graph_data)."""
+        uid = validate_user_id(request.match_info["user_id"])
+        sys_ = mgr(request).get_user_memory(uid)
+        if sys_.graph is None:
+            return web.json_response({"nodes": [], "edges": []})
+
+        def build():
+            g = sys_.graph
+            ents = sorted(g.entities.values(), key=lambda e: (-e.salience, e.id))[:200]
+            keep = {e.id for e in ents}
+            nodes = [
+                {"id": e.id, "label": e.name, "node_type": "entity",
+                 "tier": f"L{min(3, 1 + e.mention_count // 5)}",
+                 "strength": round(e.salience, 4),
+                 "size": round(4 + 2 * min(e.mention_count, 10), 1)}
+                for e in ents
+            ]
+            edges = [
+                {"source": ed.src, "target": ed.dst, "relation": ed.rel_type,
+                 "strength": round(ed.strength, 4), "tier": f"L{ed.tier + 1}"}
+                for ed in g.edges.values()
+                if ed.src in keep and ed.dst in keep
+            ]
+            return {"nodes": nodes, "edges": edges}
+
+        return web.json_response(await run(build))
+
+    async def brain_state(request):
+        """Tiered neuron view (visualization.rs get_brain_state)."""
+        uid = validate_user_id(request.match_info["user_id"])
+        sys_ = mgr(request).get_user_memory(uid)
+
+        def neuron(mem, tier):
+            return {"id": mem.id, "content_preview": mem.experience.content[:100],
+                    "activation": round(mem.activation, 4),
+                    "importance": round(mem.importance, 4), "tier": tier,
+                    "access_count": mem.access_count,
+                    "created_at": format_ts(mem.created_at)}
+
+        def build():
+            working = [neuron(m, "working") for m in sys_.working.items()]
+            session = [neuron(m, "session") for m in sys_.session.items()]
+            hot = {m["id"] for m in working} | {m["id"] for m in session}
+            longterm = []
+            for mem in sys_.storage.iter_memories():
+                if mem.id not in hot:
+                    longterm.append(neuron(mem, "longterm"))
+                if len(longterm) >= 100:
+                    break
+            all_n = working + session + longterm
+            return {
+                "working_memory": working, "session_memory": session,
+                "longterm_memory": longterm,
+                "total_neurons": len(all_n),
+                "avg_activation": round(
+                    sum(n["activation"] for n in all_n) / len(all_n), 4
+                ) if all_n else 0.0,
+                "avg_importance": round(
+                    sum(n["importance"] for n in all_n) / len(all_n), 4
+                ) if all_n else 0.0,
+            }
+
+        return web.json_response(await run(build))
+
+    async def visualization_build(request):
+        from shodh_tpu.engine.visualization import memory_universe
+
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        uni = await run(memory_universe, sys_)
+        return web.json_response({
+            "built": True,
+            "nodes": len(uni.get("nodes", [])),
+            "links": len(uni.get("links", [])),
+        })
+
+    async def visualization_stats(request):
+        from shodh_tpu.engine.visualization import memory_universe
+
+        uid = validate_user_id(request.match_info["user_id"])
+        sys_ = mgr(request).get_user_memory(uid)
+        uni = await run(memory_universe, sys_)
+        g = sys_.graph
+        return web.json_response({
+            "memory_nodes": len(uni.get("nodes", [])),
+            "links": len(uni.get("links", [])),
+            "entities": len(g.entities) if g else 0,
+            "graph_edges": len(g.edges) if g else 0,
+        })
+
+    async def graph_view(request):
+        """Static d3 graph page (visualization.rs graph_view)."""
+        from shodh_tpu.server.dashboard import GRAPH_VIEW_HTML
+
+        return web.Response(text=GRAPH_VIEW_HTML, content_type="text/html")
+
+    app.router.add_post("/api/graph/entities/all", graph_entities_all)
+    app.router.add_post("/api/graph/episode/get", graph_episode_get)
+    app.router.add_get("/api/graph/{user_id}/curvature", graph_curvature)
+    app.router.add_post("/api/graph/{user_id}/rebuild", graph_rebuild)
+    app.router.add_get("/api/graph/data/{user_id}", graph_data)
+    app.router.add_get("/api/brain/{user_id}", brain_state)
+    app.router.add_post("/api/visualization/build", visualization_build)
+    app.router.add_get("/api/visualization/{user_id}/stats", visualization_stats)
+    app.router.add_get("/graph/view", graph_view)
+
+    # -- reminders tail (todos.rs check_context_reminders) -----------------------
+    async def reminders_check(request):
+        """Fire context-triggered intentions matching the provided context."""
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        context = body.get("context", body.get("query", ""))
+        if sys_.prospective is None or not context:
+            return web.json_response({"fired": []})
+        from shodh_tpu.retrieval.bm25 import tokenize
+
+        def check():
+            q_tokens = set(tokenize(context))
+            fired = []
+            now = scoring_now()
+            for intent in sys_.prospective.pending():
+                if intent.trigger_time is not None:
+                    continue
+                keys = set(
+                    t for k in intent.context_keywords for t in tokenize(k)
+                ) or set(tokenize(intent.content))
+                if keys & q_tokens:
+                    intent.status = "fired"
+                    intent.fired_at = now
+                    sys_.prospective.update(intent)
+                    fired.append(intent.to_dict())
+            return fired
+
+        return web.json_response({"fired": await run(check)})
+
+    async def reminders_context(request):
+        uid = user_of(request)
+        sys_ = mgr(request).get_user_memory(uid)
+        if sys_.prospective is None:
+            return web.json_response({"reminders": []})
+        pending = await run(sys_.prospective.pending)
+        return web.json_response({
+            "reminders": [i.to_dict() for i in pending if i.trigger_time is None]
+        })
+
+    app.router.add_post("/api/reminders/check", reminders_check)
+    app.router.add_get("/api/reminders/context", reminders_context)
+
+    # -- sessions tail (sessions.rs) ---------------------------------------------
+    async def sessions_digest(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+
+        def digest():
+            if sys_.sessions is None:
+                return None
+            hist = sys_.sessions.history(limit=1)
+            if not hist:
+                return None
+            return sys_.sessions.make_digest(hist[0], sys_.storage)
+
+        d = await run(digest)
+        return web.json_response({"success": d is not None, "digest": d})
+
+    async def sessions_context_compressed(request):
+        """Client signals a context-window compression event (sessions.rs
+        context-compressed): audit it and track token deltas."""
+        body = await body_json(request)
+        uid = user_of(request, body)
+        detail = {
+            "tokens_before": int(body.get("tokens_before", 0)),
+            "tokens_after": int(body.get("tokens_after", 0)),
+        }
+        mgr(request).audit(uid, "context_compressed", detail)
+        return web.json_response({"recorded": True, **detail})
+
+    async def session_get(request):
+        uid = user_of(request)
+        sys_ = mgr(request).get_user_memory(uid)
+        sid = request.match_info["session_id"]
+        s = await run(sys_.sessions.get, sid) if sys_.sessions else None
+        if s is None:
+            return _err(404, "not_found", "session not found")
+        return web.json_response(s.to_dict())
+
+    app.router.add_post("/api/sessions/digest", sessions_digest)
+    app.router.add_post("/api/sessions/context-compressed", sessions_context_compressed)
+    app.router.add_get("/api/sessions/{session_id}", session_get)
+
+    # -- todos tail (todos.rs TUI paths) ------------------------------------------
+    async def todo_get(request):
+        uid = user_of(request)
+        sys_ = mgr(request).get_user_memory(uid)
+        t = await run(sys_.todos.get, request.match_info["todo_id"])
+        if t is None:
+            return _err(404, "not_found", "todo not found")
+        return web.json_response(t.to_dict())
+
+    async def todo_delete_by_path(request):
+        uid = user_of(request)
+        sys_ = mgr(request).get_user_memory(uid)
+        ok = await run(sys_.todos.delete, request.match_info["todo_id"])
+        if not ok:
+            return _err(404, "not_found", "todo not found")
+        return web.json_response({"deleted": True})
+
+    async def todos_reorder(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        tid = request.match_info.get("todo_id") or body.get("todo_id", "")
+        await run(sys_.todos.reorder, tid, float(body.get("order", 0.0)))
+        return web.json_response({"reordered": True})
+
+    async def todo_subtasks(request):
+        uid = user_of(request)
+        sys_ = mgr(request).get_user_memory(uid)
+        subs = await run(sys_.todos.subtasks, request.match_info["todo_id"])
+        return web.json_response({"subtasks": [t.to_dict() for t in subs]})
+
+    async def todo_comment_update(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        c = await run(
+            sys_.todos.update_comment,
+            request.match_info["todo_id"],
+            request.match_info["comment_id"],
+            body.get("text", body.get("content", "")),
+        )
+        if c is None:
+            return _err(404, "not_found", "comment not found")
+        return web.json_response(c.to_dict())
+
+    async def todo_comment_delete(request):
+        uid = user_of(request)
+        sys_ = mgr(request).get_user_memory(uid)
+        ok = await run(
+            sys_.todos.delete_comment,
+            request.match_info["todo_id"],
+            request.match_info["comment_id"],
+        )
+        if not ok:
+            return _err(404, "not_found", "comment not found")
+        return web.json_response({"deleted": True})
+
+    app.router.add_get("/api/todos/{todo_id}/subtasks", todo_subtasks)
+    app.router.add_post("/api/todos/reorder", todos_reorder)
+    app.router.add_post("/api/todos/{todo_id}/reorder", todos_reorder)
+    app.router.add_post(
+        "/api/todos/{todo_id}/comments/{comment_id}/update", todo_comment_update
+    )
+    app.router.add_delete(
+        "/api/todos/{todo_id}/comments/{comment_id}", todo_comment_delete
+    )
+    app.router.add_get("/api/todos/{todo_id}", todo_get)
+    app.router.add_delete("/api/todos/{todo_id}", todo_delete_by_path)
+
+    # -- projects tail (projects.rs + file memory) --------------------------------
+    async def project_get(request):
+        uid = user_of(request)
+        sys_ = mgr(request).get_user_memory(uid)
+        p = await run(sys_.todos.get_project, request.match_info["project_id"])
+        if p is None:
+            return _err(404, "not_found", "project not found")
+        return web.json_response(p.to_dict())
+
+    async def project_update(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        p = await run(sys_.todos.get_project, request.match_info["project_id"])
+        if p is None:
+            return _err(404, "not_found", "project not found")
+        for k in ("name", "description", "status"):
+            if k in body:
+                setattr(p, k, body[k])
+
+        def save():
+            from shodh_tpu.engine.todos import NS_PROJECT
+            from shodh_tpu.storage.serialization import encode
+
+            sys_.todos.kv.put(NS_PROJECT, p.id, encode(p.to_dict()))
+
+        await run(save)
+        return web.json_response(p.to_dict())
+
+    async def project_delete(request):
+        uid = user_of(request)
+        sys_ = mgr(request).get_user_memory(uid)
+        ok = await run(sys_.todos.delete_project, request.match_info["project_id"])
+        if not ok:
+            return _err(404, "not_found", "project not found")
+        return web.json_response({"deleted": True})
+
+    async def project_files(request):
+        uid = user_of(request)
+        sys_ = mgr(request).get_user_memory(uid)
+        files = await run(sys_.files.all_files) if sys_.files else []
+        pid = request.match_info["project_id"]
+        return web.json_response({
+            "project_id": pid,
+            "files": [f.to_dict() for f in files],
+        })
+
+    async def project_files_search(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        if sys_.files is None:
+            return web.json_response({"files": []})
+        hits = await run(sys_.files.search, body.get("query", ""), int(body.get("limit", 10)))
+        return web.json_response(
+            {"files": [{**f.to_dict(), "score": round(s, 4)} for f, s in hits]}
+        )
+
+    async def project_scan(request):
+        """Scan/index a project directory's file names into file memory
+        (projects.rs scan/index; local filesystem only)."""
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        root = body.get("path", "")
+        if not root or not Path(root).is_dir():
+            return _err(400, "invalid_input", "path must be an existing directory")
+        if sys_.files is None:
+            return web.json_response({"indexed": 0})
+
+        def scan():
+            import os as _os
+
+            count = 0
+            now = scoring_now()
+            for dirpath, dirnames, filenames in _os.walk(root):
+                dirnames[:] = [d for d in dirnames if not d.startswith(".")][:50]
+                for fn in filenames[:200]:
+                    if fn.startswith("."):
+                        continue
+                    sys_.files.learn(str(Path(dirpath) / fn), f"indexed from {root}", now)
+                    count += 1
+                    if count >= int(body.get("max_files", 500)):
+                        return count
+            return count
+
+        n = await run(scan)
+        return web.json_response({"indexed": n})
+
+    app.router.add_get("/api/projects/{project_id}/files/search", project_files_search)
+    app.router.add_post("/api/projects/{project_id}/files/search", project_files_search)
+    app.router.add_get("/api/projects/{project_id}/files", project_files)
+    app.router.add_post("/api/projects/{project_id}/scan", project_scan)
+    app.router.add_post("/api/projects/{project_id}/index", project_scan)
+    app.router.add_post("/api/projects/{project_id}/update", project_update)
+    app.router.add_post("/api/projects/{project_id}/delete", project_delete)
+    app.router.add_get("/api/projects/{project_id}", project_get)
+    app.router.add_delete("/api/projects/{project_id}", project_delete)
+
+    # -- users admin (users.rs) ----------------------------------------------------
+    async def user_delete(request):
+        uid = validate_user_id(request.match_info["user_id"])
+        manager_ = mgr(request)
+
+        def wipe():
+            import shutil
+
+            manager_.drop_user(uid)
+            user_dir = manager_.data_dir / "users" / uid
+            if user_dir.is_dir():
+                shutil.rmtree(user_dir)
+                return True
+            return False
+
+        existed = await run(wipe)
+        manager_.audit(uid, "user_deleted", {})
+        if not existed:
+            return _err(404, "not_found", "user has no data")
+        return web.json_response({"deleted": uid})
+
+    app.router.add_delete("/api/users/{user_id}", user_delete)
+
+    # -- A/B detail (ab_testing.rs) -------------------------------------------------
+    async def ab_detail(request):
+        test = await run(_ab(request).get, request.match_info["test_id"])
+        if test is None:
+            return _err(404, "not_found", "test not found")
+        return web.json_response(test.to_dict())
+
+    app.router.add_get("/api/ab/tests/{test_id}", ab_detail)
+
+    # -- pull sync (integrations.rs github_sync / linear_sync) ----------------------
+    async def sync_github(request):
+        """Authenticated pull-sync: fetch issues/PRs from the GitHub API and
+        store them as memories (integrations.rs github_sync). Distinct from
+        the public push receiver at /webhook/github."""
+        from shodh_tpu.server.integrations_sync import github_pull_sync
+
+        body = await body_json(request)
+        uid = user_of(request, body)
+        if not body.get("token"):
+            return _err(400, "invalid_input", "GitHub token is required")
+        if not body.get("owner") or not body.get("repo"):
+            return _err(400, "invalid_input", "owner and repo are required")
+        sys_ = mgr(request).get_user_memory(uid)
+        try:
+            report = await run(
+                github_pull_sync, sys_, body["token"], body["owner"], body["repo"],
+                int(body.get("limit", 30)),
+            )
+        except OSError as exc:
+            return _err(502, "upstream_unreachable", f"GitHub API unreachable: {exc}")
+        return web.json_response(report)
+
+    async def sync_linear(request):
+        from shodh_tpu.server.integrations_sync import linear_pull_sync
+
+        body = await body_json(request)
+        uid = user_of(request, body)
+        if not body.get("token"):
+            return _err(400, "invalid_input", "Linear token is required")
+        sys_ = mgr(request).get_user_memory(uid)
+        try:
+            report = await run(
+                linear_pull_sync, sys_, body["token"], int(body.get("limit", 30))
+            )
+        except OSError as exc:
+            return _err(502, "upstream_unreachable", f"Linear API unreachable: {exc}")
+        return web.json_response(report)
+
+    app.router.add_post("/api/sync/github", sync_github)
+    app.router.add_post("/api/sync/linear", sync_linear)
 
     return app
 

@@ -102,6 +102,66 @@ setInterval(refresh, 5000);
 """
 
 
+GRAPH_VIEW_HTML = """<!doctype html>
+<html>
+<head><meta charset="utf-8"><title>shodh graph</title>
+<style>
+body { margin: 0; background: #0b0e14; color: #cdd6f4; font: 13px monospace; }
+#bar { padding: 8px 12px; } input { background: #161b26; color: inherit;
+border: 1px solid #2a3142; padding: 4px 8px; width: 280px; }
+svg { width: 100vw; height: calc(100vh - 40px); }
+circle { fill: #7aa2f7; } circle.hub { fill: #f7768e; }
+line { stroke: #2a3142; stroke-width: 1; } text { fill: #8a93a8; font-size: 10px; }
+</style></head>
+<body>
+<div id="bar">entity graph — <input id="key" placeholder="API key"/>
+<input id="user" value="default" style="width:120px"/>
+<button onclick="load()">load</button></div>
+<svg id="g"></svg>
+<script>
+// Minimal dependency-free force layout over /api/graph/data/{user}
+async function load() {
+  const key = document.getElementById("key").value || new URLSearchParams(location.search).get("key") || "";
+  const user = document.getElementById("user").value || "default";
+  const r = await fetch(`/api/graph/data/${user}`, {headers: {"X-API-Key": key}});
+  const data = await r.json();
+  const svg = document.getElementById("g"); svg.innerHTML = "";
+  const W = svg.clientWidth, H = svg.clientHeight;
+  const pos = {};
+  data.nodes.forEach((n, i) => {
+    const a = (i / Math.max(1, data.nodes.length)) * 2 * Math.PI;
+    pos[n.id] = [W/2 + Math.cos(a) * H * 0.38, H/2 + Math.sin(a) * H * 0.38, n];
+  });
+  // 60 rounds of spring relaxation
+  for (let it = 0; it < 60; it++) {
+    data.edges.forEach(e => {
+      const a = pos[e.source], b = pos[e.target]; if (!a || !b) return;
+      const dx = b[0]-a[0], dy = b[1]-a[1], d = Math.hypot(dx,dy)||1, f = (d-90)/d*0.05;
+      a[0]+=dx*f; a[1]+=dy*f; b[0]-=dx*f; b[1]-=dy*f;
+    });
+  }
+  data.edges.forEach(e => {
+    const a = pos[e.source], b = pos[e.target]; if (!a || !b) return;
+    const l = document.createElementNS("http://www.w3.org/2000/svg","line");
+    l.setAttribute("x1",a[0]); l.setAttribute("y1",a[1]);
+    l.setAttribute("x2",b[0]); l.setAttribute("y2",b[1]); svg.appendChild(l);
+  });
+  Object.values(pos).forEach(([x,y,n]) => {
+    const c = document.createElementNS("http://www.w3.org/2000/svg","circle");
+    c.setAttribute("cx",x); c.setAttribute("cy",y); c.setAttribute("r",n.size||5);
+    if ((n.strength||0) > 0.7) c.setAttribute("class","hub");
+    svg.appendChild(c);
+    const t = document.createElementNS("http://www.w3.org/2000/svg","text");
+    t.setAttribute("x",x+8); t.setAttribute("y",y+3); t.textContent = n.label;
+    svg.appendChild(t);
+  });
+}
+</script>
+</body>
+</html>
+"""
+
+
 def register_dashboard(app) -> None:
     async def dashboard(request: web.Request):
         return web.Response(text=PAGE, content_type="text/html")

@@ -41,6 +41,8 @@ class MultiUserMemoryManager:
         self._lock = threading.RLock()
         self.audit_log: deque[dict] = deque(maxlen=AUDIT_LOG_CAP)
         self._subscribers: list = []  # asyncio queues for SSE
+        # Per-user context status board (health.rs context_status; TUI)
+        self.context_status: dict[str, dict] = {}
 
     # -- user systems -----------------------------------------------------------
 

@@ -175,3 +175,242 @@ def test_bad_layer_mode_is_422_not_500(client):
     )
     assert status == 422
     assert body["error"]["code"] == "bad_query"
+
+
+class TestRound2Routes:
+    """The round-2 surface expansion (router.rs tail parity)."""
+
+    def test_mif_adapters_and_auto_import(self, client):
+        status, body = client.request("GET", "/api/mif/adapters")
+        assert status == 200
+        assert {a["format"] for a in body["adapters"]} == {"shodh", "mem0", "markdown", "generic"}
+        # mem0-format auto-import
+        mem0 = [{"id": "m1", "memory": "user prefers dark mode",
+                 "metadata": {"category": "preference"},
+                 "created_at": "2026-01-01T00:00:00Z", "user_id": "u"}]
+        status, body = client.request("POST", "/api/import/auto", mem0)
+        assert status == 200 and body["adapter"] == "mem0" and body["memories"] == 1
+
+    def test_context_status_board(self, client):
+        status, body = client.request("GET", "/api/context_status")
+        assert body["status"] == "unknown"
+        status, body = client.request(
+            "POST", "/api/context/status", {"status": "compacting", "tokens": 150000}
+        )
+        assert status == 200
+        status, body = client.request("GET", "/api/context/status")
+        assert body["status"] == "compacting" and body["updated_at"]
+
+    def test_facts_tail(self, client):
+        # distill needs old memories; stats/search/narratives/purge work empty
+        status, body = client.request("POST", "/api/facts/search", {"query": "anything"})
+        assert status == 200 and body["facts"] == []
+        status, body = client.request("GET", "/api/facts/stats")
+        assert body["total_facts"] == 0
+        status, body = client.request("POST", "/api/facts/narratives", {})
+        assert body["total_clusters"] == 0
+        status, body = client.request("POST", "/api/facts/purge", {})
+        assert body["purged"] == 0
+
+    def test_lineage_edges_confirm_reject(self, client):
+        client.request("POST", "/api/remember", {"content": "the deploy failed"})
+        client.request("POST", "/api/remember", {"content": "we rolled back the deploy"})
+        status, mems = client.request("GET", "/api/memories")
+        ids = [m["id"] for m in mems["memories"]]
+        status, body = client.request(
+            "POST", "/api/lineage/link",
+            {"from": ids[0], "to": ids[1], "relation": "caused"},
+        )
+        status, body = client.request("POST", "/api/lineage/edges", {})
+        assert status == 200 and len(body["edges"]) >= 1
+        eid = body["edges"][0]["id"]
+        status, edge = client.request("POST", "/api/lineage/confirm", {"edge_id": eid})
+        assert edge["confidence"] >= 0.95 and edge["inferred"] is False
+        status, body = client.request("POST", "/api/lineage/reject", {"edge_id": eid})
+        assert body["rejected"] is True
+        status, body = client.request("POST", "/api/lineage/reject", {"edge_id": eid})
+        assert status == 404
+
+    def test_compress_decompress_roundtrip(self, client):
+        long_text = "We investigated the incident thoroughly. " * 20
+        status, body = client.request("POST", "/api/remember", {"content": long_text})
+        mid = body["memory_id"]
+        status, body = client.request("POST", "/api/memory/compress", {"memory_id": mid})
+        assert body["compressed"] is True
+        status, body = client.request("POST", "/api/memory/decompress", {"memory_id": mid})
+        assert body["content"].startswith("We investigated")
+        # double-compress reports already compressed
+        status, body = client.request("POST", "/api/memory/compress", {"memory_id": mid})
+        assert body["compressed"] is False
+
+    def test_storage_uncompressed_and_migrate(self, client):
+        status, body = client.request("POST", "/api/storage/uncompressed", {"age_days": 0})
+        assert status == 200 and "memories" in body
+        status, body = client.request("POST", "/api/storage/migrate", {})
+        assert status == 200
+
+    def test_bulk_delete_and_tui_list(self, client):
+        ids = []
+        for i in range(3):
+            _, body = client.request("POST", "/api/remember", {"content": f"bulk item {i}"})
+            ids.append(body["memory_id"])
+        status, body = client.request("GET", "/api/list/tester")
+        assert len(body["memories"]) == 3
+        status, body = client.request("POST", "/api/memories/bulk", {"memory_ids": ids[:2]})
+        assert body["deleted"] == 2
+        status, body = client.request("GET", "/api/list/tester")
+        assert len(body["memories"]) == 1
+
+    def test_graph_tail(self, client):
+        client.request("POST", "/api/remember",
+                       {"content": "Alice met Bob at Acme Corp in Tokyo",
+                        "entities": ["Alice", "Bob", "Acme Corp"]})
+        status, body = client.request("POST", "/api/graph/entities/all", {})
+        assert status == 200 and len(body["entities"]) >= 2
+        status, body = client.request("GET", "/api/graph/tester/curvature")
+        assert status == 200 and body["edges"]
+        status, body = client.request("POST", "/api/graph/tester/rebuild")
+        assert body["rebuilt"] is True and body["entities"] >= 2
+        status, body = client.request("GET", "/api/graph/data/tester")
+        assert body["nodes"] and body["edges"]
+        status, body = client.request("GET", "/api/brain/tester")
+        assert body["total_neurons"] >= 1 and body["working_memory"]
+        status, body = client.request("POST", "/api/visualization/build", {})
+        assert body["built"] is True
+        status, body = client.request("GET", "/api/visualization/tester/stats")
+        assert body["entities"] >= 2
+        status, page = client.request("GET", "/graph/view", headers={})
+        assert status == 200 and "entity graph" in page
+
+    def test_reminders_check_and_context(self, client):
+        client.request("POST", "/api/reminders/set",
+                       {"content": "review the budget", "context_keywords": ["budget"]})
+        status, body = client.request("GET", "/api/reminders/context")
+        assert len(body["reminders"]) == 1
+        status, body = client.request("POST", "/api/reminders/check",
+                                      {"context": "quarterly budget planning"})
+        assert len(body["fired"]) == 1
+        status, body = client.request("GET", "/api/reminders/context")
+        assert body["reminders"] == []  # fired, no longer pending
+
+    def test_sessions_tail(self, client):
+        client.request("POST", "/api/remember", {"content": "session work item"})
+        status, body = client.request("POST", "/api/sessions/digest", {})
+        assert status == 200
+        status, body = client.request(
+            "POST", "/api/sessions/context-compressed",
+            {"tokens_before": 180000, "tokens_after": 40000},
+        )
+        assert body["recorded"] is True
+        status, sess = client.request("GET", "/api/sessions")
+        if sess.get("sessions"):
+            sid = sess["sessions"][0]["id"]
+            status, body = client.request("GET", f"/api/sessions/{sid}")
+            assert body["id"] == sid
+        status, body = client.request("GET", "/api/sessions/nonexistent-id")
+        assert status == 404
+
+    def test_todos_tail(self, client):
+        _, t = client.request("POST", "/api/todos", {"title": "parent task"})
+        tid = t["todo"]["id"] if "todo" in t else t["id"]
+        _, sub = client.request("POST", "/api/todos",
+                                {"title": "child task", "parent_id": tid})
+        status, body = client.request("GET", f"/api/todos/{tid}/subtasks")
+        assert len(body["subtasks"]) == 1
+        status, body = client.request("GET", f"/api/todos/{tid}")
+        assert body["title"] == "parent task"
+        _, c = client.request("POST", f"/api/todos/{tid}/comments", {"text": "note 1"})
+        cid = c["comment"]["id"]
+        status, body = client.request(
+            "POST", f"/api/todos/{tid}/comments/{cid}/update", {"text": "edited"}
+        )
+        assert body["text"] == "edited"
+        status, body = client.request("DELETE", f"/api/todos/{tid}/comments/{cid}")
+        assert body["deleted"] is True
+        client.request("POST", "/api/todos/reorder", {"todo_id": tid, "order": 5.0})
+        status, body = client.request("GET", f"/api/todos/{tid}")
+        assert body["order"] == 5.0
+        status, body = client.request("DELETE", f"/api/todos/{tid}")
+        assert body["deleted"] is True
+
+    def test_projects_tail(self, client):
+        _, p = client.request("POST", "/api/projects", {"name": "apollo"})
+        pid = p["project"]["id"] if "project" in p else p["id"]
+        status, body = client.request("GET", f"/api/projects/{pid}")
+        assert body["name"] == "apollo"
+        status, body = client.request(
+            "POST", f"/api/projects/{pid}/update", {"description": "moon program"}
+        )
+        assert body["description"] == "moon program"
+        status, body = client.request(
+            "POST", f"/api/projects/{pid}/files/search", {"query": "anything"}
+        )
+        assert status == 200
+        status, body = client.request("DELETE", f"/api/projects/{pid}")
+        assert body["deleted"] is True
+
+    def test_users_admin_delete(self, client):
+        other = {"X-API-Key": DEV_KEY, "X-User-ID": "victim"}
+        client.request("POST", "/api/remember", {"content": "victim data"}, headers=other)
+        status, body = client.request("DELETE", "/api/users/victim")
+        assert status == 200 and body["deleted"] == "victim"
+        status, body = client.request("DELETE", "/api/users/victim")
+        assert status == 404
+
+    def test_ab_detail(self, client):
+        _, body = client.request("POST", "/api/ab/tests", {"name": "d1"})
+        tid = body["experiment"]["id"]
+        status, body = client.request("GET", f"/api/ab/tests/{tid}")
+        assert body["name"] == "d1"
+        status, _ = client.request("GET", "/api/ab/tests/nope")
+        assert status == 404
+
+    def test_backup_purge_restore_guard(self, client):
+        status, body = client.request("POST", "/api/backup/purge", {"keep": 3})
+        assert status == 200
+        # restore outside the backups root must be rejected
+        status, body = client.request(
+            "POST", "/api/backup/restore", {"backup_dir": "/etc"}
+        )
+        assert status == 400
+
+    def test_index_repair(self, client):
+        client.request("POST", "/api/remember", {"content": "index repair subject"})
+        status, body = client.request("POST", "/api/index/repair", {})
+        assert status == 200 and body["was_healthy"] is True
+
+    def test_pull_sync_with_injected_transport(self, client, monkeypatch):
+        from shodh_tpu.server import integrations_sync as isync
+
+        def fake_fetch(url, headers, data=None):
+            if "api.github.com" in url:
+                return [{"id": 1, "number": 7, "title": "Fix race", "state": "open",
+                         "body": "details", "labels": [{"name": "bug"}],
+                         "user": {"login": "alice"}, "html_url": "https://x"}]
+            return {"data": {"issues": {"nodes": [
+                {"identifier": "ENG-1", "title": "Ship it", "description": "",
+                 "url": "https://l", "state": {"name": "Todo"}}]}}}
+
+        monkeypatch.setattr(isync, "fetch_json", fake_fetch)
+        status, body = client.request(
+            "POST", "/api/sync/github",
+            {"token": "t", "owner": "acme", "repo": "backend"},
+        )
+        assert status == 200 and body["issues_synced"] == 1
+        status, body = client.request("POST", "/api/sync/linear", {"token": "t"})
+        assert status == 200 and body["issues_synced"] == 1
+        # missing token -> 400
+        status, _ = client.request("POST", "/api/sync/github", {"owner": "a", "repo": "b"})
+        assert status == 400
+
+    def test_pull_sync_unreachable_is_502(self, client, monkeypatch):
+        from shodh_tpu.server import integrations_sync as isync
+
+        def dead(url, headers, data=None):
+            raise OSError("no route to host")
+
+        monkeypatch.setattr(isync, "fetch_json", dead)
+        status, body = client.request(
+            "POST", "/api/sync/github", {"token": "t", "owner": "a", "repo": "b"}
+        )
+        assert status == 502 and body["error"]["code"] == "upstream_unreachable"
