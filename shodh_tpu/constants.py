@@ -349,6 +349,12 @@ ENTITY_SALIENCE_FILTER_MIN_MENTIONS = 5
 ENTITY_COOCCURRENCE_THRESHOLD = 0.4
 SELECTIVITY_STOP_WORD_THRESHOLD = 0.5
 SELECTIVITY_HALF_SAT = 0.5
+# Concept dedup: a NEW entity whose name embedding hits >= this cosine
+# against an existing LABEL-COMPATIBLE node merges into it as an alias
+# (graph_memory.rs:3390 add_entity 0.85-cosine dedup)
+GRAPH_CONCEPT_DEDUP_COSINE = 0.85
+# find_entity's last tier: embedding-fuzzy match (graph_memory.rs:3777-3813)
+GRAPH_FIND_FUZZY_COSINE = 0.80
 
 # Topology protection for decay (constants.rs:1701-1726, 2837-2842)
 TOPOLOGY_HYSTERESIS_DECAY = 0.5

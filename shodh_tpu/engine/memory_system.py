@@ -138,7 +138,7 @@ class MemorySystem:
         try:
             from shodh_tpu.graph.graph_memory import GraphMemory
 
-            self.graph = GraphMemory(self.data_dir / "graph")
+            self.graph = GraphMemory(self.data_dir / "graph", embedder=self.embedder)
         except ImportError:
             self.graph = None
         try:

@@ -96,7 +96,7 @@ def _edge_key(a: str, b: str) -> str:
 
 
 class GraphMemory:
-    def __init__(self, path: str | Path):
+    def __init__(self, path: str | Path, embedder=None):
         self.kv = KvStore(Path(path) / "graph.db")
         self.entities: dict[str, EntityNode] = {}
         self.edges: dict[str, Edge] = {}
@@ -106,6 +106,13 @@ class GraphMemory:
         self.alias_table: dict[str, str] = {}  # alias canonical -> entity id
         self._dirty_entities: set[str] = set()
         self._dirty_edges: set[str] = set()
+        # Entity-name embeddings (graph_memory.rs:3064,3390,3777-3813): power
+        # 0.85-cosine concept dedup in add_entity and the embedding-fuzzy
+        # find tier. Engine-internal and recomputable from names, so never
+        # persisted — (re)encoded lazily in one batch per load.
+        self.embedder = embedder
+        self._vec_ids: list[str] = []  # row i of _name_vecs is entity _vec_ids[i]
+        self._name_vecs = None  # np.ndarray (N, D) L2-normalized | None
         self._load()
 
     # -- persistence ----------------------------------------------------------
@@ -167,12 +174,23 @@ class GraphMemory:
         eid = self.alias_table.get(canon, canon)
         ent = self.entities.get(eid)
         if ent is None:
-            ent = EntityNode(
-                id=canon, name=name, label=label, fine_type=fine_type,
-                first_seen=now, last_seen=now, mention_count=0,
-            )
-            self.entities[canon] = ent
-            eid = canon
+            # Concept dedup (graph_memory.rs:3390): before minting a node,
+            # look for an existing LABEL-COMPATIBLE entity whose name
+            # embedding is >= 0.85 cosine — "NYC" folds into
+            # "New York City" as an alias instead of becoming a twin node.
+            match = self._embedding_dedup_match(canon, label)
+            if match is not None:
+                self.add_alias(canon, match)
+                eid = match
+                ent = self.entities[eid]
+            else:
+                ent = EntityNode(
+                    id=canon, name=name, label=label, fine_type=fine_type,
+                    first_seen=now, last_seen=now, mention_count=0,
+                )
+                self.entities[canon] = ent
+                eid = canon
+                self._vec_append(canon)
         ent.mention_count += 1
         ent.last_seen = now
         if label != "concept" and ent.label == "concept":
@@ -184,6 +202,75 @@ class GraphMemory:
         self._dirty_entities.add(eid)
         return eid
 
+    # -- entity-name embeddings (graph_memory.rs:3064,3390,3777-3813) ---------
+
+    def _encode_names(self, names: list[str]):
+        import numpy as np
+
+        vecs = np.asarray(self.embedder.encode_batch(names), np.float32)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        return vecs / np.maximum(norms, 1e-12)
+
+    def _ensure_name_vecs(self) -> bool:
+        """Lazy (re)build of the (N, D) name-embedding matrix."""
+        if self.embedder is None:
+            return False
+        missing = [eid for eid in self.entities if eid not in set(self._vec_ids)]
+        if self._name_vecs is None and not self._vec_ids:
+            ids = sorted(self.entities)
+            if not ids:
+                return False
+            self._vec_ids = ids
+            self._name_vecs = self._encode_names(ids)
+            return True
+        if missing:
+            import numpy as np
+
+            self._vec_ids.extend(sorted(missing))
+            new = self._encode_names(sorted(missing))
+            self._name_vecs = (
+                np.concatenate([self._name_vecs, new]) if self._name_vecs is not None else new
+            )
+        return self._name_vecs is not None and len(self._vec_ids) > 0
+
+    def _vec_append(self, eid: str) -> None:
+        if self.embedder is None or self._name_vecs is None:
+            return  # matrix not built yet; lazy build will pick it up
+        import numpy as np
+
+        self._vec_ids.append(eid)
+        self._name_vecs = np.concatenate([self._name_vecs, self._encode_names([eid])])
+
+    def _embedding_best(self, canon: str, threshold: float, label: Optional[str] = None):
+        """Highest-cosine entity for a name, or None below threshold.
+        Deterministic: ties break to the lexicographically smallest id."""
+        if not self._ensure_name_vecs():
+            return None
+        import numpy as np
+
+        q = self._encode_names([canon])[0]
+        sims = self._name_vecs @ q
+        best_id, best_sim = None, threshold
+        for i in np.argsort(-sims):
+            s = float(sims[i])
+            if s < threshold:
+                break
+            eid = self._vec_ids[i]
+            if eid not in self.entities:
+                continue  # stale row for a pruned entity
+            if label is not None and label != "concept":
+                elabel = self.entities[eid].label
+                if elabel not in ("concept", label):
+                    continue  # incompatible types never merge
+            if s > best_sim or (s == best_sim and (best_id is None or eid < best_id)):
+                best_id, best_sim = eid, s
+        return best_id
+
+    def _embedding_dedup_match(self, canon: str, label: str) -> Optional[str]:
+        if self.embedder is None or not self.entities:
+            return None
+        return self._embedding_best(canon, C.GRAPH_CONCEPT_DEDUP_COSINE, label=label)
+
     def add_alias(self, alias: str, entity_id: str) -> None:
         canon = canonical_name(alias)
         if canon and canon != entity_id and entity_id in self.entities:
@@ -194,7 +281,8 @@ class GraphMemory:
                 self._dirty_entities.add(entity_id)
 
     def find_entity(self, name: str) -> Optional[EntityNode]:
-        """Strict -> alias -> fuzzy containment lookup (:3777/:3813)."""
+        """Strict -> alias -> token containment -> embedding-fuzzy lookup
+        (graph_memory.rs:3777/:3813 find tiers)."""
         canon = canonical_name(name)
         if canon in self.entities:
             return self.entities[canon]
@@ -210,7 +298,15 @@ class GraphMemory:
             etoks = set(eid.split())
             if tokens <= etoks and len(eid) < best_len:
                 best, best_len = ent, len(eid)
-        return best
+        if best is not None:
+            return best
+        # last tier: embedding-fuzzy (graph_memory.rs:3813) — catches
+        # morphological variants and (with trained embedders) synonyms
+        match = (
+            self._embedding_best(canon, C.GRAPH_FIND_FUZZY_COSINE)
+            if self.embedder is not None else None
+        )
+        return self.entities.get(match) if match else None
 
     def selectivity(self, entity_id: str) -> float:
         """Discriminativeness of an entity: low for hub/stop-word-like nodes.

@@ -247,3 +247,104 @@ class TestDeviceSpreading:
             clock.pin_now(None)
         assert "m2" in out  # new edge visible after rebuild
         g.close()
+
+
+class _StubEmbedder:
+    """Deterministic test embedder: fixed unit vectors per name family."""
+
+    name = "stub"
+    dimension = 4
+
+    VECS = {
+        "nyc": [1.0, 0.0, 0.0, 0.0],
+        "new york city": [0.97, 0.24, 0.0, 0.0],   # cos ~0.97 vs nyc
+        "tokyo": [0.0, 1.0, 0.0, 0.0],
+        "tokio": [0.0, 0.97, 0.24, 0.0],            # cos ~0.97 vs tokyo
+        "acme corp": [0.0, 0.0, 1.0, 0.0],
+        "acme corporation": [0.0, 0.0, 0.97, 0.24],
+        "mercury person": [0.5, 0.5, 0.5, 0.5],
+        "mercury org": [0.5, 0.5, 0.5, 0.49],       # cos ~1 but diff label
+    }
+
+    def encode_batch(self, texts):
+        import numpy as np
+
+        out = []
+        for t in texts:
+            v = np.asarray(self.VECS.get(t.lower(), [0.1, 0.2, 0.3, 0.4]), np.float32)
+            out.append(v / np.linalg.norm(v))
+        return np.stack(out)
+
+    def encode(self, text):
+        return self.encode_batch([text])[0]
+
+    def encode_query(self, text):
+        return self.encode(text)
+
+
+class TestEntityEmbeddings:
+    """graph_memory.rs:3390 concept dedup + :3777/:3813 embedding-fuzzy find."""
+
+    def _graph(self, tmp_path):
+        from shodh_tpu.graph.graph_memory import GraphMemory
+
+        return GraphMemory(tmp_path / "g", embedder=_StubEmbedder())
+
+    def test_concept_dedup_merges_as_alias(self, tmp_path):
+        g = self._graph(tmp_path)
+        eid1 = g.add_entity("New York City", label="location", now=NOW)
+        eid2 = g.add_entity("NYC", label="location", now=NOW)
+        assert eid2 == eid1  # merged, no twin node
+        assert len(g.entities) == 1
+        assert "nyc" in g.entities[eid1].aliases
+        assert g.entities[eid1].mention_count == 2
+
+    def test_incompatible_labels_never_merge(self, tmp_path):
+        g = self._graph(tmp_path)
+        g.add_entity("Mercury person", label="person", now=NOW)
+        eid2 = g.add_entity("Mercury org", label="organization", now=NOW)
+        assert len(g.entities) == 2
+        assert eid2 == "mercury org"
+
+    def test_concept_label_merges_into_typed(self, tmp_path):
+        g = self._graph(tmp_path)
+        eid1 = g.add_entity("Acme Corporation", label="organization", now=NOW)
+        eid2 = g.add_entity("Acme Corp", label="concept", now=NOW)  # untyped mention
+        assert eid2 == eid1
+
+    def test_find_entity_embedding_tier(self, tmp_path):
+        g = self._graph(tmp_path)
+        g.add_entity("Tokyo", label="location", now=NOW)
+        # not strict, not alias, not token-subset — only embeddings match
+        found = g.find_entity("Tokio")
+        assert found is not None and found.id == "tokyo"
+
+    def test_below_threshold_stays_separate(self, tmp_path):
+        g = self._graph(tmp_path)
+        g.add_entity("Tokyo", label="location", now=NOW)
+        eid = g.add_entity("Acme Corp", label="organization", now=NOW)
+        assert len(g.entities) == 2 and eid == "acme corp"
+        assert g.find_entity("completely unrelated thing") is None
+
+    def test_no_embedder_unchanged_behavior(self, tmp_path):
+        from shodh_tpu.graph.graph_memory import GraphMemory
+
+        g = GraphMemory(tmp_path / "g2")  # embedder=None
+        g.add_entity("New York City", label="location", now=NOW)
+        eid = g.add_entity("NYC", label="location", now=NOW)
+        assert eid == "nyc" and len(g.entities) == 2
+
+    def test_deterministic_across_reload(self, tmp_path):
+        g = self._graph(tmp_path)
+        g.add_entity("New York City", label="location", now=NOW)
+        g.add_entity("NYC", label="location", now=NOW)
+        g.close()
+        from shodh_tpu.graph.graph_memory import GraphMemory
+
+        g2 = GraphMemory(tmp_path / "g", embedder=_StubEmbedder())
+        assert set(g2.entities) == {"new york city"}
+        assert g2.alias_table.get("nyc") == "new york city"
+        # dedup keeps working against the reloaded (lazily re-encoded) matrix
+        eid = g2.add_entity("nyc", label="location", now=NOW)
+        assert eid == "new york city"
+        g2.close()
