@@ -53,6 +53,7 @@ def run_scales() -> None:
     from shodh_tpu.ops.fused_topk import (
         TILE_N,
         _certified_parts,
+        corpus_approx_bf16,
         corpus_score_bound,
         two_level_topk,
     )
@@ -81,28 +82,29 @@ def run_scales() -> None:
         corpus, scales = build_corpus(n)
         valid = jnp.ones((n,), jnp.float32)
         bound = corpus_score_bound(corpus, scales, valid)
+        approx = corpus_approx_bf16(corpus, scales, valid)
         log(f"{label}: corpus built in {time.perf_counter() - t0:.1f}s")
 
         import functools
 
         @functools.partial(jax.jit, static_argnames=("iters",))
-        def scan_batches(corpus, scales, valid, bound, seed, iters):
+        def scan_batches(corpus, scales, valid, bound, approx, seed, iters):
             def body(carry, i):
                 q = jax.random.normal(jax.random.fold_in(seed, i), (b, d), jnp.float32)
                 q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
-                vals, rows = two_level_topk(q, corpus, valid, k, scales, bound=bound)
+                vals, rows = two_level_topk(q, corpus, valid, k, scales, bound=bound, approx=approx)
                 return carry + jnp.sum(vals[:, 0]), None
 
             total, _ = jax.lax.scan(body, 0.0, jnp.arange(iters))
             return total
 
         @functools.partial(jax.jit, static_argnames=("iters",))
-        def verify_batches(corpus, scales, valid, bound, seed, iters):
+        def verify_batches(corpus, scales, valid, bound, approx, seed, iters):
             """Certificate diagnostics + equality vs the exact path."""
             def body(carry, i):
                 q = jax.random.normal(jax.random.fold_in(seed, i), (b, d), jnp.float32)
                 q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
-                fv, fr, safe = _certified_parts(q, corpus, valid, k, scales, bound)
+                fv, fr, safe = _certified_parts(q, corpus, valid, k, scales, bound, approx)
                 ev, er = two_level_topk(q, corpus, valid, k, scales)  # exact path
                 # rows must be identical; values differ only by gathered-
                 # contraction ulp noise (same contract as the pallas pass 2)
@@ -116,16 +118,16 @@ def run_scales() -> None:
             return n_safe, n_same
 
         seed = jax.random.PRNGKey(42)
-        ns, nm = verify_batches(corpus, scales, valid, bound, seed, 4)
+        ns, nm = verify_batches(corpus, scales, valid, bound, approx, seed, 4)
         log(f"{label}: certificate safe {int(ns)}/4 batches, fast==exact {int(nm)}/4")
         # Warm up the EXACT variant being timed (static iters => its own
         # compilation; timing a cold variant measures the compiler)
         t0 = time.perf_counter()
-        sink = float(scan_batches(corpus, scales, valid, bound, seed, iters))
+        sink = float(scan_batches(corpus, scales, valid, bound, approx, seed, iters))
         compile_s = time.perf_counter() - t0
         log(f"{label}: compile+{iters} batches {compile_s:.1f}s (sink {sink:.2f})")
         t0 = time.perf_counter()
-        sink = float(scan_batches(corpus, scales, valid, bound, seed, iters))
+        sink = float(scan_batches(corpus, scales, valid, bound, approx, seed, iters))
         total_s = time.perf_counter() - t0
         per_batch = total_s / iters
         qps = b / per_batch
@@ -138,7 +140,7 @@ def run_scales() -> None:
                 "vs_baseline": round(qps / REFERENCE_QPS, 1),
             }
         )
-        del corpus, scales, valid
+        del corpus, scales, valid, approx
 
     def measure_funnel(n, label, iters=8):
         """Full hybrid funnel (config 4): fusion + L5 + top-k in one program."""

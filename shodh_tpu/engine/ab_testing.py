@@ -124,6 +124,27 @@ class ABTestManager:
         h = hashlib.sha256(f"{exp.id}:{subject}".encode()).digest()
         return names[h[0] % len(names)]
 
+    def active_scoring(self, subject: str):
+        """The running scoring experiment's (exp, variant, weight overrides)
+        for a subject, or None.
+
+        Scoring experiments are named ``scoring:<what>`` and their variant
+        values are LearnedWeights-style dicts of fusion-weight substitutions
+        (ab_testing.rs LearnedWeights). Deterministic: first RUNNING scoring
+        experiment by (created_at, id); assignment is the consistent hash.
+        """
+        running = sorted(
+            (e for e in self.list()
+             if e.status == "running" and e.name.startswith("scoring")),
+            key=lambda e: (e.created_at.isoformat(), e.id),
+        )
+        if not running:
+            return None
+        exp = running[0]
+        variant = self.assign(exp, subject)
+        overrides = exp.variants.get(variant) or {}
+        return exp, variant, {k: float(v) for k, v in overrides.items()}
+
     def record(self, exp_id: str, variant: str, event: str) -> None:
         exp = self.get(exp_id)
         if exp is None or variant not in exp.stats:

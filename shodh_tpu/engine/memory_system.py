@@ -86,6 +86,7 @@ class MemorySystem:
         self.storage = MemoryStorage(self.data_dir)
         self.embedder = embedder or default_embedder()
         self._device_funnel = None  # lazy; SHODH_DEVICE_FUNNEL=1 fast path
+        self._ab = None  # lazy ABTestManager (scoring-weight experiments)
         index_path = self.data_dir / "index" / "text"
         if index_path.with_suffix(".json").exists():
             self.index = DeviceVectorIndex.load(index_path)
@@ -530,6 +531,14 @@ class MemorySystem:
 
         # Fusion (RRF with density weights) or vector-only
         t0 = time.perf_counter()
+        # A/B scoring experiment (ab_testing.rs LearnedWeights): a RUNNING
+        # "scoring:*" experiment substitutes fusion weights for this
+        # subject's assigned variant; impressions record per recall (writes
+        # gated by the readonly harness flag).
+        ab_assignment = self._active_scoring_assignment()
+        overrides = ab_assignment[2] if ab_assignment else None
+        if ab_assignment and not C.recall_readonly():
+            self.ab.record(ab_assignment[0].id, ab_assignment[1], "impression")
         if bm25_scores or graph_activation:
             from shodh_tpu.retrieval.fusion import fuse_legs
 
@@ -539,6 +548,7 @@ class MemorySystem:
                 bm25=bm25_scores,
                 graph=graph_activation,
                 density=density,
+                overrides=overrides,
             )
         else:
             fused = dict(mem_scores)
@@ -1016,6 +1026,23 @@ class MemorySystem:
         self.session.remove(memory_id)
         return self.storage.delete(memory_id)
 
+    @property
+    def ab(self):
+        """Lazy A/B experiment manager over this user's kv store."""
+        if self._ab is None:
+            from shodh_tpu.engine.ab_testing import ABTestManager
+
+            self._ab = ABTestManager(self.storage.kv)
+        return self._ab
+
+    def _active_scoring_assignment(self):
+        """(experiment, variant, overrides) when a scoring A/B runs, else None.
+        Subject = this system's data-dir name (the per-user identity)."""
+        try:
+            return self.ab.active_scoring(self.data_dir.name)
+        except Exception:
+            return None  # a corrupt experiment record must never break recall
+
     @_locked
     def reinforce_recall(self, memory_ids: list[str], helpful: bool = True) -> int:
         """Explicit feedback: strengthen/weaken recalled memories (mod.rs:10040)."""
@@ -1036,6 +1063,15 @@ class MemorySystem:
             n += 1
         if self.graph is not None:
             self.graph.reinforce_memories(memory_ids, helpful)
+        # Feedback closes the A/B loop: helpful recalls count as clicks +
+        # positive signal for the subject's assigned scoring variant
+        # (ab_testing.rs CTR over LearnedWeights arms).
+        assignment = self._active_scoring_assignment()
+        if assignment and n:
+            exp, variant, _ = assignment
+            self.ab.record(exp.id, variant, "click" if helpful else "negative")
+            if helpful:
+                self.ab.record(exp.id, variant, "positive")
         if self._device_funnel is not None:
             self._device_funnel.invalidate()  # importance/momentum mirrors drifted
         return n

@@ -151,7 +151,7 @@ class DeviceVectorIndex:
         import jax
         import jax.numpy as jnp
 
-        vecs, scales, valid, bound = self._device
+        vecs, scales, valid, bound, approx = self._device
         vecs = jax.lax.dynamic_update_slice(
             vecs, jnp.asarray(self._vecs_np[start:end]), (start, 0)
         )
@@ -164,13 +164,19 @@ class DeviceVectorIndex:
         # Certificate bound only grows on append (soft deletes only shrink
         # the true max, and a larger bound stays sound) — fold in the new
         # rows' scale*norm on host, no device pass needed.
+        new_slice = self._vecs_np[start:end].astype(np.float32)
         new_term = float(
-            np.max(
-                np.linalg.norm(self._vecs_np[start:end].astype(np.float32), axis=1)
-                * self._scales_np[start:end]
-            )
+            np.max(np.linalg.norm(new_slice, axis=1) * self._scales_np[start:end])
         )
-        self._device = (vecs, scales, valid, jnp.maximum(bound, new_term))
+        # Mirror delta: pre-scaled bf16 rows appended in place.
+        approx = jax.lax.dynamic_update_slice(
+            approx,
+            jnp.asarray(
+                new_slice * self._scales_np[start:end][:, None]
+            ).astype(jnp.bfloat16),
+            (start, 0),
+        )
+        self._device = (vecs, scales, valid, jnp.maximum(bound, new_term), approx)
 
     def _grow(self, min_rows: int) -> None:
         quantum = INDEX_CAPACITY_QUANTUM
@@ -217,14 +223,19 @@ class DeviceVectorIndex:
 
         self.flush()
         if self._device is None and self._capacity > 0:
-            from shodh_tpu.ops.fused_topk import corpus_score_bound
+            from shodh_tpu.ops.fused_topk import corpus_approx_bf16, corpus_score_bound
 
             vecs = jnp.asarray(self._vecs_np)
             scales = jnp.asarray(self._scales_np)
             valid = jnp.asarray(self._valid_np)
-            # Certificate term for the quantized fast pass-1 (one corpus
-            # pass per index version, amortized across all queries).
-            self._device = (vecs, scales, valid, corpus_score_bound(vecs, scales, valid))
+            # Certificate term + pre-scaled bf16 mirror for the quantized
+            # fast pass-1 (one corpus pass each per index version,
+            # amortized across all queries).
+            self._device = (
+                vecs, scales, valid,
+                corpus_score_bound(vecs, scales, valid),
+                corpus_approx_bf16(vecs, scales, valid),
+            )
         return self._device
 
     def search(self, queries: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:

@@ -173,38 +173,62 @@ def exact_topk_scores(scores, k: int):
 # --------------------------------------------------------------------------
 # Certified quantized pass-1 selection (round-2 "break the fp32 floor").
 #
-# The exact XLA path spends ~all its time on the (B, N) matmul at
-# Precision.HIGHEST (6-pass bf16 emulation). Selection does not need exact
-# scores — only pass-2 rescoring does. So: compute pass 1 in ONE bf16 pass
-# (~6x fewer MXU passes), select top-m groups with slack (m >= 4k), rescore
-# those rows exactly at HIGHEST, and PROVE the result equals the exact path:
+# Measured anatomy at 1M x 384, B=256 on v5e (see BENCHMARKS.md): the
+# matmul itself costs ~5.5 ms in ONE bf16 pass vs ~7.6 ms at HIGHEST, and
+# the old scale/mask epilogue + f32 group-max chain added ~6 ms of pure
+# (B, N)-matrix HBM traffic. Selection does not need exact scores — only
+# the final rescore does — so the fast path eliminates every per-element
+# epilogue and keeps the score matrix in bf16:
 #
-#   For bf16-rounded queries q^ (corpus int8 -> bf16 is exact; |v|<=127
-#   fits bf16's 8 significand bits), the raw-dot error obeys
-#     |s^ - s| <= u * ||q||_2 * ||c||_2,   u = 2^-8 (bf16 round-off)
-#   so with bound = max over valid rows of scale_r * ||c_r||_2,
-#     eps_b = SAFETY * u * ||q_b||_2 * bound        (SAFETY=1.25 covers f32
-#                                                    accumulation round-off)
-#   Let beta_b = the m-th best APPROX group max and s_k = the exact k-th
-#   candidate score after rescore. Every excluded group g has approx max
-#   <= beta_b, hence TRUE max <= beta_b + eps_b. If beta_b + eps_b < s_k
-#   (strict, so index tie-breaks cannot be usurped), no excluded row can
-#   enter the top-k -> the fast result is bit-identical to the exact path.
-#   Otherwise lax.cond falls back to the full exact computation.
+#   Pass 1: q_bf16 @ corpus_approx -> (B, N) bf16, where corpus_approx is
+#     a PRE-SCALED bf16 mirror with invalid rows zeroed (built once per
+#     index version by :func:`corpus_approx_bf16`). No scale multiply, no
+#     mask pass; the bf16 matrix halves the group-max read traffic.
+#     Zeroed invalid rows can only INFLATE a group max (never deflate a
+#     valid row's score), which keeps every bound below one-sided-sound;
+#     the exact rescore masks them to -inf so they can never surface.
+#   Stage 1 (groups): top-m group maxes with slack (m >= 4k). beta = the
+#     m-th best approx group max.
+#   Stage 2 (rows): gather the selected groups' approx scores (contiguous
+#     slices of the already-materialized bf16 matrix), take the top-R rows
+#     (R >= max(4k, 64)). gamma = the R-th best approx row score.
+#   Rescore: gather ONLY those R corpus rows (B*R*D int8 ~ 6 MB at k=10,
+#     B=256 — scattered is fine at this size), exact HIGHEST einsum with
+#     the true scales + validity mask, final top-k.
 #
-# The certificate makes the fast path safe even on adversarial ties: ties
-# at the boundary fail the strict inequality and take the exact branch.
+# Exactness certificate. With u = 2^-8 (bf16 round-off) the approx score
+# error obeys |s^ - s| <= ~3u * ||q||_2 * bound  (three bf16 roundings:
+# the mirror values int8*scale -> bf16, the query cast, the matmul output
+# cast; products are exact in f32 on the MXU, accumulation error is
+# O(2^-24)). bound = max over valid rows of scale_r*||c_r||_2
+# (:func:`corpus_score_bound`). Any row excluded at either stage has
+# approx score <= max(beta, gamma), hence TRUE score <= max(beta, gamma)
+# + eps. If max(beta, gamma) + eps < s_k (strict, so index tie-breaks
+# cannot be usurped), the true top-k all survived both stages and the
+# result equals the exact path; otherwise lax.cond falls back to the full
+# exact computation. Adversarial exact ties at the boundary fail the
+# strict inequality and take the exact branch by construction.
 # --------------------------------------------------------------------------
 
 _BF16_U = 2.0**-8  # upper bound on bf16 round-to-nearest relative error
-_EPS_SAFETY = 1.25  # head-room for f32 accumulation round-off in the MXU
+_EPS_SAFETY = 3.5  # covers the three bf16 roundings + f32 accumulation
 
 
 def _slack_groups(k: int, g: int) -> int:
+    """Slack sized so random-data boundary margins clear the 3.5u error
+    bound (measured: m=4k left rank-40 margins ~0.012 < eps 0.0143 at 1M —
+    certificate failed every batch; m>=64 clears it with room)."""
     import os
 
-    m = int(os.environ.get("SHODH_TOPK_SLACK_GROUPS", "0")) or max(4 * k, 32)
+    m = int(os.environ.get("SHODH_TOPK_SLACK_GROUPS", "0")) or max(8 * k, 64)
     return min(m, g)
+
+
+def _slack_rows(k: int, limit: int) -> int:
+    import os
+
+    r = int(os.environ.get("SHODH_TOPK_SLACK_ROWS", "0")) or max(16 * k, 256)
+    return min(r, limit)
 
 
 def _fast_enabled() -> bool:
@@ -221,68 +245,78 @@ def corpus_score_bound(corpus, scales, valid):
     return jnp.max(norms * scales * valid)
 
 
-def _rescore_exact_groups(queries, corpus, scales, valid, top_groups):
-    """Exact HIGHEST-precision scores for the selected groups' rows.
-
-    Gathers whole CONTIGUOUS (GROUP, D) blocks from the (G, GROUP, D) view —
-    48 KB aligned DMAs — NOT per-row 384 B scatters (round-1 measurement:
-    scattered row gather cost 28.5 ms/batch at 1M, contiguity is the whole
-    game). Returns (B, m*GROUP) candidate scores.
-    """
-    b = queries.shape[0]
-    n, d = corpus.shape
-    g = n // GROUP
-    m = top_groups.shape[1]
-    c3 = corpus.reshape(g, GROUP, d)[top_groups]  # (B, m, GROUP, D) contiguous
-    raw = jnp.einsum(
-        "bd,bmgd->bmg", queries, c3.astype(jnp.float32),
-        precision=jax.lax.Precision.HIGHEST,
-    ).reshape(b, m * GROUP)
-    s = scales.reshape(g, GROUP)[top_groups].reshape(b, m * GROUP)
-    v = valid.reshape(g, GROUP)[top_groups].reshape(b, m * GROUP)
-    return raw * s * v + (1.0 - v) * NEG_INF
+@jax.jit
+def corpus_approx_bf16(corpus, scales, valid):
+    """Pre-scaled bf16 mirror with invalid rows zeroed — pass 1 needs no
+    per-element epilogue at all. One pass per index version."""
+    return (
+        corpus.astype(jnp.float32) * (scales * valid)[:, None]
+    ).astype(jnp.bfloat16)
 
 
-def _certified_parts(queries, corpus, valid, k: int, scales, bound):
+def _certified_parts(queries, corpus, valid, k: int, scales, bound, approx=None):
     """Fast-path candidate result + the safety certificate.
 
     Returns (vals, ids, safe). ``safe`` True proves (vals, ids) equals the
-    exact path bit-for-bit; False means the boundary margin was thinner
-    than the bf16 error bound and the caller must take the exact path.
+    exact path bit-for-bit; False means a selection boundary margin was
+    thinner than the bf16 error bound and the caller must take the exact
+    path. ``approx`` is the :func:`corpus_approx_bf16` mirror (built inline
+    when absent — callers that can should cache it per index version).
     """
     b, d = queries.shape
     n = corpus.shape[0]
     g = n // GROUP
     m = _slack_groups(k, g)
+    if approx is None:
+        approx = corpus_approx_bf16(corpus, scales, valid)
 
-    # Pass 1: ONE bf16 MXU pass (the exact path does 6).
+    # Pass 1: one bf16 MXU pass, bf16 score matrix, zero epilogue.
     raw = jax.lax.dot_general(
         queries.astype(jnp.bfloat16),
-        corpus.astype(jnp.bfloat16),
+        approx,
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    approx = raw * scales[None, :] * valid[None, :] + (1.0 - valid[None, :]) * NEG_INF
-    gmax = jnp.max(approx.reshape(b, g, GROUP), axis=-1)
+        preferred_element_type=jnp.bfloat16,
+    )  # (B, N) bf16
+    a3 = raw.reshape(b, g, GROUP)
+    gmax = jnp.max(a3, axis=-1).astype(jnp.float32)  # (B, G)
 
+    # Stage 1: slack group selection.
     top_vals, top_groups = jax.lax.top_k(gmax, m)
     beta = top_vals[:, -1]  # m-th best approx group max, (B,)
     top_groups = jnp.sort(top_groups, axis=-1)  # ascending rows => tie-breaks
-    row_offsets = jnp.arange(GROUP, dtype=jnp.int32)[None, None, :]
-    rows = (top_groups[:, :, None] * GROUP + row_offsets).reshape(b, m * GROUP)
 
-    cand = _rescore_exact_groups(queries, corpus, scales, valid, top_groups)
+    # Stage 2: slack row selection INSIDE the chosen groups, from the
+    # already-materialized approx matrix (contiguous group slices).
+    cand_approx = jnp.take_along_axis(a3, top_groups[:, :, None], axis=1)
+    cand_approx = cand_approx.reshape(b, m * GROUP).astype(jnp.float32)
+    row_offsets = jnp.arange(GROUP, dtype=jnp.int32)[None, None, :]
+    cand_rows = (top_groups[:, :, None] * GROUP + row_offsets).reshape(b, m * GROUP)
+    r = _slack_rows(k, m * GROUP)
+    top_row_vals, top_row_pos = jax.lax.top_k(cand_approx, r)
+    gamma = top_row_vals[:, -1]  # R-th best approx row score, (B,)
+    rows = jnp.take_along_axis(cand_rows, top_row_pos, axis=-1)  # (B, R)
+    rows = jnp.sort(rows, axis=-1)  # ascending row ids => brute tie-breaks
+
+    # Exact rescore of just R rows per query (~6 MB gather at defaults).
+    gathered = corpus[rows]  # (B, R, D)
+    raw_exact = jnp.einsum(
+        "bd,brd->br", queries, gathered.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    v = valid[rows]
+    cand = raw_exact * scales[rows] * v + (1.0 - v) * NEG_INF
     vals, pos = jax.lax.top_k(cand, k)
     ids = jnp.take_along_axis(rows, pos, axis=-1)
 
     eps = _EPS_SAFETY * _BF16_U * jnp.linalg.norm(queries, axis=-1) * bound
-    safe = jnp.all(beta + eps < vals[:, k - 1])
+    boundary = jnp.maximum(beta, gamma)
+    safe = jnp.all(boundary + eps < vals[:, k - 1])
     return vals, ids, safe
 
 
-def _certified_fast_topk(queries, corpus, valid, k: int, scales, bound):
-    """bf16 pass-1 group selection with exact rescore + certified fallback."""
-    vals, ids, safe = _certified_parts(queries, corpus, valid, k, scales, bound)
+def _certified_fast_topk(queries, corpus, valid, k: int, scales, bound, approx=None):
+    """bf16 pass-1 two-stage selection with exact rescore + certified fallback."""
+    vals, ids, safe = _certified_parts(queries, corpus, valid, k, scales, bound, approx)
 
     def exact_path(_):
         from shodh_tpu.ops.distance import masked_scores
@@ -305,14 +339,16 @@ def _candidate_rows(gmax, k: int):
 
 
 @partial(jax.jit, static_argnames=("k",))
-def two_level_topk(queries, corpus, valid, k: int, scales=None, bound=None):
+def two_level_topk(queries, corpus, valid, k: int, scales=None, bound=None,
+                   approx=None):
     """Exact top-k via fused group-max + group rescoring.
 
     Same signature/result contract as ops.distance.brute_topk. When
     ``bound`` (a scalar from :func:`corpus_score_bound`) is provided on the
-    XLA path, selection runs the certified bf16 fast pass 1 — bit-identical
-    output with a proven fallback (see the block comment above
-    ``_certified_fast_topk``); ~6x fewer MXU passes on the dominant matmul.
+    XLA path, selection runs the certified bf16 fast path — exact rows with
+    a proven fallback (see the block comment above ``_certified_parts``).
+    Pass ``approx`` (:func:`corpus_approx_bf16`, cached per index version)
+    to skip the per-call mirror build.
     """
     b, d = queries.shape
     n = corpus.shape[0]
@@ -325,7 +361,7 @@ def two_level_topk(queries, corpus, valid, k: int, scales=None, bound=None):
         and _default_impl() == "xla"
         and n // GROUP > _slack_groups(k, n // GROUP)
     ):
-        return _certified_fast_topk(queries, corpus, valid, k, scales, bound)
+        return _certified_fast_topk(queries, corpus, valid, k, scales, bound, approx)
 
     if _default_impl() == "xla":
         # The XLA pass 1 materializes the full (B, N) score matrix anyway —

@@ -102,14 +102,23 @@ def flat_fuse(
     bm25: Mapping[str, float],
     graph: Mapping[str, float],
     density: float,
+    overrides: Mapping[str, float] | None = None,
 ) -> dict[str, float]:
-    """Calibrated-max fusion of the three legs (production default)."""
+    """Calibrated-max fusion of the three legs (production default).
+
+    ``overrides`` carries A/B-experiment LearnedWeights variants
+    (ab_testing.rs): per-query scoring-weight substitutions
+    (flat_consensus / vec_trust / graph_weight_scale)."""
+    overrides = overrides or {}
     graph_w = density_graph_weight(density) if graph else 0.0
+    graph_w = min(1.0, graph_w * float(overrides.get("graph_weight_scale", 1.0)))
     hybrid_w = 1.0 - graph_w
     max_vec = max(semantic.values(), default=0.0) or 1e-6
     max_bm = max(bm25.values(), default=0.0) or 1e-6
-    vec_trust = adaptive_vec_trust(semantic, bm25)
-    consensus = env_float("SHODH_FLAT_CONSENSUS", FLAT_CONSENSUS)
+    vec_trust = float(overrides.get("vec_trust", adaptive_vec_trust(semantic, bm25)))
+    consensus = float(
+        overrides.get("flat_consensus", env_float("SHODH_FLAT_CONSENSUS", FLAT_CONSENSUS))
+    )
 
     # Vector-leg calibration: cosine is already in [0,1]; raw scores keep
     # the real margins (max-normalization compresses them and lets L5
@@ -156,6 +165,7 @@ def fuse_legs(
     bm25: Mapping[str, float],
     graph: Mapping[str, float],
     density: float,
+    overrides: Mapping[str, float] | None = None,
 ) -> dict[str, float]:
     """Fuse recall legs. FLAT calibrated-max unless SHODH_FUSION_RRF=1."""
     if env_flag("SHODH_FUSION_RRF", False):
@@ -168,4 +178,4 @@ def fuse_legs(
                 legs.append(_ranked(leg_map))
                 weights.append(w)
         return rrf_fuse(legs, weights) if legs else {}
-    return flat_fuse(semantic, bm25, graph, density)
+    return flat_fuse(semantic, bm25, graph, density, overrides=overrides)

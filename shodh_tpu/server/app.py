@@ -2225,11 +2225,51 @@ def run_server(
                     for intent in due:
                         manager.audit(uid, "reminder_due", {"reminder_id": intent.id, "content": intent.content})
 
-        t1 = asyncio.create_task(maintenance_loop())
-        t2 = asyncio.create_task(reminder_loop())
+        async def backup_loop():
+            """Periodic verified backups per user (server.rs:142-156 backup
+            scheduler). SHODH_BACKUP_INTERVAL_SECS=0 disables."""
+            interval = float(os.environ.get("SHODH_BACKUP_INTERVAL_SECS", "86400"))
+            if interval <= 0:
+                return
+            from shodh_tpu.storage.backup import create_backup, purge_backups
+
+            while True:
+                await asyncio.sleep(interval)
+                for uid in manager.known_users():
+                    try:
+                        sys_ = manager.get_user_memory(uid)
+                        await asyncio.to_thread(sys_.save)
+                        path = await asyncio.to_thread(
+                            create_backup,
+                            manager.data_dir / "users" / uid,
+                            manager.data_dir / "backups" / uid,
+                        )
+                        await asyncio.to_thread(
+                            purge_backups, manager.data_dir / "backups" / uid, 5
+                        )
+                        manager.audit(uid, "backup_scheduled", {"path": str(path)})
+                    except Exception as exc:  # noqa: BLE001 — scheduler must survive
+                        manager.audit(uid, "backup_failed", {"error": str(exc)})
+
+        # Opt-in anonymous heartbeat (server.rs telemetry scheduler;
+        # SHODH_TELEMETRY=1 enables, off by default — see server/telemetry.py)
+        from shodh_tpu.server.telemetry import TelemetryHeartbeat
+
+        heartbeat = TelemetryHeartbeat(
+            manager.data_dir,
+            stats_fn=lambda: {"users": len(manager.known_users())},
+        )
+        heartbeat.start()
+
+        tasks = [
+            asyncio.create_task(maintenance_loop()),
+            asyncio.create_task(reminder_loop()),
+            asyncio.create_task(backup_loop()),
+        ]
         yield
-        t1.cancel()
-        t2.cancel()
+        for t in tasks:
+            t.cancel()
+        heartbeat.stop()
         manager.close()
 
     app.cleanup_ctx.append(schedulers)

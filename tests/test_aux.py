@@ -237,3 +237,80 @@ class TestMIF:
         assert parse_mif_version("1.3") == 1
         with pytest.raises(ValueError):
             parse_mif_version("banana")
+
+
+class TestABScoringWiring:
+    """A/B experiments that actually swap fusion weights (ab_testing.rs
+    LearnedWeights) — the round-1 gap: experiments tracked CTR but never
+    touched scoring."""
+
+    def _system(self, tmp_path):
+        from shodh_tpu.engine.memory_system import MemorySystem
+        from shodh_tpu.types import Experience
+
+        sys_ = MemorySystem(tmp_path / "abuser")
+        sys_.remember(Experience(content="kafka powers the event pipeline"))
+        sys_.remember(Experience(content="the pipeline deploy failed yesterday"))
+        return sys_
+
+    def test_running_scoring_experiment_changes_fusion(self, tmp_path, monkeypatch):
+        from shodh_tpu.retrieval.fusion import flat_fuse
+
+        sem = {"a": 0.9, "b": 0.5}
+        bm = {"a": 0.5, "b": 0.9}
+        base = flat_fuse(sem, bm, {}, 0.0)
+        lo = flat_fuse(sem, bm, {}, 0.0, overrides={"flat_consensus": 0.0})
+        hi = flat_fuse(sem, bm, {}, 0.0, overrides={"flat_consensus": 1.0})
+        assert lo["a"] < base["a"] < hi["a"]  # consensus term responds
+
+    def test_recall_records_impressions_and_uses_variant(self, tmp_path):
+        from shodh_tpu.types import Query
+
+        sys_ = self._system(tmp_path)
+        exp = sys_.ab.create(
+            "scoring:consensus-sweep",
+            {"low": {"flat_consensus": 0.0}, "high": {"flat_consensus": 1.0}},
+            NOW,
+        )
+        sys_.ab.set_status(exp.id, "running")
+        variant = sys_.ab.assign(exp, sys_.data_dir.name)
+        res = sys_.recall(Query(query_text="pipeline"))
+        assert res.ids
+        got = sys_.ab.get(exp.id)
+        assert got.stats[variant].impressions == 1
+        # feedback closes the loop as a click + positive signal
+        sys_.reinforce_recall([res.ids[0]], helpful=True)
+        got = sys_.ab.get(exp.id)
+        assert got.stats[variant].clicks == 1
+        assert got.stats[variant].positive_feedback == 1
+        sys_.close()
+
+    def test_readonly_harness_never_writes(self, tmp_path, monkeypatch):
+        from shodh_tpu.types import Query
+
+        sys_ = self._system(tmp_path)
+        exp = sys_.ab.create("scoring:ro", {"a": {}, "b": {"flat_consensus": 0.9}}, NOW)
+        sys_.ab.set_status(exp.id, "running")
+        monkeypatch.setenv("SHODH_RECALL_READONLY", "1")
+        sys_.recall(Query(query_text="pipeline"))
+        got = sys_.ab.get(exp.id)
+        assert all(v.impressions == 0 for v in got.stats.values())
+        sys_.close()
+
+    def test_non_scoring_experiments_ignored(self, tmp_path):
+        from shodh_tpu.types import Query
+
+        sys_ = self._system(tmp_path)
+        exp = sys_.ab.create("ui-banner-test", {"a": {}, "b": {}}, NOW)
+        sys_.ab.set_status(exp.id, "running")
+        sys_.recall(Query(query_text="pipeline"))
+        got = sys_.ab.get(exp.id)
+        assert all(v.impressions == 0 for v in got.stats.values())
+        assert sys_._active_scoring_assignment() is None
+        sys_.close()
+
+    def test_draft_scoring_experiment_inactive(self, tmp_path):
+        sys_ = self._system(tmp_path)
+        sys_.ab.create("scoring:draft-only", {"a": {}, "b": {}}, NOW)
+        assert sys_._active_scoring_assignment() is None
+        sys_.close()

@@ -276,3 +276,56 @@ class TestSuppressAndReminderRoutes:
         assert body["active"] == "main"
         status, _ = client.request("POST", "/api/lineage/branch/switch", {"branch_id": "nope"})
         assert status == 404
+
+
+class TestSchedulers:
+    """server.rs:142-156 scheduler loops: reminder (already present),
+    backup, telemetry. Driven against a real subprocess server."""
+
+    def test_backup_scheduler_produces_verified_backups(self, tmp_path):
+        import os
+        import subprocess
+        import sys as _sys
+        import time
+        import urllib.request
+
+        port = 18931
+        env = {
+            **os.environ,
+            "SHODH_DEV_API_KEY": "sk",
+            "SHODH_BACKUP_INTERVAL_SECS": "2",
+            "PYTHONPATH": str(tmp_path.parents[0]),
+        }
+        code = (
+            "import jax; jax.config.update('jax_platforms','cpu');"
+            "from shodh_tpu.cli import main;"
+            f"main(['serve','--data-dir','{tmp_path}/srv','--port','{port}'])"
+        )
+        proc = subprocess.Popen([_sys.executable, "-c", code], env=env,
+                                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        try:
+            deadline = time.time() + 30
+            while time.time() < deadline:
+                try:
+                    urllib.request.urlopen(f"http://127.0.0.1:{port}/health", timeout=1)
+                    break
+                except OSError:
+                    time.sleep(0.5)
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/api/remember",
+                data=b'{"content": "scheduled backup subject"}',
+                headers={"X-API-Key": "sk", "Content-Type": "application/json"},
+            )
+            urllib.request.urlopen(req, timeout=10)
+            backup_root = tmp_path / "srv" / "backups" / "default"
+            deadline = time.time() + 20
+            while time.time() < deadline and not list(backup_root.glob("*")):
+                time.sleep(0.5)
+            backups = list(backup_root.glob("*"))
+            assert backups, "backup scheduler produced no backup within 20s"
+            from shodh_tpu.storage.backup import verify_backup
+
+            assert verify_backup(backups[0])
+        finally:
+            proc.terminate()
+            proc.wait(timeout=10)
