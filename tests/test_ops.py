@@ -101,6 +101,7 @@ class TestCertifiedFastTopk:
 
     def test_bit_identical_to_brute(self, monkeypatch):
         monkeypatch.setenv("SHODH_TOPK_IMPL", "xla")
+        monkeypatch.setenv("SHODH_TOPK_FAST_MIN_ROWS", "0")
         two_level_topk._clear_cache()
         queries, corpus, valid, scales, bound = self._setup()
         k = 10
@@ -130,6 +131,7 @@ class TestCertifiedFastTopk:
         groups: the strict certificate must fail and the fallback must
         reproduce brute force's lowest-index tie-breaks."""
         monkeypatch.setenv("SHODH_TOPK_IMPL", "xla")
+        monkeypatch.setenv("SHODH_TOPK_FAST_MIN_ROWS", "0")
         two_level_topk._clear_cache()
         n, d, k = 16 * TILE_N, 128, 10
         rng = np.random.default_rng(3)
@@ -159,6 +161,7 @@ class TestCertifiedFastTopk:
 
     def test_huge_bound_forces_fallback_still_exact(self, monkeypatch):
         monkeypatch.setenv("SHODH_TOPK_IMPL", "xla")
+        monkeypatch.setenv("SHODH_TOPK_FAST_MIN_ROWS", "0")
         two_level_topk._clear_cache()
         queries, corpus, valid, scales, _ = self._setup(seed=11)
         k = 16
