@@ -247,6 +247,17 @@ SPREADING_EARLY_TERMINATION_CANDIDATES = 50
 SPREADING_NORMALIZATION_FACTOR = 2.0
 SPREADING_DEGREE_NORMALIZATION = True
 SPREADING_EDGE_CAP = 100  # max edges expanded per node per spread
+# Above this entity count the CSR device spreader replaces the host walk
+# (host bidirectional re-spreads are O(seeds * E); the device variant
+# batches all seeds in one vmapped propagation)
+SPREADING_DEVICE_MIN_ENTITIES = 2048
+# Graph cue expansion (mod.rs:2760-3330): top-K 1-hop bridge entities of
+# the query seeds join the BM25 query as weighted extra cues
+GRAPH_CUE_EXPANSION_MAX = 3
+GRAPH_CUE_TERM_WEIGHT = 0.3
+# Beam traversal (graph_retrieval.rs:1011)
+BEAM_WIDTH_DEFAULT = 8
+BEAM_MAX_DEPTH = 4
 SALIENCE_BOOST_FACTOR = 1.0
 BIDIRECTIONAL_MIN_ENTITIES = 2
 BIDIRECTIONAL_INTERSECTION_BOOST = 1.5
@@ -378,6 +389,11 @@ LINEAGE_MIN_ENTITY_OVERLAP = 0.3
 LINEAGE_MIN_EMBEDDING_SIMILARITY = 0.25
 LINEAGE_MAX_CANDIDATES = 20
 LINEAGE_LOOKBACK_DAYS = 7
+# Ingest-throughput guards (BASELINE config 5): cap inferred edges per new
+# memory and candidate reads per inference — on dense corpora unbounded
+# inference was 64% of ingest time (profiled round 2)
+LINEAGE_MAX_EDGES_PER_MEMORY = 8
+LINEAGE_MAX_CANDIDATE_READS = 60
 LINEAGE_CONFIDENCE = {
     "caused": 0.8,
     "resolved_by": 0.85,

@@ -340,11 +340,19 @@ class LineageStore:
                     cand_ids.append(mid)
         candidates = 0
         created = 0
+        pending: list[LineageEdge] = []
+        branch = self.active_branch()  # one read, not one per edge
+        reads = 0
         for mid in cand_ids:
+            if reads >= C.LINEAGE_MAX_CANDIDATE_READS:
+                break  # ingest-throughput guard: bounded store reads
+            reads += 1
             other = storage.get(mid)
             if other is None:
                 continue
             if candidates >= C.LINEAGE_MAX_CANDIDATES:
+                break
+            if created >= C.LINEAGE_MAX_EDGES_PER_MEMORY:
                 break
             if other.id == mem.id or other.created_at >= mem.created_at:
                 continue
@@ -376,6 +384,24 @@ class LineageStore:
             else:
                 relation = "related_to"
             conf = C.LINEAGE_CONFIDENCE[relation] * (0.5 + 0.5 * overlap)
-            if self.add_edge(other.id, mem.id, relation, now, confidence=conf, inferred=True):
+            if conf >= C.LINEAGE_MIN_STORE_CONFIDENCE:
+                pending.append(
+                    LineageEdge(
+                        id=str(uuid.uuid5(uuid.NAMESPACE_OID,
+                                          f"ledge:{other.id}:{mem.id}:{relation}")),
+                        from_memory=other.id, to_memory=mem.id, relation=relation,
+                        confidence=conf, created_at=now, inferred=True,
+                        branch_id=branch,
+                    )
+                )
                 created += 1
+        if pending:
+            # ONE transaction for all inferred edges (per-edge write_batch
+            # was the dominant ingest cost on dense corpora)
+            ops: list[tuple] = []
+            for edge in pending:
+                ops.append(("put", NS_LEDGE, edge.id, encode(edge.to_dict())))
+                ops.append(("put", NS_LFROM, f"{edge.from_memory}:{edge.id}", b""))
+                ops.append(("put", NS_LTO, f"{edge.to_memory}:{edge.id}", b""))
+            self.kv.write_batch(ops)
         return created

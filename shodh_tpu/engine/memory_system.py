@@ -214,7 +214,14 @@ class MemorySystem:
         self,
         experience: Experience | dict,
         created_at: Optional[datetime] = None,
+        enrich: bool = True,
     ) -> Memory:
+        """Store an experience. ``enrich=False`` is the streaming fast path
+        (BASELINE config 5 "embed+index"): dedup/importance/embed/index/
+        BM25/tiers run now, while NER, graph, temporal facts, interference,
+        replay, and lineage defer to :meth:`enrich_pending` (run by
+        maintenance) — the memory is searchable immediately, enrichment is
+        eventually consistent."""
         if isinstance(experience, dict):
             experience = Experience.from_dict(experience)
         now = created_at or scoring_now()
@@ -243,7 +250,9 @@ class MemorySystem:
         # 4. Entity extraction (NER: neural when plugged, rules otherwise)
         entity_labels: dict[str, str] = {}
         entity_fine: dict[str, str] = {}
-        if self.ner is not None:
+        if not enrich:
+            experience.metadata.setdefault("_enrich_pending", "1")
+        if enrich and self.ner is not None:
             mentions = self.ner.extract(experience.content)
             entity_labels = {
                 m.text: m.label for m in mentions if m.confidence >= C.NER_GRAPH_CONFIDENCE_FLOOR
@@ -256,11 +265,11 @@ class MemorySystem:
             if not experience.entities:
                 experience.entities = [m.text for m in mentions]
         # 4.5 Toponym extraction (gazetteer — textual places, NOT the geo index)
-        if self.gazetteer is not None and not experience.toponyms:
+        if enrich and self.gazetteer is not None and not experience.toponyms:
             experience.toponyms = [t.name for t in self.gazetteer.extract_toponyms(experience.content)]
 
         # 5. Temporal reference extraction (temporal_facts.rs)
-        if self.query_parser is not None and not experience.temporal_refs:
+        if enrich and self.query_parser is not None and not experience.temporal_refs:
             experience.temporal_refs = self.query_parser.extract_temporal_refs(
                 experience.content, now
             )
@@ -316,25 +325,25 @@ class MemorySystem:
             self.storage.update(evicted)
 
         # 9. Graph ingest (entities, co-occurrence edges, episode nodes)
-        if self.graph is not None and experience.entities:
+        if enrich and self.graph is not None and experience.entities:
             self.graph.ingest_experience(
                 mem, now=now, entity_labels=entity_labels, entity_fine=entity_fine
             )
 
         # 10. Temporal fact extraction
-        if self.temporal_facts is not None:
+        if enrich and self.temporal_facts is not None:
             self.temporal_facts.extract_and_store(mem, now=now)
 
         # 11. Interference: similar traces compete (mod.rs:1162-1256)
-        if self.interference is not None:
+        if enrich and self.interference is not None:
             self.interference.on_store(mem, vectors[0], now=now)
 
         # 12. Pattern-triggered replay registration
-        if self.replay is not None:
+        if enrich and self.replay is not None:
             self.replay.register(mem, now=now)
 
         # 13. Lineage auto-inference (lineage.rs infer_lineage_for_memory)
-        if self.lineage is not None:
+        if enrich and self.lineage is not None:
             if experience.entities and self.storage.count() > 1:
                 # edges INTO the pivot stay on the current branch; the pivot
                 # check below only re-points edges the memory originates
@@ -346,7 +355,8 @@ class MemorySystem:
 
         return mem
 
-    def batch_remember(self, experiences: list[Experience | dict]) -> list[Memory]:
+    def batch_remember(self, experiences: list[Experience | dict],
+                       enrich: bool = True) -> list[Memory]:
         """Batched ingest: all contents encode in ONE device batch, then each
         experience takes the precomputed-embedding fast path (the streaming-
         ingest throughput shape — BASELINE config 5)."""
@@ -362,7 +372,25 @@ class MemorySystem:
             vectors = self.embedder.encode_batch([c for _, c in to_encode])
             for (i, _), vec in zip(to_encode, vectors):
                 exps[i].embeddings = vec.tolist()
-        return [self.remember(e) for e in exps]
+        # One durable COMMIT per chunk instead of ~6 per item: the kv and
+        # graph stores ride chunk-scoped transactions (profiled: per-item
+        # commits were ~40% of ingest time; BASELINE config 5 throughput).
+        # LOCK ORDER: the engine lock wraps the whole chunk (outer), the kv
+        # transaction locks nest inside — a concurrent recall then simply
+        # waits at the chunk boundary instead of deadlocking (recall holds
+        # engine-lock and writes usage counters through the kv).
+        out: list[Memory] = []
+        chunk = 32
+        for base in range(0, len(exps), chunk):
+            part = exps[base : base + chunk]
+            with self._lock:
+                with self.storage.kv.transaction():
+                    if self.graph is not None:
+                        with self.graph.kv.transaction():
+                            out.extend(self.remember(e, enrich=enrich) for e in part)
+                    else:
+                        out.extend(self.remember(e, enrich=enrich) for e in part)
+        return out
 
     @_locked
     def upsert(self, experience: Experience | dict, memory_id: Optional[str] = None) -> Memory:
@@ -515,6 +543,8 @@ class MemorySystem:
             if seeds:
                 graph_activation = self.graph.spreading_activation(seeds, now=now)
             timings["graph_ms"] = (time.perf_counter() - t0) * 1000
+        else:
+            seeds = []
 
         # L4 BM25 leg + RRF fusion
         bm25_scores: dict[str, float] = {}
@@ -524,8 +554,30 @@ class MemorySystem:
             bm25_k = pool_k * (
                 C.POLAR_QUERY_BM25_POOL_MULTIPLIER if len(qvecs) > 1 else 1
             )
+            # Graph-driven cue expansion (mod.rs:2760-3330): strongest 1-hop
+            # bridge entities of the seeds join the BM25 query as weighted
+            # extra terms. Measured with the hash embedder: WASH on the
+            # held-out full suite (r@10 0.5636 on vs 0.5645 off; p@1 +0.2pp
+            # on), slightly negative on the gate — default OFF until a
+            # trained embedder makes bridges semantic. SHODH_GRAPH_CUE_EXPANSION=1
+            # enables.
+            bm25_query = query.query_text
+            if (
+                seeds
+                and self.graph is not None
+                and os.environ.get("SHODH_GRAPH_CUE_EXPANSION", "0") == "1"
+            ):
+                bridges = self.graph.bridge_cues(seeds, now=now)
+                if bridges:
+                    from shodh_tpu.retrieval.bm25 import tokenize as _bm_tok
+
+                    bm25_query = query.query_text + " " + " ".join(bridges)
+                    term_weights = dict(term_weights or {})
+                    for b_name in bridges:
+                        for tok in _bm_tok(b_name):
+                            term_weights.setdefault(tok, C.GRAPH_CUE_TERM_WEIGHT)
             bm25_scores = dict(
-                self.bm25.search(query.query_text, limit=bm25_k, term_weights=term_weights)
+                self.bm25.search(bm25_query, limit=bm25_k, term_weights=term_weights)
             )
             timings["bm25_ms"] = (time.perf_counter() - t0) * 1000
 
@@ -1081,9 +1133,66 @@ class MemorySystem:
     # ------------------------------------------------------------------
 
     @_locked
+    @_locked
+    def enrich_pending(self, limit: int = 500) -> int:
+        """Run the deferred enrichment stages for fast-path ingests
+        (remember(enrich=False)): NER, toponyms, temporal refs, graph,
+        temporal facts, interference, replay, lineage. Returns count."""
+        now = scoring_now()
+        done = 0
+        # materialize first: processing mutates rows, and a live sqlite
+        # cursor can re-yield updated rows mid-iteration
+        pending = [
+            mem for mem in self.storage.iter_memories()
+            if mem.experience.metadata.get("_enrich_pending") == "1"
+        ]
+        for mem in pending:
+            if done >= limit:
+                break
+            exp = mem.experience
+            entity_labels: dict[str, str] = {}
+            entity_fine: dict[str, str] = {}
+            if self.ner is not None:
+                mentions = self.ner.extract(exp.content)
+                entity_labels = {
+                    m.text: m.label for m in mentions
+                    if m.confidence >= C.NER_GRAPH_CONFIDENCE_FLOOR
+                }
+                entity_fine = {
+                    m.text: m.fine for m in mentions
+                    if m.fine and m.confidence >= C.NER_GRAPH_CONFIDENCE_FLOOR
+                }
+                if not exp.entities:
+                    exp.entities = [m.text for m in mentions]
+            if self.gazetteer is not None and not exp.toponyms:
+                exp.toponyms = [t.name for t in self.gazetteer.extract_toponyms(exp.content)]
+            if self.query_parser is not None and not exp.temporal_refs:
+                exp.temporal_refs = self.query_parser.extract_temporal_refs(exp.content, now)
+            if self.graph is not None and exp.entities:
+                self.graph.ingest_experience(
+                    mem, now=now, entity_labels=entity_labels, entity_fine=entity_fine
+                )
+            if self.temporal_facts is not None:
+                self.temporal_facts.extract_and_store(mem, now=now)
+            if self.interference is not None and mem.vector_row >= 0:
+                vec = self.index.get_vectors([mem.vector_row])[0]
+                self.interference.on_store(mem, vec, now=now)
+            if self.replay is not None:
+                self.replay.register(mem, now=now)
+            if self.lineage is not None and exp.entities and self.storage.count() > 1:
+                self.lineage.infer_for_memory(mem, self.storage, self.index, now)
+            del exp.metadata["_enrich_pending"]
+            self.storage.update(mem)
+            if self.bm25 is not None and exp.entities:
+                # entities joined the BM25 doc late — refresh the posting
+                self.bm25.upsert(mem.id, exp.content, exp.tags, exp.entities)
+            done += 1
+        return done
+
     def run_maintenance(self) -> dict[str, Any]:
         now = scoring_now()
         report: dict[str, Any] = {}
+        report["enriched"] = self.enrich_pending()
         if self._device_funnel is not None:
             self._device_funnel.invalidate()  # decay/promotion drift the mirrors
 

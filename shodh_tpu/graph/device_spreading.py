@@ -50,6 +50,26 @@ class DeviceSpreader:
         self._node_of: dict[str, int] = {}
         self._nodes: list[str] = []
         self._src = self._dst = self._weight = self._degree = None
+        self._jit_cache: dict[tuple, object] = {}
+
+    def _batched_fn(self, hops: int, n_nodes: int):
+        """Jitted vmapped propagation, cached per (hops, n_nodes) — edge
+        arrays are already power-of-two-padded so shapes stay stable."""
+        import functools
+
+        import jax
+
+        key = (hops, n_nodes)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = jax.jit(
+                jax.vmap(
+                    functools.partial(spread_device, hops=hops, n_nodes=n_nodes),
+                    in_axes=(0, None, None, None, None),
+                )
+            )
+            self._jit_cache[key] = fn
+        return fn
 
     def _rebuild(self) -> None:
         from shodh_tpu.graph.plasticity import effective_strength
@@ -94,25 +114,49 @@ class DeviceSpreader:
         """Same output contract as GraphMemory.spreading_activation but the
         propagation runs on device. Returns memory_id -> activation."""
         g = self.graph
+        seeds: dict[str, float] = {}
+        for term in seed_terms[:12]:
+            ent = g.find_entity(term)
+            if ent is not None:
+                seeds[ent.id] = max(seeds.get(ent.id, 0.0), 0.5 + 0.5 * ent.salience)
+        return self.spreading_activation_from_seeds(seeds, hops)
+
+    def spreading_activation_from_seeds(
+        self, seeds: dict[str, float], hops: int | None = None
+    ) -> dict[str, float]:
+        """Device propagation from resolved entity seeds, INCLUDING the
+        bidirectional-intersection boost: all seeds propagate in one vmapped
+        batch ((S+1, N) activations: joint row + one row per seed), so the
+        host path's per-seed re-spreads (round-1 weak spot: O(seeds * E) on
+        big graphs) collapse into a single device program."""
+        import jax
+
+        g = self.graph
         if self._version != len(g.edges):
             self._rebuild()
         n = len(self._nodes)
-        if n == 0:
+        if n == 0 or not seeds:
             return {}
-        seeds = np.zeros(n, np.float32)
-        found = False
-        for term in seed_terms[:12]:
-            ent = g.find_entity(term)
-            if ent is not None and ent.id in self._node_of:
-                seeds[self._node_of[ent.id]] = 0.5 + 0.5 * ent.salience
-                found = True
-        if not found:
+        seed_items = [
+            (sid, act) for sid, act in sorted(seeds.items()) if sid in self._node_of
+        ]
+        if not seed_items:
             return {}
+        do_bidir = len(seed_items) >= C.BIDIRECTIONAL_MIN_ENTITIES
+        s_rows = min(4, len(seed_items)) if do_bidir else 0
+        batch = np.zeros((1 + s_rows, n), np.float32)
+        for sid, act in seed_items:
+            batch[0, self._node_of[sid]] = act
+        for i, (sid, act) in enumerate(seed_items[:s_rows]):
+            batch[1 + i, self._node_of[sid]] = act
         hops = hops or g._adaptive_hops()
-        act = np.asarray(
-            spread_device(jnp.asarray(seeds), self._src, self._dst, self._weight,
-                          self._degree, hops=hops, n_nodes=n)
-        )
+        out = np.asarray(self._batched_fn(hops, n)(
+            jnp.asarray(batch), self._src, self._dst, self._weight, self._degree
+        ))
+        act = out[0]
+        if s_rows >= 2:
+            reached = (out[1:] > C.BIDIRECTIONAL_INTERSECTION_MIN).sum(axis=0)
+            act = np.where(reached >= 2, act * C.BIDIRECTIONAL_INTERSECTION_BOOST, act)
         mem_activation: dict[str, float] = {}
         for idx in np.nonzero(act >= C.SPREADING_ACTIVATION_THRESHOLD)[0]:
             eid = self._nodes[int(idx)]

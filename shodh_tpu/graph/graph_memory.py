@@ -491,6 +491,20 @@ class GraphMemory:
         if not seeds:
             return {}
 
+        # Large graphs: the device CSR spreader is the default engine —
+        # all seeds (joint + per-seed bidirectional rows) propagate in one
+        # vmapped program instead of O(seeds) host walks over E edges.
+        import os as _os
+
+        if (
+            mode == "spreading"
+            and len(self.entities) >= C.SPREADING_DEVICE_MIN_ENTITIES
+            and _os.environ.get("SHODH_DEVICE_SPREADING", "1") != "0"
+        ):
+            return self._device_spreader().spreading_activation_from_seeds(
+                seeds, max_hops
+            )
+
         if mode == "ppr":
             activation = self._personalized_pagerank(seeds)
         else:
@@ -520,6 +534,90 @@ class GraphMemory:
             if mx > 0:
                 mem_activation = {m: a / mx for m, a in mem_activation.items()}
         return mem_activation
+
+    def _device_spreader(self):
+        if getattr(self, "_device_spreader_inst", None) is None:
+            from shodh_tpu.graph.device_spreading import DeviceSpreader
+
+            self._device_spreader_inst = DeviceSpreader(self)
+        return self._device_spreader_inst
+
+    def traverse_beam(
+        self,
+        start_terms: list[str],
+        beam_width: int = C.BEAM_WIDTH_DEFAULT,
+        max_depth: int = C.BEAM_MAX_DEPTH,
+        now: Optional[datetime] = None,
+    ) -> list[dict]:
+        """Beam search over the entity graph (graph_retrieval.rs:1011
+        traverse_beam): keep the ``beam_width`` strongest paths per depth,
+        path score = product of effective edge strengths. Deterministic:
+        ties break on the lexicographic path. Returns
+        [{"path": [ids], "score": float}] strongest-first."""
+        from shodh_tpu.graph.plasticity import effective_strength
+        from shodh_tpu.graph.relations import spreading_weight
+
+        now = now or scoring_now()
+        beams: list[tuple[float, list[str]]] = []
+        for term in start_terms[:8]:
+            ent = self.find_entity(term)
+            if ent is not None:
+                beams.append((0.5 + 0.5 * ent.salience, [ent.id]))
+        if not beams:
+            return []
+        results: list[tuple[float, list[str]]] = list(beams)
+        for _depth in range(max_depth):
+            expanded: list[tuple[float, list[str]]] = []
+            for score, path in beams:
+                tail = path[-1]
+                for nid in sorted(self.adjacency.get(tail, ())):
+                    if nid in path:
+                        continue  # simple paths only
+                    edge = self.edges.get(_edge_key(tail, nid))
+                    if edge is None:
+                        continue
+                    w = effective_strength(edge, now) * spreading_weight(edge.rel_type)
+                    if w <= 0.0:
+                        continue
+                    expanded.append((score * w, path + [nid]))
+            if not expanded:
+                break
+            expanded.sort(key=lambda t: (-t[0], t[1]))
+            beams = expanded[:beam_width]
+            results.extend(beams)
+        results.sort(key=lambda t: (-t[0], t[1]))
+        return [
+            {"path": path, "score": round(score, 6)}
+            for score, path in results[: beam_width * 2]
+        ]
+
+    def bridge_cues(self, seed_terms: list[str], limit: int = C.GRAPH_CUE_EXPANSION_MAX,
+                    now: Optional[datetime] = None) -> list[str]:
+        """Top-K strongest 1-hop bridge entity NAMES of the query seeds —
+        appended to the BM25 query as weighted extra cues (mod.rs:2760-3330
+        graph-driven query expansion). Deterministic ordering."""
+        from shodh_tpu.graph.plasticity import effective_strength
+
+        now = now or scoring_now()
+        seen: set[str] = set()
+        scored: dict[str, float] = {}
+        for term in seed_terms[:8]:
+            ent = self.find_entity(term)
+            if ent is None:
+                continue
+            seen.add(ent.id)
+            for nid in self.adjacency.get(ent.id, ()):
+                edge = self.edges.get(_edge_key(ent.id, nid))
+                if edge is None:
+                    continue
+                w = effective_strength(edge, now)
+                scored[nid] = max(scored.get(nid, 0.0), w)
+        out = [
+            self.entities[nid].name
+            for nid, _ in sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))
+            if nid not in seen and nid in self.entities
+        ]
+        return out[:limit]
 
     def _adaptive_hops(self) -> int:
         d = self.edge_density()

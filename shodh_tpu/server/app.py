@@ -258,7 +258,10 @@ def make_app(manager: MultiUserMemoryManager) -> web.Application:
             return _err(422, "validation", str(exc))
         uid = user_of(request, body)
         sys_ = mgr(request).get_user_memory(uid)
-        mems = await run(sys_.batch_remember, items)
+        # fast=true defers enrichment to maintenance (streaming ingest mode,
+        # BASELINE config 5 "embed+index" throughput)
+        enrich = not bool(body.get("fast", False))
+        mems = await run(sys_.batch_remember, items, enrich)
         METRICS.inc("shodh_remember_total", len(mems))
         return web.json_response({"memory_ids": [m.id for m in mems], "count": len(mems)})
 

@@ -316,3 +316,87 @@ class TestCliEvalContract:
             "--baseline", str(hard),
         ])
         assert rc == 1
+
+
+class TestFastIngest:
+    """Streaming fast path (BASELINE config 5): embed+index now, enrichment
+    deferred to maintenance (enrich_pending)."""
+
+    def test_fast_path_searchable_then_enriched(self, tmp_path):
+        from shodh_tpu.engine.memory_system import MemorySystem
+        from shodh_tpu.types import Experience, Query
+
+        sys_ = MemorySystem(tmp_path / "fast")
+        mems = sys_.batch_remember(
+            [Experience(content=f"Alice deployed the billing service batch {i}")
+             for i in range(5)],
+            enrich=False,
+        )
+        # searchable immediately (vector + BM25 are synchronous)
+        res = sys_.recall(Query(query_text="billing service deploy"))
+        assert len(res.ids) == 5
+        # but graph/lineage are deferred
+        assert all(m.experience.metadata.get("_enrich_pending") == "1" for m in mems)
+        assert not sys_.graph.entities
+        n = sys_.enrich_pending()
+        assert n == 5
+        assert sys_.graph.entities  # NER ran, entities landed
+        got = sys_.get(mems[0].id)
+        assert "_enrich_pending" not in got.experience.metadata
+        assert got.experience.entities
+        # idempotent: nothing left pending
+        assert sys_.enrich_pending() == 0
+        sys_.close()
+
+    def test_maintenance_runs_enrichment(self, tmp_path):
+        from shodh_tpu.engine.memory_system import MemorySystem
+        from shodh_tpu.types import Experience
+
+        sys_ = MemorySystem(tmp_path / "m")
+        sys_.batch_remember(
+            [Experience(content="Bob fixed the cache bug in Redis")], enrich=False
+        )
+        report = sys_.run_maintenance()
+        assert report["enriched"] == 1
+        sys_.close()
+
+    def test_concurrent_recall_during_batch_ingest(self, tmp_path):
+        """The lock-ordering regression test: a recall thread hammering the
+        engine during batch_remember must not deadlock (round-2 bug: kv
+        chunk transaction + engine lock inverted across threads)."""
+        import threading
+
+        from shodh_tpu.engine.memory_system import MemorySystem
+        from shodh_tpu.types import Experience, Query
+
+        sys_ = MemorySystem(tmp_path / "conc")
+        sys_.batch_remember([Experience(content=f"warm {i}") for i in range(10)])
+        stop = threading.Event()
+        errors = []
+
+        def hammer():
+            while not stop.is_set():
+                try:
+                    sys_.recall(Query(query_text="warm case"))
+                except Exception as exc:  # noqa: BLE001
+                    errors.append(exc)
+                    return
+
+        th = threading.Thread(target=hammer, daemon=True)
+        th.start()
+        done = threading.Event()
+
+        def ingest():
+            sys_.batch_remember(
+                [Experience(content=f"concurrent case {i} about warm topics")
+                 for i in range(120)]
+            )
+            done.set()
+
+        ti = threading.Thread(target=ingest, daemon=True)
+        ti.start()
+        assert done.wait(timeout=60), "batch ingest deadlocked under concurrent recall"
+        stop.set()
+        th.join(timeout=5)
+        assert not errors, errors
+        sys_.close()

@@ -1,0 +1,128 @@
+"""Ingest throughput benchmark with concurrent queries (BASELINE config 5:
+"embed+index 1k memories/sec with concurrent queries").
+
+Measures the FULL remember pipeline (dedup, importance, NER, embed, index,
+BM25, graph, temporal facts, interference, lineage, sessions) via
+batch_remember on realistic synthetic conversational content, then repeats
+with a concurrent recall thread hammering the engine, reporting both the
+sustained ingest rate and the concurrent query throughput + p50.
+
+Run: python tools/bench_ingest.py [--items 2000] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import random
+import statistics
+import sys
+import tempfile
+import threading
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def synth_corpus(n: int) -> list:
+    from shodh_tpu.types import Experience
+
+    random.seed(7)
+    people = ["Alice", "Bob", "Carol", "Dmitri", "Elena", "Farid"]
+    systems = ["the payment service", "the ingest pipeline", "redis", "the k8s cluster",
+               "the billing cron", "the search index"]
+    events = ["failed with a timeout", "was deployed to staging", "hit 99.9% uptime",
+              "needs a circuit breaker", "was rolled back", "doubled in latency",
+              "got a new on-call rotation", "passed the load test"]
+    extras = ["after the region migration", "during the incident review",
+              "before the quarterly launch", "despite the cache warmup",
+              "according to the postmortem", "per the SLO dashboard"]
+    out = []
+    for i in range(n):
+        content = (
+            f"{random.choice(people)} reported that {random.choice(systems)} "
+            f"{random.choice(events)} {random.choice(extras)} (case {i})."
+        )
+        out.append(Experience(content=content, tags=[f"t{i % 7}"]))
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--items", type=int, default=2000)
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from shodh_tpu.engine.memory_system import MemorySystem
+    from shodh_tpu.types import Query
+
+    exps = synth_corpus(args.items + 200)
+    sys_ = MemorySystem(tempfile.mkdtemp())
+    sys_.batch_remember(exps[:200])  # warm compile + caches
+
+    # Phase 0: embed+index fast path (the BASELINE config-5 phrasing —
+    # enrichment deferred to maintenance via enrich_pending)
+    fast_sys = MemorySystem(tempfile.mkdtemp())
+    fast_sys.batch_remember(exps[:200], enrich=False)
+    t0 = time.perf_counter()
+    fast_sys.batch_remember(exps[200 : 200 + args.items], enrich=False)
+    fast_rate = args.items / (time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    enriched = fast_sys.enrich_pending(limit=10**9)
+    enrich_rate = enriched / (time.perf_counter() - t0) if enriched else 0.0
+    fast_sys.close()
+
+    # Phase 1: pure ingest
+    t0 = time.perf_counter()
+    sys_.batch_remember(exps[200 : 200 + args.items // 2])
+    pure_rate = (args.items // 2) / (time.perf_counter() - t0)
+
+    # Phase 2: ingest with a concurrent query hammer
+    stop = threading.Event()
+    latencies: list[float] = []
+
+    def hammer():
+        queries = ["payment timeout incident", "who deployed staging",
+                   "latency doubled rollback", "circuit breaker billing"]
+        i = 0
+        while not stop.is_set():
+            q0 = time.perf_counter()
+            sys_.recall(Query(query_text=queries[i % len(queries)], max_results=10))
+            latencies.append(time.perf_counter() - q0)
+            i += 1
+
+    th = threading.Thread(target=hammer, daemon=True)
+    th.start()
+    t0 = time.perf_counter()
+    sys_.batch_remember(exps[200 + args.items // 2 : 200 + args.items])
+    dt = time.perf_counter() - t0
+    stop.set()
+    th.join(timeout=5)
+    conc_rate = (args.items - args.items // 2) / dt
+    qps = len(latencies) / dt if dt else 0.0
+    p50 = statistics.median(latencies) * 1000 if latencies else 0.0
+
+    print(json.dumps({
+        "metric": "ingest_items_per_sec_full_pipeline",
+        "value": round(pure_rate, 1),
+        "unit": "items/s",
+        "fast_path_embed_index_items_per_sec": round(fast_rate, 1),
+        "deferred_enrichment_items_per_sec": round(enrich_rate, 1),
+        "concurrent": {
+            "ingest_items_per_sec": round(conc_rate, 1),
+            "query_qps": round(qps, 1),
+            "query_p50_ms": round(p50, 1),
+        },
+        "vs_baseline": round(pure_rate / 18.0, 1),  # reference ~18/s core pipeline
+    }))
+    sys_.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
