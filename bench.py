@@ -30,7 +30,7 @@ import time
 import numpy as np
 
 REFERENCE_QPS = 1000.0 / 46.0  # 21.7 QPS (README.md:183 midpoint)
-WATCHDOG_SECS = float(os.environ.get("SHODH_BENCH_WATCHDOG_SECS", "420"))
+WATCHDOG_SECS = float(os.environ.get("SHODH_BENCH_WATCHDOG_SECS", "560"))
 
 _result_lock = threading.Lock()
 _best_result: dict | None = None
@@ -77,7 +77,7 @@ def run_scales() -> None:
         float(jnp.sum(scales))
         return corpus, scales
 
-    def measure(n, label, iters=8):
+    def measure(n, label, iters=8, verify_iters=4):
         t0 = time.perf_counter()
         corpus, scales = build_corpus(n)
         valid = jnp.ones((n,), jnp.float32)
@@ -118,8 +118,10 @@ def run_scales() -> None:
             return n_safe, n_same
 
         seed = jax.random.PRNGKey(42)
-        ns, nm = verify_batches(corpus, scales, valid, bound, approx, seed, 4)
-        log(f"{label}: certificate safe {int(ns)}/4 batches, fast==exact {int(nm)}/4")
+        if verify_iters:
+            ns, nm = verify_batches(corpus, scales, valid, bound, approx, seed, verify_iters)
+            log(f"{label}: certificate safe {int(ns)}/{verify_iters} batches, "
+                f"fast==exact {int(nm)}/{verify_iters}")
         # Warm up the EXACT variant being timed (static iters => its own
         # compilation; timing a cold variant measures the compiler)
         t0 = time.perf_counter()
@@ -185,14 +187,50 @@ def run_scales() -> None:
             f"{per_query*1e3:.2f} ms/query -> {1/per_query:,.0f} QPS (sink {sink:.2f})"
         )
 
+        # Batched funnel (VERDICT item 8): (B, k) in one program with sparse
+        # BM25/graph legs scattered on device.
+        from shodh_tpu.ops.device_recall import fused_recall_batch
+
+        for bq in (32, 256):
+            H = 64
+            key_b = jax.random.PRNGKey(101)
+            b_rows = jax.random.randint(jax.random.fold_in(key_b, 1), (bq, H), 0, n)
+            b_vals = jax.random.uniform(jax.random.fold_in(key_b, 2), (bq, H)) * 5.0
+            g_rows = jax.random.randint(jax.random.fold_in(key_b, 3), (bq, H), 0, n)
+            g_vals = jax.random.uniform(jax.random.fold_in(key_b, 4), (bq, H))
+
+            @functools.partial(jax.jit, static_argnames=("iters", "bq"))
+            def scan_batch_funnel(corpus, scales, valid, seed, iters, bq):
+                def body(c, i):
+                    q = jax.random.normal(jax.random.fold_in(seed, i), (bq, d), jnp.float32)
+                    q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+                    vals, rows = fused_recall_batch(
+                        q, corpus, scales, valid, b_rows, b_vals, g_rows, g_vals,
+                        meta["importance"], hours, meta["arousal"], meta["credibility"],
+                        meta["momentum"], penalty, jnp.float32(1.2), k=10,
+                    )
+                    return c + jnp.sum(vals[:, 0]), None
+
+                total, _ = jax.lax.scan(body, 0.0, jnp.arange(iters))
+                return total
+
+            float(scan_batch_funnel(corpus, scales, valid, seed, iters, bq))  # compile
+            t0 = time.perf_counter()
+            sink = float(scan_batch_funnel(corpus, scales, valid, seed, iters, bq))
+            per_batch = (time.perf_counter() - t0) / iters
+            log(
+                f"{label} fused hybrid funnel B={bq}: {per_batch*1e3:.2f} ms/batch "
+                f"-> {bq/per_batch:,.0f} QPS (sink {sink:.2f})"
+            )
+
     if "--small" in sys.argv:
         measure(64 * TILE_N, "65k", iters=4)
         return
-    measure(64 * TILE_N, "65k")
-    measure(256 * TILE_N, "262k")
+    measure(64 * TILE_N, "65k", iters=6, verify_iters=0)  # below the fast-path
+    measure(256 * TILE_N, "262k", iters=6, verify_iters=0)  # threshold: exact path
     # 4M exercises the certified bf16 fast path (auto-enabled >= 2M rows;
     # measured 1.33x over the exact path at this tier)
-    measure(4096 * TILE_N, "4M", iters=6)
+    measure(4096 * TILE_N, "4M", iters=6, verify_iters=2)
     measure(1024 * TILE_N, "1M")
     measure_funnel(1024 * TILE_N, "1M")
 

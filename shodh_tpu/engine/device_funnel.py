@@ -130,6 +130,9 @@ class DeviceRecallEngine:
             jnp.float32(density), k=kk,
         )
         vals, rows = np.asarray(vals), np.asarray(rows)
+        return self._rows_to_hits(vals, rows, k)
+
+    def _rows_to_hits(self, vals, rows, k: int) -> list[tuple[str, float]]:
         out: list[tuple[str, float]] = []
         seen: set[str] = set()
         for v, r in zip(vals, rows):
@@ -143,3 +146,88 @@ class DeviceRecallEngine:
             if len(out) >= k:
                 break
         return out
+
+    def _sparse_leg(self, hits_per_query: list[dict[int, float]], width: int):
+        """Pack per-query {row: val} dicts into padded (B, H) arrays for the
+        device scatter (pad row 0 / val 0 — harmless under scatter-max)."""
+        b = len(hits_per_query)
+        rows = np.zeros((b, width), np.int32)
+        vals = np.zeros((b, width), np.float32)
+        for i, hits in enumerate(hits_per_query):
+            for j, (r, v) in enumerate(
+                sorted(hits.items())[:width]  # deterministic order
+            ):
+                rows[i, j] = r
+                vals[i, j] = v
+        return rows, vals
+
+    def recall_batch(
+        self, query_texts: list[str], k: int = 10, now: Optional[datetime] = None
+    ) -> list[list[tuple[str, float]]]:
+        """Batched fused-program recall: B queries -> one device program
+        (ops/device_recall.py fused_recall_batch). The serving-throughput
+        configuration for SHODH_DEVICE_FUNNEL deployments."""
+        import jax.numpy as jnp
+
+        from shodh_tpu.ops.device_recall import fused_recall_batch
+        from shodh_tpu.utils.clock import scoring_now
+
+        system = self.system
+        self._ensure_mirrors()
+        index = system.index
+        cap = index.capacity
+        if cap == 0 or not query_texts:
+            return [[] for _ in query_texts]
+        now = now or scoring_now()
+
+        qvecs = np.asarray(system.embedder.encode_batch(list(query_texts)), np.float32)
+
+        bm25_hits: list[dict[int, float]] = []
+        graph_hits: list[dict[int, float]] = []
+        density = system.graph.edge_density() if system.graph is not None else 0.0
+        for text in query_texts:
+            bh: dict[int, float] = {}
+            if system.bm25 is not None:
+                for mid, score in system.bm25.search(text, limit=max(64, k * 4)):
+                    for r in system.storage.get_vector_map(mid).get("text", []):
+                        if r < cap:
+                            bh[r] = max(bh.get(r, 0.0), score)
+            bm25_hits.append(bh)
+            gh: dict[int, float] = {}
+            if system.graph is not None and system.query_parser is not None:
+                analysis = system.query_parser.analyze(text, now=now)
+                seeds = analysis.entities or analysis.focal_terms[:6]
+                if seeds:
+                    for mid, act in system.graph.spreading_activation(seeds, now=now).items():
+                        for r in system.storage.get_vector_map(mid).get("text", []):
+                            if r < cap:
+                                gh[r] = max(gh.get(r, 0.0), act)
+            graph_hits.append(gh)
+
+        hb = max(1, min(512, max((len(h) for h in bm25_hits), default=1)))
+        hg = max(1, min(512, max((len(h) for h in graph_hits), default=1)))
+        # power-of-two width buckets: stable static shapes across batches
+        hb = 1 << (hb - 1).bit_length()
+        hg = 1 << (hg - 1).bit_length()
+        b_rows, b_vals = self._sparse_leg(bm25_hits, hb)
+        g_rows, g_vals = self._sparse_leg(graph_hits, hg)
+
+        meta = self._meta
+        now_h = _hours_since_epoch(now)
+        hours_old = np.maximum(0.0, now_h - meta["created_hours"]).astype(np.float32)
+        arrays = index._device_arrays()
+        if arrays is None:
+            return [[] for _ in query_texts]
+        vecs, scales, valid = arrays[:3]
+        kk = min(k * 2, cap)
+        vals, rows = fused_recall_batch(
+            jnp.asarray(qvecs), vecs, scales, valid,
+            jnp.asarray(b_rows), jnp.asarray(b_vals),
+            jnp.asarray(g_rows), jnp.asarray(g_vals),
+            jnp.asarray(meta["importance"]), jnp.asarray(hours_old),
+            jnp.asarray(meta["arousal"]), jnp.asarray(meta["credibility"]),
+            jnp.asarray(meta["momentum"]), jnp.asarray(meta["tag_penalty"]),
+            jnp.float32(density), k=kk,
+        )
+        vals, rows = np.asarray(vals), np.asarray(rows)
+        return [self._rows_to_hits(vals[i], rows[i], k) for i in range(len(query_texts))]

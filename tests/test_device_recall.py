@@ -179,3 +179,84 @@ class TestDeviceFunnelFastPath:
         res = sys_.recall(Query(query_text="migration plan option", max_results=2))
         assert set(res.ids) == {a.id, b.id}
         sys_.close()
+
+
+class TestBatchedFunnel:
+    """fused_recall_batch: the (B, k) serving configuration must agree with
+    the single-query program per row (round-2; VERDICT item 8)."""
+
+    def test_batch_matches_single(self):
+        rng = np.random.default_rng(3)
+        n, d, b, k = 512, 64, 6, 8
+        corpus = rng.standard_normal((n, d)).astype(np.float32)
+        corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+        queries = rng.standard_normal((b, d)).astype(np.float32)
+        queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+        scales = np.ones(n, np.float32)
+        valid = np.ones(n, np.float32)
+        valid[100:120] = 0.0
+        meta = {
+            "importance": rng.uniform(0, 1, n).astype(np.float32),
+            "hours_old": rng.uniform(0, 500, n).astype(np.float32),
+            "arousal": rng.uniform(0, 1, n).astype(np.float32),
+            "credibility": rng.uniform(0, 1, n).astype(np.float32),
+            "momentum": rng.uniform(-1, 1, n).astype(np.float32),
+            "tag_penalty": np.ones(n, np.float32),
+        }
+        # sparse legs, different hits per query
+        H = 8
+        b_rows = rng.integers(0, n, (b, H)).astype(np.int32)
+        b_vals = rng.uniform(0, 5, (b, H)).astype(np.float32)
+        g_rows = rng.integers(0, n, (b, H)).astype(np.int32)
+        g_vals = rng.uniform(0, 1, (b, H)).astype(np.float32)
+        density = 1.3
+
+        from shodh_tpu.ops.device_recall import fused_recall, fused_recall_batch
+
+        bv, br = fused_recall_batch(
+            jnp.asarray(queries), jnp.asarray(corpus), jnp.asarray(scales),
+            jnp.asarray(valid), jnp.asarray(b_rows), jnp.asarray(b_vals),
+            jnp.asarray(g_rows), jnp.asarray(g_vals),
+            jnp.asarray(meta["importance"]), jnp.asarray(meta["hours_old"]),
+            jnp.asarray(meta["arousal"]), jnp.asarray(meta["credibility"]),
+            jnp.asarray(meta["momentum"]), jnp.asarray(meta["tag_penalty"]),
+            jnp.float32(density), k=k,
+        )
+        for i in range(b):
+            bm25 = np.zeros(n, np.float32)
+            np.maximum.at(bm25, b_rows[i], b_vals[i])
+            graph = np.zeros(n, np.float32)
+            np.maximum.at(graph, g_rows[i], g_vals[i])
+            sv, sr = fused_recall(
+                jnp.asarray(queries[i]), jnp.asarray(corpus), jnp.asarray(scales),
+                jnp.asarray(valid), jnp.asarray(bm25), jnp.asarray(graph),
+                jnp.asarray(meta["importance"]), jnp.asarray(meta["hours_old"]),
+                jnp.asarray(meta["arousal"]), jnp.asarray(meta["credibility"]),
+                jnp.asarray(meta["momentum"]), jnp.asarray(meta["tag_penalty"]),
+                jnp.float32(density), k=k,
+            )
+            np.testing.assert_array_equal(np.asarray(sr), np.asarray(br[i]))
+            np.testing.assert_allclose(np.asarray(sv), np.asarray(bv[i]), rtol=2e-6)
+
+    def test_engine_recall_batch_matches_single(self, tmp_path):
+        from shodh_tpu.engine.device_funnel import DeviceRecallEngine
+        from shodh_tpu.engine.memory_system import MemorySystem
+        from shodh_tpu.types import Experience
+
+        sys_ = MemorySystem(tmp_path / "bf")
+        for i in range(30):
+            sys_.remember(Experience(
+                content=f"note {i}: the {'kafka' if i % 3 else 'redis'} cluster "
+                        f"handled case {i}",
+                entities=["kafka" if i % 3 else "redis"],
+            ))
+        eng = DeviceRecallEngine(sys_)
+        queries = ["kafka cluster case", "redis cluster case", "unrelated topic"]
+        batched = eng.recall_batch(queries, k=5)
+        for text, hits in zip(queries, batched):
+            single = eng.recall(text, k=5)
+            assert [m for m, _ in hits] == [m for m, _ in single]
+            np.testing.assert_allclose(
+                [s for _, s in hits], [s for _, s in single], rtol=2e-6
+            )
+        sys_.close()

@@ -126,10 +126,25 @@ class TestDashboardAndGraphOps:
         assert body["edges"] == 0
 
     def test_graph_canonicalize(self, client):
+        # Ingest-time embedding dedup (round 2) already folds near-duplicate
+        # names at add_entity, so variants never coexist after /api/remember:
         client.request(
             "POST", "/api/remember",
             {"content": "note one", "entities": ["payment service", "the payment service"]},
         )
+        status, body = client.request("POST", "/api/graph/entities/all", {})
+        assert len(body["entities"]) == 1  # merged at ingest
+        # canonicalize still covers graphs built WITHOUT add_entity (imports):
+        doc = {
+            "mif_version": 2,
+            "memories": [],
+            "entities": [
+                {"id": "billing engine", "name": "billing engine", "label": "technology"},
+                {"id": "the billing engine", "name": "the billing engine", "label": "technology"},
+            ],
+            "relationships": [],
+        }
+        client.request("POST", "/api/import/mif", {"document": doc})
         status, body = client.request("POST", "/api/graph/tester/canonicalize", {})
         assert status == 200 and body["merged"] >= 1
 
