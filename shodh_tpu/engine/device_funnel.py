@@ -117,7 +117,9 @@ class DeviceRecallEngine:
         hours_old = np.maximum(0.0, now_h - meta["created_hours"]).astype(np.float32)
 
         arrays = index._device_arrays()
-        if arrays is None:
+        if arrays is None or index._device_start > 0:
+            # HBM spill active: row-aligned mirrors no longer cover the full
+            # corpus — the host funnel (full-featured) takes over
             return []
         vecs, scales, valid = arrays[:3]
         kk = min(k * 2, cap)
@@ -216,8 +218,8 @@ class DeviceRecallEngine:
         now_h = _hours_since_epoch(now)
         hours_old = np.maximum(0.0, now_h - meta["created_hours"]).astype(np.float32)
         arrays = index._device_arrays()
-        if arrays is None:
-            return [[] for _ in query_texts]
+        if arrays is None or index._device_start > 0:
+            return [[] for _ in query_texts]  # spill active -> host funnel
         vecs, scales, valid = arrays[:3]
         kk = min(k * 2, cap)
         vals, rows = fused_recall_batch(

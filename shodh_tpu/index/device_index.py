@@ -77,8 +77,35 @@ class DeviceVectorIndex:
         self._pending: list[np.ndarray] = []
         self._pending_rows = 0
         # Device arrays (lazily materialized)
-        self._device = None  # tuple(vecs, scales, valid, score_bound) | None
+        self._device = None  # tuple(vecs, scales, valid, score_bound, approx) | None
+        # HBM residency (state.rs:748 shared-cache analog, TPU-first): when
+        # SHODH_HBM_BUDGET_BYTES caps device memory, only the NEWEST rows
+        # (recency ~ heat for a memory engine) stay resident; rows before
+        # _device_start spill to the host mirror and score via BLAS, with
+        # exact deterministic cross-engine merge in search().
+        self._device_start = 0
         self._n_deleted = 0
+
+    @staticmethod
+    def _hbm_budget() -> int:
+        import os
+
+        return int(os.environ.get("SHODH_HBM_BUDGET_BYTES", "0"))  # 0 = unlimited
+
+    def _spill_start(self) -> int:
+        """First row of the device-resident suffix window (0 = all resident)."""
+        budget = self._hbm_budget()
+        if budget <= 0 or self._capacity == 0:
+            return 0
+        itemsize = 1 if self.dtype == "int8" else 4
+        # corpus + bf16 mirror + scales + valid per row
+        bytes_per_row = self.dim * itemsize + self.dim * 2 + 8
+        from shodh_tpu.ops.fused_topk import TILE_N
+
+        max_rows = max(TILE_N, (budget // bytes_per_row) // TILE_N * TILE_N)
+        if self._capacity <= max_rows:
+            return 0
+        return self._capacity - max_rows
 
     # -- properties ---------------------------------------------------------
 
@@ -144,7 +171,9 @@ class DeviceVectorIndex:
         else:
             self._vecs_np[start:end] = new
         self._valid_np[start:end] = 1.0
-        if grew or self._device is None:
+        if grew or self._device is None or self._device_start > 0:
+            # growth, no device copy yet, or active HBM spill (the resident
+            # window must re-slide) -> full refresh at next search
             self._device = None
             return
         # In-place device append (delta update, no corpus re-upload)
@@ -225,9 +254,11 @@ class DeviceVectorIndex:
         if self._device is None and self._capacity > 0:
             from shodh_tpu.ops.fused_topk import corpus_approx_bf16, corpus_score_bound
 
-            vecs = jnp.asarray(self._vecs_np)
-            scales = jnp.asarray(self._scales_np)
-            valid = jnp.asarray(self._valid_np)
+            start = self._spill_start()
+            self._device_start = start
+            vecs = jnp.asarray(self._vecs_np[start:])
+            scales = jnp.asarray(self._scales_np[start:])
+            valid = jnp.asarray(self._valid_np[start:])
             # Certificate term + pre-scaled bf16 mirror for the quantized
             # fast pass-1 (one corpus pass each per index version,
             # amortized across all queries).
@@ -259,21 +290,55 @@ class DeviceVectorIndex:
         if self._capacity <= _HOST_MAX and b <= 32:
             return self._search_host(queries, k)
         arrays = self._device_arrays()
-        vecs, scales, valid, bound = arrays
+        vecs, scales, valid, bound, approx = arrays
+        start = self._device_start
+        cap_dev = self._capacity - start
         bp = _pad_batch(b)
-        kp = min(_pad_k(k), self._capacity)
+        kp = min(_pad_k(k), cap_dev)
         qpad = np.zeros((bp, self.dim), np.float32)
         qpad[:b] = queries
         q = jnp.asarray(qpad)
-        use_fused = self._capacity > _BRUTE_MAX and self._capacity % TILE_N == 0
+        use_fused = cap_dev > _BRUTE_MAX and cap_dev % TILE_N == 0
         if use_fused:
-            vals, rows = two_level_topk(q, vecs, valid, kp, scales, bound=bound)
+            vals, rows = two_level_topk(q, vecs, valid, kp, scales,
+                                        bound=bound, approx=approx)
         else:
             vals, rows = brute_topk(q, vecs, valid, kp, scales)
         vals = np.asarray(vals)[:b, :k]
-        rows = np.asarray(rows)[:b, :k].astype(np.int64)
+        rows = np.asarray(rows)[:b, :k].astype(np.int64) + start
+        if start > 0:
+            vals, rows = self._merge_spilled(queries, vals, rows, start, k)
         rows = np.where(vals > NEG_INF / 2, rows, -1)
         return vals, rows
+
+    def _merge_spilled(self, queries, dev_vals, dev_rows, start: int, k: int):
+        """Score the host-resident prefix (rows < start) with BLAS and merge
+        with the device window's top-k — exact on both engines, global
+        tie-break (score desc, row asc)."""
+        from shodh_tpu.ops.distance import NEG_INF
+
+        prefix = self._vecs_np[:start]
+        if self.dtype == "int8":
+            h_scores = (queries @ prefix.T.astype(np.float32)) * self._scales_np[:start][None, :]
+        else:
+            h_scores = queries @ prefix.T
+        h_scores = np.where(self._valid_np[:start][None, :] > 0, h_scores, NEG_INF)
+        kk = min(k, start)
+        order = np.argsort(-h_scores, axis=1, kind="stable")[:, :kk]
+        h_vals = np.take_along_axis(h_scores, order, axis=1).astype(np.float32)
+        h_rows = order.astype(np.int64)
+
+        all_vals = np.concatenate([dev_vals, h_vals], axis=1)
+        all_rows = np.concatenate([dev_rows, h_rows], axis=1)
+        # global (score desc, row asc) per query
+        sel = np.lexsort((all_rows, -all_vals), axis=1)[:, :k]
+        out_v = np.take_along_axis(all_vals, sel, axis=1)
+        out_r = np.take_along_axis(all_rows, sel, axis=1)
+        if out_v.shape[1] < k:  # degenerate: fewer candidates than k
+            pad = k - out_v.shape[1]
+            out_v = np.pad(out_v, ((0, 0), (0, pad)), constant_values=NEG_INF)
+            out_r = np.pad(out_r, ((0, 0), (0, pad)), constant_values=-1)
+        return out_v, out_r
 
     def _search_host(self, queries: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
         """Host BLAS brute force, bit-identical tie-break to the device path

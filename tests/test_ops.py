@@ -345,3 +345,55 @@ class TestExactTopkScores:
         ref = queries @ corpus.T
         for b in range(3):
             np.testing.assert_array_equal(rows[b], np.argsort(-ref[b])[:7])
+
+
+class TestHbmResidencySpill:
+    """SHODH_HBM_BUDGET_BYTES caps device memory: the newest suffix window
+    stays resident, older rows spill to the host mirror and score via BLAS,
+    merged exactly (state.rs:748 shared-cache analog; VERDICT missing #10)."""
+
+    def _index(self, n, d=64, seed=0):
+        from shodh_tpu.index.device_index import DeviceVectorIndex
+
+        idx = DeviceVectorIndex(dim=d, dtype="int8")
+        idx.add(_random_unit(n, d, seed=seed))
+        return idx
+
+    def test_spilled_results_match_unlimited(self, monkeypatch):
+        n, d, k = 3000, 64, 10
+        queries = _random_unit(4, d, seed=9)
+        idx_full = self._index(n, d)
+        v_full, r_full = idx_full.search(queries, k)
+        # budget that forces ~half the corpus off-device
+        monkeypatch.setenv(
+            "SHODH_HBM_BUDGET_BYTES", str(2048 * (64 * 3 + 8))
+        )
+        idx_spill = self._index(n, d)
+        idx_spill.flush()
+        idx_spill._device_arrays()
+        assert idx_spill._device_start > 0, "budget did not trigger a spill"
+        v_sp, r_sp = idx_spill.search(queries, k)
+        np.testing.assert_array_equal(r_full, r_sp)
+        np.testing.assert_allclose(v_full, v_sp, rtol=1e-5)
+
+    def test_spill_respects_deletes(self, monkeypatch):
+        n, d, k = 3000, 64, 6
+        queries = _random_unit(2, d, seed=11)
+        monkeypatch.setenv("SHODH_HBM_BUDGET_BYTES", str(2048 * (64 * 3 + 8)))
+        idx = self._index(n, d, seed=3)
+        v0, r0 = idx.search(queries, k)
+        # delete the winners (one in the spilled prefix region if present)
+        idx.delete_rows([int(r0[0, 0]), int(r0[1, 0])])
+        v1, r1 = idx.search(queries, k)
+        assert int(r0[0, 0]) not in r1[0]
+        assert int(r0[1, 0]) not in r1[1]
+
+    def test_append_while_spilled(self, monkeypatch):
+        d, k = 64, 5
+        monkeypatch.setenv("SHODH_HBM_BUDGET_BYTES", str(2048 * (64 * 3 + 8)))
+        idx = self._index(2500, d, seed=5)
+        idx.search(_random_unit(1, d), k)  # builds the window
+        target = _random_unit(1, d, seed=42)
+        rows = idx.add(target)  # identical vector must become the top hit
+        v, r = idx.search(target, k)
+        assert int(r[0, 0]) == rows[0]
