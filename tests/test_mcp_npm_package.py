@@ -9,11 +9,17 @@ in the live aiohttp router.
 
 import json
 import re
+import sys
 from pathlib import Path
 
 import pytest
 
 PKG = Path(__file__).resolve().parents[1] / "mcp-server"
+if not (PKG / "dist" / "index.js").exists():  # fresh checkout: build it
+    sys.path.insert(0, str(PKG.parent / "tools"))
+    import build_mcp_dist
+
+    build_mcp_dist.build()
 JS = (PKG / "dist" / "index.js").read_text()
 TS = (PKG / "src" / "index.ts").read_text()
 
@@ -93,6 +99,16 @@ def test_package_json_shape():
     assert meta["bin"]["shodh-tpu-mcp"] == "dist/index.js"
     assert meta.get("dependencies", {}) == {}  # dependency-free by design
     assert meta["type"] == "module"
+
+
+def test_dist_regenerates_byte_exact():
+    # dist/index.js must be exactly what tools/build_mcp_dist.py produces —
+    # hand edits to the artifact are drift (edit src/index.ts and rebuild).
+    sys.path.insert(0, str(PKG.parent / "tools"))
+    import build_mcp_dist
+
+    header = "// Generated from src/index.ts by tools/build_mcp_dist.py — do not edit.\n"
+    assert JS == header + build_mcp_dist.strip_types(TS)
 
 
 def test_no_stray_typescript_in_dist():
