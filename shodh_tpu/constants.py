@@ -293,6 +293,7 @@ INTERFERENCE_VULNERABILITY_HOURS = 24
 INTERFERENCE_MAX_TRACKED = 10
 INTERFERENCE_ACTIVATION_FLOOR = 0.05
 COMPETITION_CLOSE_RATIO = 0.9
+INJECTION_MIN_RELEVANCE = 0.50  # injection.rs:136 — floor for proactive surfacing
 COMPETITION_SUPPRESSION_SCALE = 10.0
 COMPETITION_SURVIVAL_FLOOR = 0.1
 COMPETITION_SURVIVOR_DAMAGE_RATIO = 0.3
