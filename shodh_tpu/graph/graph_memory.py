@@ -403,14 +403,31 @@ class GraphMemory:
                 if mem.id not in mems:
                     mems.append(mem.id)
                 self._dirty_entities.add(eid)
-        # Co-occurrence edges between all pairs in this experience; a lexical
-        # cue in the content types the relation (predicate_from_cues).
+        # Per-pair typed relations from OpenIE triples (openie.rs -> typed
+        # edges): a triple whose subject/object resolve to two ingested
+        # entities types THAT pair; remaining pairs fall back to the
+        # sentence-level cue, then label-pair priors, then co_occurs.
+        pair_rels: dict[frozenset, str] = {}
+        if len(eids) >= 2:
+            from shodh_tpu.nlp.openie import extract_triples_auto
+
+            for tr in extract_triples_auto(exp.content):
+                if not tr.rel_type and not tr.family:
+                    continue
+                a = self.find_entity(tr.subject)
+                b = self.find_entity(tr.obj)
+                if a is None or b is None or a.id == b.id:
+                    continue
+                rel = tr.rel_type or predicate_from_cues(tr.predicate + " ")
+                rel = rel if isinstance(rel, str) else (rel[0] if rel else None)
+                if rel:
+                    pair_rels.setdefault(frozenset((a.id, b.id)), rel)
         cue = predicate_from_cues(exp.content)
         rel = cue[0] if cue else "co_occurs"
         for i in range(len(eids)):
             for j in range(i + 1, len(eids)):
-                rel_ij = rel
-                if rel == "co_occurs":
+                rel_ij = pair_rels.get(frozenset((eids[i], eids[j])), rel)
+                if rel_ij == "co_occurs":
                     la = self.entities[eids[i]].label
                     lb = self.entities[eids[j]].label
                     rel_ij = label_pair_relation(la, lb) or "co_occurs"

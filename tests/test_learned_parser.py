@@ -1,0 +1,143 @@
+"""Learned tagger/parser tests (reference analog: crates/spacy-rusty +
+src/dep_parser — embedded-weights tagger + transition parser).
+
+The embedded treebank is validated structurally; the models train
+deterministically and must clear held-out quality floors."""
+
+import pytest
+
+from shodh_tpu.nlp.learned_parser import (
+    ArcStandardParser,
+    PerceptronTagger,
+    evaluate,
+    learned_backend,
+    load_treebank,
+    train_split,
+)
+
+
+@pytest.fixture(scope="module")
+def sents():
+    return load_treebank()
+
+
+@pytest.fixture(scope="module")
+def trained(sents):
+    train, held = train_split(sents)
+    tagger = PerceptronTagger()
+    tagger.train(train)
+    parser = ArcStandardParser()
+    parser.train(train)
+    return tagger, parser, train, held
+
+
+# -- treebank integrity ------------------------------------------------------------
+
+
+def test_treebank_structure(sents):
+    assert len(sents) >= 150
+    assert sum(len(s) for s in sents) >= 900
+    for s in sents:
+        roots = [i for i, t in enumerate(s) if t[3] == "ROOT"]
+        assert len(roots) == 1 and s[roots[0]][2] == roots[0]
+        # acyclic: every token reaches the root
+        for i in range(len(s)):
+            seen, j = set(), i
+            while s[j][3] != "ROOT":
+                assert j not in seen, f"cycle in {[t[0] for t in s]}"
+                seen.add(j)
+                j = s[j][2]
+
+
+def test_treebank_projective(sents):
+    for s in sents:
+        arcs = [(min(i, t[2]), max(i, t[2])) for i, t in enumerate(s) if t[3] != "ROOT"]
+        for a, b in arcs:
+            for c, d in arcs:
+                assert not (a < c < b < d), f"non-projective {[t[0] for t in s]}"
+
+
+# -- quality floors (held-out, deterministic split) ------------------------------------
+
+
+def test_heldout_quality_floors(trained):
+    tagger, parser, _, held = trained
+    m = evaluate(tagger, parser, held)
+    assert m["tag_acc"] >= 0.78, m
+    assert m["uas"] >= 0.85, m  # gold tags
+    assert m["las"] >= 0.78, m
+    assert m["uas_e2e"] >= 0.65, m  # predicted tags end-to-end
+
+
+def test_training_fits_train_set(trained):
+    tagger, parser, train, _ = trained
+    m = evaluate(tagger, parser, train)
+    assert m["tag_acc"] >= 0.99 and m["uas"] >= 0.99, m
+
+
+def test_training_is_deterministic():
+    a = PerceptronTagger()
+    b = PerceptronTagger()
+    sents = load_treebank()
+    a.train(sents)
+    b.train(sents)
+    assert a.model.weights == b.model.weights
+    pa = ArcStandardParser()
+    pb = ArcStandardParser()
+    pa.train(sents)
+    pb.train(sents)
+    assert pa.model.weights == pb.model.weights
+
+
+# -- annotator contract -------------------------------------------------------------------
+
+
+def test_backend_parses_unseen_sentences():
+    ann = learned_backend()
+    toks = ann("The deploy failed because the disk filled.")
+    assert [t.pos for t in toks][:3] == ["DET", "NOUN", "VERB"]
+    root = [t for t in toks if t.dep == "ROOT"]
+    assert len(root) == 1 and root[0].text == "failed"
+    advcl = [t for t in toks if t.dep == "advcl"]
+    assert advcl and advcl[0].text == "filled"
+    # every head is in range; exactly one root
+    for i, t in enumerate(toks):
+        assert 0 <= t.head < len(toks)
+
+
+def test_backend_handles_degenerate_input():
+    ann = learned_backend()
+    assert ann("") == []
+    toks = ann("ok")
+    assert len(toks) == 1 and toks[0].dep == "ROOT"
+
+
+def test_env_flag_wires_backend(monkeypatch):
+    monkeypatch.setenv("SHODH_LEARNED_PARSER", "1")
+    from shodh_tpu.nlp.dep_parser import DepParser
+
+    p = DepParser()
+    assert p._backend is not None
+    toks = p.parse("Alice merged the branch yesterday.")
+    assert [t.text for t in toks if t.dep == "ROOT"] == ["merged"]
+    dobj = [t.text for t in toks if t.dep == "dobj"]
+    assert dobj == ["branch"]
+
+
+def test_default_stays_heuristic(monkeypatch):
+    monkeypatch.delenv("SHODH_LEARNED_PARSER", raising=False)
+    from shodh_tpu.nlp.dep_parser import DepParser
+
+    assert DepParser()._backend is None
+
+
+def test_downstream_consumers_run_on_learned_parses(monkeypatch):
+    """OpenIE-style consumption: noun phrases + root verb on the learned
+    backend's output contract."""
+    monkeypatch.setenv("SHODH_LEARNED_PARSER", "1")
+    from shodh_tpu.nlp.dep_parser import DepParser
+
+    p = DepParser()
+    assert p.root_verb("The team shipped the feature.") in ("ship", "shipped")
+    nps = p.noun_phrases("The memory system consolidates old episodes.")
+    assert any("memory system" in np for np in nps)
