@@ -2264,6 +2264,22 @@ def run_server(
         )
         heartbeat.start()
 
+        # Fleet mesh attach (zenoh_transport/mod.rs peer config analog):
+        # SHODH_FLEET_LISTEN=host:port opens the TCP key-expr mesh;
+        # SHODH_FLEET_CONNECT=ep1,ep2 dials seed peers. The full
+        # remember/recall/forget catalog + HMAC auth rides FleetTransport.
+        fleet_bus = None
+        listen = os.environ.get("SHODH_FLEET_LISTEN", "")
+        if listen:
+            from shodh_tpu.server.fleet import FleetTransport
+            from shodh_tpu.server.fleet_net import TcpMeshBus
+
+            connect = [e for e in os.environ.get("SHODH_FLEET_CONNECT", "").split(",") if e]
+            fleet_bus = TcpMeshBus(listen=listen, connect=connect)
+            app["fleet"] = FleetTransport(manager, bus=fleet_bus)
+            app["fleet"].announce(os.environ.get("SHODH_FLEET_ID", fleet_bus.peer_id))
+            print(f"fleet mesh listening on {fleet_bus.endpoint}", file=sys.stderr)
+
         tasks = [
             asyncio.create_task(maintenance_loop()),
             asyncio.create_task(reminder_loop()),
@@ -2272,6 +2288,8 @@ def run_server(
         yield
         for t in tasks:
             t.cancel()
+        if fleet_bus is not None:
+            fleet_bus.close()
         heartbeat.stop()
         manager.close()
 
