@@ -13,6 +13,7 @@ Host-side analog of the reference's ``MemoryStorage`` (storage.rs):
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from datetime import datetime
 from pathlib import Path
@@ -52,9 +53,28 @@ class SearchCriteria:
     limit: int = 1000
 
 
+_CACHE_CAP = 1024
+
+
 class MemoryStorage:
     def __init__(self, path: str | Path):
         self.kv = KvStore(Path(path) / "memories.db")
+        # Read-through LRU: id -> (Memory, persisted index keys). The shared
+        # block cache analog (state.rs:748): batch ingest re-reads the same
+        # recent candidates (lineage/interference) tens of times per item.
+        # Recording the persisted index keys lets update() diff instead of
+        # del-all+put-all (most updates touch activation/access only).
+        self._cache: "OrderedDict[str, tuple[Memory, frozenset[str]]]" = OrderedDict()
+        self._count: Optional[int] = None
+
+    def _cache_put(self, mem: Memory, keys: frozenset[str]) -> None:
+        self._cache[mem.id] = (mem, keys)
+        self._cache.move_to_end(mem.id)
+        while len(self._cache) > _CACHE_CAP:
+            self._cache.popitem(last=False)
+
+    def _index_keys(self, mem: Memory) -> frozenset[str]:
+        return frozenset(k for _, _, k, _ in self._index_ops(mem, "put"))
 
     # -- index keys -----------------------------------------------------------
 
@@ -90,35 +110,60 @@ class MemoryStorage:
             ops.append(("put", NS_HASH, mem.content_hash, mem.id.encode()))
         ops.extend(self._index_ops(mem, "put"))
         self.kv.write_batch(ops)
+        self._cache_put(mem, self._index_keys(mem))
+        if self._count is not None:
+            self._count += 1
 
     def get(self, memory_id: str) -> Optional[Memory]:
+        hit = self._cache.get(memory_id)
+        if hit is not None:
+            self._cache.move_to_end(memory_id)
+            return hit[0]
         raw = self.kv.get(NS_MEM, memory_id)
         if raw is None:
             return None
         try:
-            return Memory.from_dict(decode(raw))
+            mem = Memory.from_dict(decode(raw))
         except CorruptRecordError:
             return None
+        self._cache_put(mem, self._index_keys(mem))
+        return mem
 
     def update(self, mem: Memory) -> None:
-        old = self.get(mem.id)
-        ops: list[tuple[str, str, str, bytes | None]] = []
-        if old is not None:
-            ops.extend(self._index_ops(old, "del"))
+        hit = self._cache.get(mem.id)
+        if hit is not None:
+            old_keys = hit[1]
+        else:
+            raw = self.kv.get(NS_MEM, mem.id)
+            old_keys = frozenset()
+            if raw is not None:
+                try:
+                    old_keys = self._index_keys(Memory.from_dict(decode(raw)))
+                except CorruptRecordError:
+                    pass
+        new_keys = self._index_keys(mem)
+        ops: list[tuple[str, str, str, bytes | None]] = [
+            ("del", NS_IDX, k, None) for k in sorted(old_keys - new_keys)
+        ]
         ops.append(("put", NS_MEM, mem.id, encode(mem.to_dict())))
-        ops.extend(self._index_ops(mem, "put"))
+        ops.extend(("put", NS_IDX, k, b"") for k in sorted(new_keys - old_keys))
         self.kv.write_batch(ops)
+        self._cache_put(mem, new_keys)
 
     def delete(self, memory_id: str) -> bool:
+        self._cache.pop(memory_id, None)
         mem = self.get(memory_id)
         if mem is None:
             return False
+        self._cache.pop(memory_id, None)
         ops = [("del", NS_MEM, memory_id, None)]
         if mem.content_hash:
             ops.append(("del", NS_HASH, mem.content_hash, None))
         ops.extend(self._index_ops(mem, "del"))
         ops.append(("del", NS_VECMAP, memory_id, None))
         self.kv.write_batch(ops)
+        if self._count is not None:
+            self._count -= 1
         return True
 
     def persist_access_updates(self, updates: list[tuple[str, int, Optional[datetime]]]) -> None:
@@ -258,10 +303,14 @@ class MemoryStorage:
                 bad.append(k)
         for k in bad:
             self.kv.delete(NS_MEM, k)
+            self._cache.pop(k, None)
+        self._count = None  # bypassed the counted paths
         return len(bad)
 
     def count(self) -> int:
-        return self.kv.count(NS_MEM)
+        if self._count is None:
+            self._count = self.kv.count(NS_MEM)
+        return self._count
 
     def flush(self) -> None:
         self.kv.flush()
