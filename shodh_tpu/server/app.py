@@ -92,6 +92,10 @@ async def auth_middleware(request: web.Request, handler):
     key = request.headers.get("X-API-Key") or request.headers.get(
         "Authorization", ""
     ).removeprefix("Bearer ").strip()
+    if not key and request.path in ("/api/events/sse", "/api/events"):
+        # EventSource cannot attach headers — the SSE tail (and only it)
+        # accepts the key as a query parameter (same credential, same check)
+        key = request.query.get("key", "")
     if not _check_key(key):
         METRICS.inc("shodh_http_unauthorized_total")
         return _err(401, "unauthorized", "missing or invalid API key")

@@ -111,6 +111,19 @@ class TestDashboardAndGraphOps:
         status, text = client.request("GET", "/dashboard", headers={})
         assert status == 200 and "shodh-tpu" in text
 
+    def test_dashboard_spa_views_present(self, client):
+        # the SPA (reference front/: recall/graph/anomalies/tasks views)
+        status, text = client.request("GET", "/dashboard", headers={})
+        for view in ("#/recall", "#/graph", "#/tasks", "#/anomalies", "#/activity"):
+            assert view in text, f"dashboard missing view {view}"
+        assert "EventSource" in text and "X-API-Key" in text
+
+    def test_sse_accepts_query_key_only_on_events_routes(self, client):
+        # EventSource cannot set headers: /api/events/sse takes ?key=
+        status, _ = client.request("GET", "/api/stats?key=" + HEADERS["X-API-Key"],
+                                   headers={})
+        assert status == 401  # query key must NOT authenticate other routes
+
     def test_graph_invalidate_and_census(self, client):
         client.request(
             "POST", "/api/remember",
