@@ -1,13 +1,45 @@
-"""Porter stemmer (Porter 1980) — fresh implementation of the public algorithm.
+"""Stemming for token folding (query parser, BM25, hash embedder).
 
-Used by the query parser and hash embedder to fold inflected forms
-(the reference uses Porter2 via rust-stemmers in query_parser.rs; the
-classic Porter algorithm is equivalent for our bucketing/IC-weighting use).
+Two backends behind one ``stem()`` entry point:
+
+- Porter 1980 (the fresh implementation below) — the measured default.
+- Porter2 / Snowball English — the exact algorithm the reference uses via
+  rust-stemmers (query_parser.rs); provided by NLTK's pure-Python Snowball
+  implementation (already in the environment, no data downloads). Select
+  with ``SHODH_STEMMER=porter2``.
+
+The backend is resolved once at import: the stemmer feeds stored token
+hashes and embeddings, so it must never change mid-process (mixed stems
+would split the same word across index keys). Measured on the recall
+gates before any default flip — see BENCHMARKS.md.
 """
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
+
+_BACKEND = os.environ.get("SHODH_STEMMER", "porter1")
+
+
+@lru_cache(maxsize=65536)
+def stem(word: str) -> str:
+    if _BACKEND == "porter2":
+        return _porter2(word.lower())
+    return _porter1(word)
+
+
+@lru_cache(maxsize=1)
+def _snowball():
+    from nltk.stem.snowball import SnowballStemmer
+
+    return SnowballStemmer("english")
+
+
+def _porter2(word: str) -> str:
+    if len(word) <= 2:
+        return word
+    return _snowball().stem(word)
 
 _VOWELS = set("aeiou")
 
@@ -81,8 +113,7 @@ def _replace(word: str, suffix: str, repl: str, min_measure: int = 0) -> str | N
     return None
 
 
-@lru_cache(maxsize=65536)
-def stem(word: str) -> str:
+def _porter1(word: str) -> str:
     w = word.lower()
     if len(w) <= 2:
         return w

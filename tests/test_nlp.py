@@ -33,6 +33,18 @@ class TestStemmer:
         assert stem("deployed") == stem("deploying") == stem("deploys")
         assert stem("migration") == stem("migrations")
 
+    def test_porter2_backend(self):
+        # the reference's algorithm (rust-stemmers Snowball English);
+        # selectable via SHODH_STEMMER=porter2 — measured 2pp WORSE on the
+        # locomo gate with the hash embedder, so porter1 stays default
+        from shodh_tpu.nlp.stemmer import _porter2
+
+        assert _porter2("dying") == "die"
+        assert _porter2("skies") == "sky"
+        assert _porter2("generously") == "generous"
+        assert _porter2("communication") == "communic"
+        assert _porter2("hoping") == "hope"
+
 
 class TestYake:
     def test_keywords_surface_salient_terms(self):
