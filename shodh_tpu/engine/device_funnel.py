@@ -166,9 +166,18 @@ class DeviceRecallEngine:
     def recall_batch(
         self, query_texts: list[str], k: int = 10, now: Optional[datetime] = None
     ) -> list[list[tuple[str, float]]]:
-        """Batched fused-program recall: B queries -> one device program
+        """Batched fused-program recall: B queries -> device programs
         (ops/device_recall.py fused_recall_batch). The serving-throughput
-        configuration for SHODH_DEVICE_FUNNEL deployments."""
+        configuration for SHODH_DEVICE_FUNNEL deployments. Batches beyond
+        CHUNK_B are windowed into CHUNK_B-query dispatches — the measured
+        device sweet spot (see ops/device_recall.py CHUNK_B notes)."""
+        from shodh_tpu.ops.device_recall import CHUNK_B
+
+        if len(query_texts) > CHUNK_B:
+            out: list[list[tuple[str, float]]] = []
+            for lo in range(0, len(query_texts), CHUNK_B):
+                out.extend(self.recall_batch(query_texts[lo: lo + CHUNK_B], k, now))
+            return out
         import jax.numpy as jnp
 
         from shodh_tpu.ops.device_recall import fused_recall_batch

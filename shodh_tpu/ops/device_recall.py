@@ -93,6 +93,18 @@ def fused_recall(
     return vals, rows
 
 
+# Working-set sweet spot for the batched funnel, measured at 1M x 384 on
+# v5e: B=32 runs 5.5 ms/batch (5.8k QPS) while one flat B=256 program takes
+# 90 ms (2.8k QPS) — the (B, N) scatter planes + top_k blow past the
+# cache-friendly regime. Device-side chunking was measured and REJECTED:
+# lax.map pays 14-15 ms/chunk (scan bodies lose matmul pipelining against
+# the resident corpus) and static unrolling exceeds the remote-compile
+# 2 GiB HLO serialization limit at 8 chunks. Large batches are therefore
+# WINDOWED AT THE HOST layer (engine/device_funnel.py slices into CHUNK_B
+# dispatches — ~100 us dispatch overhead per window on local TPUs).
+CHUNK_B = 32
+
+
 @partial(jax.jit, static_argnames=("k",))
 def fused_recall_batch(
     queries,  # (B, D) f32 L2-normalized

@@ -238,6 +238,28 @@ class TestBatchedFunnel:
             np.testing.assert_array_equal(np.asarray(sr), np.asarray(br[i]))
             np.testing.assert_allclose(np.asarray(sv), np.asarray(bv[i]), rtol=2e-6)
 
+    def test_engine_windows_large_batches(self, tmp_path):
+        """B > CHUNK_B is windowed into CHUNK_B-query dispatches at the
+        engine layer (device-side chunking measured and rejected — see
+        ops/device_recall.py); results must match the small-batch path."""
+        from shodh_tpu.engine.device_funnel import DeviceRecallEngine
+        from shodh_tpu.engine.memory_system import MemorySystem
+        from shodh_tpu.ops.device_recall import CHUNK_B
+        from shodh_tpu.types import Experience
+
+        sys_ = MemorySystem(tmp_path / "win")
+        for i in range(40):
+            sys_.remember(Experience(content=f"case {i}: service {i % 5} "
+                                             f"{'failed' if i % 2 else 'recovered'}"))
+        eng = DeviceRecallEngine(sys_)
+        queries = [f"service {i % 5} status" for i in range(CHUNK_B + 8)]
+        windowed = eng.recall_batch(queries, k=3)
+        assert len(windowed) == len(queries)
+        small = eng.recall_batch(queries[:4], k=3)
+        for got, want in zip(windowed[:4], small):
+            assert [m for m, _ in got] == [m for m, _ in want]
+        sys_.close()
+
     def test_engine_recall_batch_matches_single(self, tmp_path):
         from shodh_tpu.engine.device_funnel import DeviceRecallEngine
         from shodh_tpu.engine.memory_system import MemorySystem
@@ -256,7 +278,11 @@ class TestBatchedFunnel:
         for text, hits in zip(queries, batched):
             single = eng.recall(text, k=5)
             assert [m for m, _ in hits] == [m for m, _ in single]
+            # ids above ARE the determinism contract; scores come from two
+            # separately jitted programs whose CPU matmul reduction order
+            # differs in the last bits under thread scheduling (observed
+            # 1.3e-5 relative at file scope) — keep a thread-safe margin
             np.testing.assert_allclose(
-                [s for _, s in hits], [s for _, s in single], rtol=2e-6
+                [s for _, s in hits], [s for _, s in single], rtol=5e-5
             )
         sys_.close()
