@@ -13,6 +13,7 @@ Host-side analog of the reference's ``MemoryStorage`` (storage.rs):
 
 from __future__ import annotations
 
+import threading
 from collections import OrderedDict
 from dataclasses import dataclass, field
 from datetime import datetime
@@ -65,13 +66,18 @@ class MemoryStorage:
         # Recording the persisted index keys lets update() diff instead of
         # del-all+put-all (most updates touch activation/access only).
         self._cache: "OrderedDict[str, tuple[Memory, frozenset[str]]]" = OrderedDict()
+        # guards cache + count: most access rides the engine lock, but a few
+        # read paths (relevance proactive_context, stats routes) reach the
+        # storage layer directly from other threads
+        self._cache_lock = threading.RLock()
         self._count: Optional[int] = None
 
     def _cache_put(self, mem: Memory, keys: frozenset[str]) -> None:
-        self._cache[mem.id] = (mem, keys)
-        self._cache.move_to_end(mem.id)
-        while len(self._cache) > _CACHE_CAP:
-            self._cache.popitem(last=False)
+        with self._cache_lock:
+            self._cache[mem.id] = (mem, keys)
+            self._cache.move_to_end(mem.id)
+            while len(self._cache) > _CACHE_CAP:
+                self._cache.popitem(last=False)
 
     def _index_keys(self, mem: Memory) -> frozenset[str]:
         return frozenset(k for _, _, k, _ in self._index_ops(mem, "put"))
@@ -110,15 +116,17 @@ class MemoryStorage:
             ops.append(("put", NS_HASH, mem.content_hash, mem.id.encode()))
         ops.extend(self._index_ops(mem, "put"))
         self.kv.write_batch(ops)
-        self._cache_put(mem, self._index_keys(mem))
-        if self._count is not None:
-            self._count += 1
+        with self._cache_lock:
+            self._cache_put(mem, self._index_keys(mem))
+            if self._count is not None:
+                self._count += 1
 
     def get(self, memory_id: str) -> Optional[Memory]:
-        hit = self._cache.get(memory_id)
-        if hit is not None:
-            self._cache.move_to_end(memory_id)
-            return hit[0]
+        with self._cache_lock:
+            hit = self._cache.get(memory_id)
+            if hit is not None:
+                self._cache.move_to_end(memory_id)
+                return hit[0]
         raw = self.kv.get(NS_MEM, memory_id)
         if raw is None:
             return None
@@ -130,7 +138,8 @@ class MemoryStorage:
         return mem
 
     def update(self, mem: Memory) -> None:
-        hit = self._cache.get(mem.id)
+        with self._cache_lock:
+            hit = self._cache.get(mem.id)
         if hit is not None:
             old_keys = hit[1]
         else:
@@ -151,19 +160,22 @@ class MemoryStorage:
         self._cache_put(mem, new_keys)
 
     def delete(self, memory_id: str) -> bool:
-        self._cache.pop(memory_id, None)
+        with self._cache_lock:
+            self._cache.pop(memory_id, None)
         mem = self.get(memory_id)
         if mem is None:
             return False
-        self._cache.pop(memory_id, None)
+        with self._cache_lock:
+            self._cache.pop(memory_id, None)
         ops = [("del", NS_MEM, memory_id, None)]
         if mem.content_hash:
             ops.append(("del", NS_HASH, mem.content_hash, None))
         ops.extend(self._index_ops(mem, "del"))
         ops.append(("del", NS_VECMAP, memory_id, None))
         self.kv.write_batch(ops)
-        if self._count is not None:
-            self._count -= 1
+        with self._cache_lock:
+            if self._count is not None:
+                self._count -= 1
         return True
 
     def persist_access_updates(self, updates: list[tuple[str, int, Optional[datetime]]]) -> None:
@@ -303,14 +315,17 @@ class MemoryStorage:
                 bad.append(k)
         for k in bad:
             self.kv.delete(NS_MEM, k)
-            self._cache.pop(k, None)
-        self._count = None  # bypassed the counted paths
+            with self._cache_lock:
+                self._cache.pop(k, None)
+        with self._cache_lock:
+            self._count = None  # bypassed the counted paths
         return len(bad)
 
     def count(self) -> int:
-        if self._count is None:
-            self._count = self.kv.count(NS_MEM)
-        return self._count
+        with self._cache_lock:
+            if self._count is None:
+                self._count = self.kv.count(NS_MEM)
+            return self._count
 
     def flush(self) -> None:
         self.kv.flush()
