@@ -79,9 +79,30 @@ class FleetTransport:
         self.bus = bus or InProcessBus()
         self.auth_key = (auth_key or os.environ.get("SHODH_FLEET_KEY", "")).encode()
         self._responses: dict[str, Any] = {}
+        self._streams: dict[str, Any] = {}  # user -> StreamBuffer
+        self._missions: dict[str, str] = {}  # user -> active mission_id
         self.bus.subscribe(f"{KEY_PREFIX}/*/remember", self._on_remember)
         self.bus.subscribe(f"{KEY_PREFIX}/*/recall", self._on_recall)
         self.bus.subscribe(f"{KEY_PREFIX}/*/forget", self._on_forget)
+        self.bus.subscribe(f"{KEY_PREFIX}/*/stream/sensor", self._on_stream_sensor)
+        self.bus.subscribe(f"{KEY_PREFIX}/*/mission/start", self._on_mission_start)
+        self.bus.subscribe(f"{KEY_PREFIX}/*/mission/end", self._on_mission_end)
+        self._subscribe_auto_topics()
+
+    def _subscribe_auto_topics(self) -> None:
+        """SHODH_FLEET_AUTO_TOPICS: JSON list of {key_expr, user_id, mode} —
+        auto-remember arbitrary key expressions (the reference's
+        SHODH_ZENOH_AUTO_TOPICS ROS2-bridge pattern)."""
+        raw = os.environ.get("SHODH_FLEET_AUTO_TOPICS", "")
+        if not raw:
+            return
+        for spec in json.loads(raw):
+            user = spec["user_id"]
+            mode = spec.get("mode", "event")
+            self.bus.subscribe(
+                spec["key_expr"],
+                lambda key, payload, u=user, m=mode: self._ingest_stream(u, m, payload),
+            )
 
     # -- auth (payload-key HMAC, handlers.rs:48) --------------------------------
 
@@ -143,6 +164,78 @@ class FleetTransport:
         self.bus.publish(
             f"{KEY_PREFIX}/{user}/forget/ack", json.dumps({"forgotten": ok}).encode()
         )
+
+    # -- streaming ingest + missions (zenoh_transport stream/mission keys) ---------
+
+    def _ingest_stream(self, user: str, mode: str, raw: bytes) -> list[str]:
+        from shodh_tpu.server.streaming import StreamBuffer, flush_to_memory
+
+        try:
+            payload = json.loads(raw)
+        except ValueError:
+            payload = {"content": raw.decode("utf-8", "replace")}
+        if not self._authenticate(payload):
+            return []
+        buf = self._streams.get(user)
+        if buf is None or buf.mode != mode:
+            buf = self._streams[user] = StreamBuffer(mode=mode)
+        mission = self._missions.get(user)
+        if mission and "mission_id" not in payload:
+            payload["mission_id"] = mission
+        buf.add(payload)
+        if not buf.should_flush():
+            return []
+        system = self.manager.get_user_memory(user)
+        ids = flush_to_memory(system, buf)
+        if ids:
+            self.bus.publish(
+                f"{KEY_PREFIX}/{user}/stream/flushed",
+                json.dumps({"memory_ids": ids}).encode(),
+            )
+        return ids
+
+    def _on_stream_sensor(self, key: str, raw: bytes) -> None:
+        self._ingest_stream(self._user_of(key), "sensor", raw)
+
+    def _on_mission_start(self, key: str, raw: bytes) -> None:
+        payload = json.loads(raw)
+        if not self._authenticate(payload):
+            return
+        user = self._user_of(key)
+        mission = payload.get("mission_id", "")
+        if not mission:
+            return
+        self._missions[user] = mission
+        system = self.manager.get_user_memory(user)
+        system.remember(Experience(
+            content=payload.get("description", f"mission {mission} started"),
+            mission_id=mission, robot_id=payload.get("robot_id"),
+            tags=["mission", "mission-start"],
+        ))
+        self.bus.publish(f"{KEY_PREFIX}/{user}/mission/ack",
+                         json.dumps({"mission_id": mission, "active": True}).encode())
+
+    def _on_mission_end(self, key: str, raw: bytes) -> None:
+        payload = json.loads(raw)
+        if not self._authenticate(payload):
+            return
+        user = self._user_of(key)
+        mission = payload.get("mission_id") or self._missions.get(user, "")
+        self._missions.pop(user, None)
+        # drain any buffered stream items so the mission's tail is durable
+        buf = self._streams.get(user)
+        system = self.manager.get_user_memory(user)
+        if buf is not None and buf.items:
+            from shodh_tpu.server.streaming import flush_to_memory
+
+            flush_to_memory(system, buf)
+        if mission:
+            system.remember(Experience(
+                content=payload.get("summary", f"mission {mission} ended"),
+                mission_id=mission, tags=["mission", "mission-end"],
+            ))
+        self.bus.publish(f"{KEY_PREFIX}/{user}/mission/ack",
+                         json.dumps({"mission_id": mission, "active": False}).encode())
 
     # -- fleet discovery -----------------------------------------------------------
 

@@ -134,6 +134,85 @@ class TestFleet:
         assert t.fleet_members() == ["spot-1", "spot-2"]
         manager.close()
 
+    def test_sensor_stream_flushes_to_memories(self, tmp_path):
+        """shodh/{user}/stream/sensor — auto-remember via the extraction
+        pipeline (reference README key-expr table)."""
+        from shodh_tpu.server.fleet import FleetTransport, InProcessBus, KEY_PREFIX
+        from shodh_tpu.server.state import MultiUserMemoryManager
+        from shodh_tpu.server.streaming import FLUSH_EVENTS
+
+        manager = MultiUserMemoryManager(tmp_path / "fleet4")
+        bus = InProcessBus()
+        FleetTransport(manager, bus)
+        flushed = []
+        bus.subscribe(f"{KEY_PREFIX}/*/stream/flushed",
+                      lambda k, p: flushed.append(json.loads(p)))
+        for i in range(FLUSH_EVENTS):
+            bus.publish(
+                f"{KEY_PREFIX}/drone1/stream/sensor",
+                json.dumps({"content": f"battery reading {i}",
+                            "data": {"battery": 0.9 - i * 0.01}}).encode(),
+            )
+        assert flushed and len(flushed[0]["memory_ids"]) == FLUSH_EVENTS
+        system = manager.get_user_memory("drone1")
+        mems = system.get_all(limit=50)
+        assert any(m.experience.sensor_data for m in mems)
+        manager.close()
+
+    def test_mission_boundaries_stamp_memories(self, tmp_path):
+        """mission/start opens a mission; streamed items inherit its id;
+        mission/end drains the buffer and stores a summary memory."""
+        from shodh_tpu.server.fleet import FleetTransport, InProcessBus, KEY_PREFIX
+        from shodh_tpu.server.state import MultiUserMemoryManager
+
+        manager = MultiUserMemoryManager(tmp_path / "fleet5")
+        bus = InProcessBus()
+        FleetTransport(manager, bus)
+        acks = []
+        bus.subscribe(f"{KEY_PREFIX}/*/mission/ack", lambda k, p: acks.append(json.loads(p)))
+        bus.publish(f"{KEY_PREFIX}/spot1/mission/start",
+                    json.dumps({"mission_id": "inspection-7",
+                                "description": "bridge inspection run"}).encode())
+        assert acks and acks[0] == {"mission_id": "inspection-7", "active": True}
+        bus.publish(f"{KEY_PREFIX}/spot1/stream/sensor",
+                    json.dumps({"content": "crack at waypoint alpha",
+                                "data": {"depth_mm": 3.0}}).encode())
+        bus.publish(f"{KEY_PREFIX}/spot1/mission/end",
+                    json.dumps({"summary": "inspection complete, one defect"}).encode())
+        assert acks[-1]["active"] is False
+        system = manager.get_user_memory("spot1")
+        mems = system.get_all(limit=50)
+        mission_ids = {m.experience.mission_id for m in mems}
+        assert "inspection-7" in mission_ids
+        # the buffered sensor item was drained at mission end with the id
+        assert any(m.experience.mission_id == "inspection-7"
+                   and "crack" in m.experience.content for m in mems)
+        assert any("mission-end" in m.experience.tags for m in mems)
+        manager.close()
+
+    def test_auto_topics_env(self, tmp_path, monkeypatch):
+        """SHODH_FLEET_AUTO_TOPICS maps arbitrary key expressions into a
+        user's stream (the ROS2-bridge auto-subscribe pattern)."""
+        from shodh_tpu.server.fleet import FleetTransport, InProcessBus
+        from shodh_tpu.server.state import MultiUserMemoryManager
+        from shodh_tpu.server.streaming import FLUSH_EVENTS
+
+        monkeypatch.setenv(
+            "SHODH_FLEET_AUTO_TOPICS",
+            json.dumps([{"key_expr": "rt/spot1/status", "user_id": "spot-1",
+                         "mode": "sensor"}]),
+        )
+        manager = MultiUserMemoryManager(tmp_path / "fleet6")
+        bus = InProcessBus()
+        FleetTransport(manager, bus)
+        for i in range(FLUSH_EVENTS):
+            bus.publish("rt/spot1/status",
+                        json.dumps({"content": f"status {i}",
+                                    "data": {"temp": 20.0 + i}}).encode())
+        system = manager.get_user_memory("spot-1")
+        assert len(system.get_all(limit=50)) >= FLUSH_EVENTS
+        manager.close()
+
 
 class TestMigration:
     def test_legacy_records_upgraded(self, tmp_path):
