@@ -140,6 +140,62 @@ async def rate_limit_middleware(request: web.Request, handler):
     return await handler(request)
 
 
+# -- production knobs (reference README "Production Deployment" env table) ------
+
+_CORS_ORIGINS = [o.strip() for o in os.environ.get("SHODH_CORS_ORIGINS", "").split(",")
+                 if o.strip()]
+_REQUEST_TIMEOUT = float(os.environ.get("SHODH_REQUEST_TIMEOUT", "60"))
+_MAX_CONCURRENT = int(os.environ.get("SHODH_MAX_CONCURRENT", "200"))
+_concurrency_sem: Optional[asyncio.Semaphore] = None
+# streaming responses must never be timeout-wrapped or they die mid-stream
+_STREAMING_PATHS = ("/api/events", "/api/events/sse", "/stream", "/api/stream")
+
+
+def _cors_headers(origin: str) -> dict:
+    if not _CORS_ORIGINS or not origin:
+        return {}
+    if origin in _CORS_ORIGINS or "*" in _CORS_ORIGINS:
+        return {
+            "Access-Control-Allow-Origin": origin,
+            "Access-Control-Allow-Methods": "GET, POST, PUT, PATCH, DELETE, OPTIONS",
+            "Access-Control-Allow-Headers": "Content-Type, X-API-Key, X-User-ID, Authorization",
+            "Vary": "Origin",
+        }
+    return {}
+
+
+@web.middleware
+async def production_middleware(request: web.Request, handler):
+    """CORS preflight/headers + request timeout + concurrency bound
+    (SHODH_CORS_ORIGINS / SHODH_REQUEST_TIMEOUT / SHODH_MAX_CONCURRENT)."""
+    origin = request.headers.get("Origin", "")
+    cors = _cors_headers(origin)
+    if request.method == "OPTIONS" and cors:
+        return web.Response(status=204, headers=cors)
+
+    global _concurrency_sem
+    if _concurrency_sem is None:
+        _concurrency_sem = asyncio.Semaphore(_MAX_CONCURRENT)
+    streaming = any(request.path.startswith(p) for p in _STREAMING_PATHS)
+    try:
+        async with _concurrency_sem:
+            if streaming or _REQUEST_TIMEOUT <= 0:
+                resp = await handler(request)
+            else:
+                async with asyncio.timeout(_REQUEST_TIMEOUT):
+                    resp = await handler(request)
+    except TimeoutError:
+        METRICS.inc("shodh_http_timeout_total")
+        resp = _err(504, "timeout",
+                    f"request exceeded {_REQUEST_TIMEOUT:.0f}s (SHODH_REQUEST_TIMEOUT)")
+    if cors:
+        try:
+            resp.headers.update(cors)
+        except (AttributeError, RuntimeError):
+            pass  # prepared stream responses: headers already sent
+    return resp
+
+
 @web.middleware
 async def observability_middleware(request: web.Request, handler):
     t0 = time.perf_counter()
@@ -165,7 +221,8 @@ async def observability_middleware(request: web.Request, handler):
 
 def make_app(manager: MultiUserMemoryManager) -> web.Application:
     app = web.Application(
-        middlewares=[observability_middleware, rate_limit_middleware, auth_middleware],
+        middlewares=[observability_middleware, production_middleware,
+                     rate_limit_middleware, auth_middleware],
         client_max_size=MAX_BODY,
     )
     app["manager"] = manager

@@ -124,6 +124,34 @@ class TestDashboardAndGraphOps:
                                    headers={})
         assert status == 401  # query key must NOT authenticate other routes
 
+
+class TestProductionKnobs:
+    def test_cors_headers_and_preflight(self, client, monkeypatch):
+        import shodh_tpu.server.app as appmod
+
+        monkeypatch.setattr(appmod, "_CORS_ORIGINS", ["https://app.example.com"])
+        status, _, = client.request(
+            "OPTIONS", "/api/stats",
+            headers={"Origin": "https://app.example.com"})
+        assert status == 204
+        # disallowed origin: no preflight grant
+        status, _ = client.request(
+            "OPTIONS", "/api/stats", headers={"Origin": "https://evil.example"})
+        assert status != 204
+
+    def test_request_timeout_returns_504(self, client, monkeypatch):
+        import shodh_tpu.server.app as appmod
+
+        monkeypatch.setattr(appmod, "_REQUEST_TIMEOUT", 0.05)
+        # recall with a query is comfortably slower than 50 ms on first call
+        status, body = client.request("POST", "/api/recall",
+                                      {"query": "anything at all"})
+        assert status in (200, 504)  # warm caches may beat 50 ms
+        monkeypatch.setattr(appmod, "_REQUEST_TIMEOUT", 0.0001)
+        status, body = client.request("POST", "/api/recall", {"query": "again"})
+        assert status == 504
+        assert body["error"]["code"] == "timeout"
+
     def test_graph_invalidate_and_census(self, client):
         client.request(
             "POST", "/api/remember",
