@@ -19,6 +19,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--data-dir", default="~/.shodh-tpu")
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=8900)
+    s.add_argument("--ipc", default="", metavar="SOCKET",
+                   help="local IPC socket path (default: <data-dir>/shodh.sock; "
+                        "SHODH_IPC_ENABLED=false disables)")
 
     for name in ("remember", "recall"):
         c = sub.add_parser(name)
@@ -75,7 +78,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "serve":
         from shodh_tpu.server.app import run_server
 
-        run_server(data_dir=args.data_dir, host=args.host, port=args.port)
+        run_server(data_dir=args.data_dir, host=args.host, port=args.port,
+                   ipc_path=args.ipc)
         return 0
 
     if args.cmd in ("remember", "recall", "stats", "status", "maintenance"):

@@ -2258,6 +2258,7 @@ def run_server(
     host: str = "127.0.0.1",
     port: int = 8900,
     maintenance_interval_secs: int = 3600,
+    ipc_path: str = "",
 ) -> None:
     """Server entry: manager + schedulers + HTTP serve (server.rs:61 analog)."""
     if not _api_keys():
@@ -2341,6 +2342,28 @@ def run_server(
             app["fleet"].announce(os.environ.get("SHODH_FLEET_ID", fleet_bus.peer_id))
             print(f"fleet mesh listening on {fleet_bus.endpoint}", file=sys.stderr)
 
+        # Local IPC alongside HTTP (server.rs enables it by default; the UDS
+        # HMAC handshake pre-authenticates — see local_ipc.py). Resolution:
+        # explicit --ipc / SHODH_IPC_PATH path, else <data-dir>/shodh.sock
+        # unless SHODH_IPC_ENABLED=false.
+        ipc_server = None
+        resolved_ipc = ipc_path or os.environ.get("SHODH_IPC_PATH", "")
+        if not resolved_ipc and os.environ.get("SHODH_IPC_ENABLED", "true").lower() != "false":
+            resolved_ipc = str(manager.data_dir / "shodh.sock")
+        if resolved_ipc:
+            from shodh_tpu.server.local_ipc import LocalIpcServer
+
+            # a bare router app over the SAME manager: LocalIpcServer boots
+            # an in-process TestServer for dispatch, and reusing `app` would
+            # re-enter this cleanup context (recursive IPC servers)
+            ipc_server = LocalIpcServer(make_app(manager), resolved_ipc)
+            try:
+                await ipc_server.start()
+                print(f"local IPC listening on {resolved_ipc}", file=sys.stderr)
+            except OSError as exc:
+                print(f"local IPC unavailable ({exc}); HTTP only", file=sys.stderr)
+                ipc_server = None
+
         tasks = [
             asyncio.create_task(maintenance_loop()),
             asyncio.create_task(reminder_loop()),
@@ -2349,6 +2372,8 @@ def run_server(
         yield
         for t in tasks:
             t.cancel()
+        if ipc_server is not None:
+            await ipc_server.stop()
         if fleet_bus is not None:
             fleet_bus.close()
         heartbeat.stop()
