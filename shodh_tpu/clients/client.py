@@ -10,6 +10,7 @@ Two modes:
 from __future__ import annotations
 
 import json
+import os
 import urllib.error
 import urllib.request
 from pathlib import Path
@@ -32,22 +33,43 @@ class Memory:
         embedded: bool = False,
         data_dir: Optional[str] = None,
         timeout: float = 30.0,
+        ipc: Optional[str] = None,
     ):
         self.url = url.rstrip("/")
         self.api_key = api_key
         self.user_id = user_id
         self.timeout = timeout
         self._system = None
+        self._ipc = None
         if embedded:
             from shodh_tpu.engine.memory_system import MemorySystem
 
             self._system = MemorySystem(
                 Path(data_dir or "~/.shodh-tpu-embedded").expanduser() / user_id
             )
+        elif ipc or os.environ.get("SHODH_IPC_ENDPOINT"):
+            # IPC beats HTTP when configured (the reference client's
+            # SHODH_IPC_ENDPOINT resolution): UDS + HMAC handshake, no API key
+            from shodh_tpu.server.local_ipc import LocalIpcClient
+
+            self._ipc = LocalIpcClient(ipc or os.environ["SHODH_IPC_ENDPOINT"])
 
     # -- transport ---------------------------------------------------------------
 
     def _request(self, method: str, path: str, body: Optional[dict] = None) -> dict:
+        if self._ipc is not None:
+            reply = self._ipc.exchange([
+                {"method": method, "path": path, "body": body,
+                 "user_id": self.user_id}
+            ])[0]
+            if reply.get("status", 500) >= 400:
+                msg = reply.get("body", {}).get("error", {})
+                raise ShodhError(f"{reply.get('status')}: "
+                                 f"{msg.get('message', msg) if isinstance(msg, dict) else msg}")
+            return reply.get("body", {})
+        return self._http_request(method, path, body)
+
+    def _http_request(self, method: str, path: str, body: Optional[dict] = None) -> dict:
         data = json.dumps({**(body or {}), "user_id": self.user_id}).encode() if body is not None else None
         req = urllib.request.Request(
             self.url + path,

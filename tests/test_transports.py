@@ -112,6 +112,36 @@ class TestLocalIpc:
         assert out[1]["body"]["total_memories"] == 1
         loop.run_until_complete(server.stop())
 
+    def test_sdk_ipc_transport(self, harness, tmp_path, monkeypatch):
+        """Memory(ipc=...) routes the whole SDK over the UDS (the reference
+        client's SHODH_IPC_ENDPOINT mode) — no API key involved."""
+        loop, client, manager, app = harness
+        from shodh_tpu.clients.client import Memory, ShodhError
+        from shodh_tpu.server.local_ipc import LocalIpcServer
+
+        monkeypatch.delenv("SHODH_IPC_SECRET", raising=False)
+        sock = tmp_path / "sdk.sock"
+        server = LocalIpcServer(app, sock)
+        loop.run_until_complete(server.start())
+
+        def client_work():
+            m = Memory(ipc=str(sock), user_id="sdkuser")
+            mid = m.add("sdk ipc transport memory")
+            hits = m.search("sdk transport")
+            stats = m.stats()
+            err = None
+            try:
+                m._request("GET", "/api/definitely-not-a-route")
+            except ShodhError as exc:
+                err = str(exc)
+            return mid, hits, stats, err
+
+        mid, hits, stats, err = loop.run_until_complete(asyncio.to_thread(client_work))
+        assert mid and hits and hits[0]["experience"]["content"].startswith("sdk ipc")
+        assert stats["total_memories"] == 1
+        assert err and err.startswith("404")
+        loop.run_until_complete(server.stop())
+
     def test_bad_mac_rejected(self, harness, tmp_path, monkeypatch):
         loop, client, manager, app = harness
         from shodh_tpu.server.local_ipc import LocalIpcClient, LocalIpcServer
