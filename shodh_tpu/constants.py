@@ -457,3 +457,35 @@ def disabled_boosts() -> frozenset[str]:
 
 def recall_readonly() -> bool:
     return env_flag(ENV_RECALL_READONLY, False)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-adaptive semantics (models/semantic_model.py — no reference analog;
+# substitutes for the trained-MiniLM semantic leg in zero-egress deployments)
+# ---------------------------------------------------------------------------
+
+# Master switch. Measured before defaulting ON: gate +1pp r@10 with every
+# gated metric up (single_hop .571->.600, ties the reference's trained
+# embedder); held-out 1,531-case suite is a wash (p@1 +0.2pp, r@10 equal)
+# — no regression risk, clear gate win. Read at call time so harness
+# sweeps can toggle per run.
+def semantic_adapt_enabled() -> bool:
+    return env_flag("SHODH_ADAPTIVE_SEMANTICS", True)
+
+
+def semantic_blend_weight() -> float:
+    return env_float("SHODH_SEM_WEIGHT", 0.5)
+# Refit when the store grew by max(ABS, FRAC * fitted_n) since the last fit.
+SEMANTIC_REFIT_MIN_ABS = env_int("SHODH_SEM_REFIT_ABS", 64)
+SEMANTIC_REFIT_FRAC = env_float("SHODH_SEM_REFIT_FRAC", 0.5)
+# Never fit below this corpus size (no distributional signal).
+SEMANTIC_MIN_CORPUS = 32
+# BM25 semantic expansion (query stems gain their nearest co-occurrence
+# neighbors as low-weight extra terms; boost family "sem_expansion").
+SEM_EXPANSION_PER_STEM = env_int("SHODH_SEM_EXP_PER_STEM", 3)
+SEM_EXPANSION_MIN_SIM = env_float("SHODH_SEM_EXP_MIN_SIM", 0.45)  # 0.35 admits topical noise (gate -0.5pp)
+SEM_EXPANSION_MAX_TERMS = env_int("SHODH_SEM_EXP_MAX_TERMS", 8)
+SEM_EXPANSION_TERM_WEIGHT = env_float("SHODH_SEM_EXP_WEIGHT", 0.4)
+# Fit-corpus cap: refits sample the newest texts (deterministic by
+# (created_at, id) desc) so maintenance never stalls on huge stores.
+SEMANTIC_FIT_MAX_TEXTS = env_int("SHODH_SEM_FIT_MAX_TEXTS", 20000)

@@ -196,6 +196,7 @@ class MemorySystem:
             self.files = FileMemoryStore(self.storage.kv, self.embedder)
         except ImportError:
             self.todos = self.sessions = self.files = None
+        self._reload_semantic_model()
 
     # ------------------------------------------------------------------
     # Properties
@@ -576,6 +577,36 @@ class MemorySystem:
                     for b_name in bridges:
                         for tok in _bm_tok(b_name):
                             term_weights.setdefault(tok, C.GRAPH_CUE_TERM_WEIGHT)
+            # Semantic expansion (corpus-adaptive co-occurrence neighbors of
+            # the query stems join as low-weight extra terms — recovers
+            # paraphrase golds absent from both base legs; see
+            # models/semantic_model.py). Gated by the fitted model's
+            # presence + the "sem_expansion" boost family.
+            sem_model = getattr(self._base_embedder(), "_sem_model", None)
+            if (
+                sem_model is not None
+                and "sem_expansion" not in disabled
+                # Date-anchored queries already carry a hard prefilter; the
+                # extra terms only add noise there (measured: temporal r@10
+                # .75 -> .733 with expansion on date queries).
+                and (analysis is None or analysis.date_range is None)
+            ):
+                from shodh_tpu.models.hash_embedder import content_stems
+                from shodh_tpu.nlp.stemmer import stem as _stem_fn
+
+                expansions = sem_model.expansion_terms(
+                    list(dict.fromkeys(content_stems(query.query_text))),
+                    per_stem=C.SEM_EXPANSION_PER_STEM,
+                    min_sim=C.SEM_EXPANSION_MIN_SIM,
+                    max_terms=C.SEM_EXPANSION_MAX_TERMS,
+                )
+                # Only idempotent stems survive the query re-tokenization.
+                expansions = [(t, s) for t, s in expansions if _stem_fn(t) == t]
+                if expansions:
+                    bm25_query = bm25_query + " " + " ".join(t for t, _ in expansions)
+                    term_weights = dict(term_weights or {})
+                    for t, sim in expansions:
+                        term_weights.setdefault(t, C.SEM_EXPANSION_TERM_WEIGHT * sim)
             bm25_scores = dict(
                 self.bm25.search(bm25_query, limit=bm25_k, term_weights=term_weights)
             )
@@ -1193,6 +1224,7 @@ class MemorySystem:
         now = scoring_now()
         report: dict[str, Any] = {}
         report["enriched"] = self.enrich_pending()
+        report["semantics_refit"] = self.adapt_semantics()
         if self._device_funnel is not None:
             self._device_funnel.invalidate()  # decay/promotion drift the mirrors
 
@@ -1283,6 +1315,82 @@ class MemorySystem:
         self.storage.flush()
         if self.bm25 is not None:
             self.bm25.flush()
+        self.adapt_semantics()
+
+    # ------------------------------------------------------------------
+    # Corpus-adaptive semantics (models/semantic_model.py). No reference
+    # analog — substitutes for the trained-MiniLM semantic leg
+    # (minilm.rs:172-186) in zero-egress deployments.
+    # ------------------------------------------------------------------
+
+    def _base_embedder(self):
+        return getattr(self.embedder, "inner", self.embedder)
+
+    @_locked
+    def adapt_semantics(self, force: bool = False) -> bool:
+        """Fit the distributional model on the stored corpus, blend it into
+        the embedder, and re-embed the index. Guarded by
+        SHODH_ADAPTIVE_SEMANTICS and a growth threshold (refits are
+        O(log n) over the store's life). Returns True when a refit ran."""
+        if not C.semantic_adapt_enabled():
+            return False
+        base = self._base_embedder()
+        if not hasattr(base, "set_semantic_model"):
+            return False  # trained embedder active: it already has semantics
+        from shodh_tpu.models.semantic_model import CorpusSemanticModel
+
+        n = self.storage.count()
+        fitted_n = getattr(base._sem_model, "fitted_n", 0) if base._sem_model else 0
+        if not force:
+            if n < C.SEMANTIC_MIN_CORPUS:
+                return False
+            grow = max(C.SEMANTIC_REFIT_MIN_ABS, int(C.SEMANTIC_REFIT_FRAC * fitted_n))
+            if fitted_n and (n - fitted_n) < grow:
+                return False
+        mems = list(self.storage.iter_memories())
+        if len(mems) > C.SEMANTIC_FIT_MAX_TEXTS:
+            # Deterministic newest-first sample keeps refit cost bounded.
+            mems.sort(key=lambda m: (m.created_at, m.id), reverse=True)
+            mems = mems[: C.SEMANTIC_FIT_MAX_TEXTS]
+        texts = [m.experience.content for m in mems]
+        model = CorpusSemanticModel.fit(texts)
+        if model is None:
+            return False
+        model.fitted_n = n
+        prev = base._sem_model
+        if prev is not None and prev.corpus_fingerprint == model.corpus_fingerprint:
+            prev.fitted_n = n  # same corpus set: nothing to re-embed
+            return False
+        weight = C.semantic_blend_weight()
+        base.set_semantic_model(model, weight=weight)
+        if hasattr(self.embedder, "refresh_inner"):
+            self.embedder.refresh_inner()
+        model.save(self.data_dir / "semantic_model")
+        if weight > 0.0:
+            # Dense blend changes stored vectors; re-embed. At weight 0 the
+            # model only drives BM25 expansion — vectors are untouched.
+            self.rebuild_index()
+        if self.introspection is not None:
+            self.introspection.record(
+                "adapt_semantics", "", {"vocab": len(model.vocab), "n": n}
+            )
+        return True
+
+    def _reload_semantic_model(self) -> None:
+        """Re-attach a persisted semantic model on open (stored vectors were
+        built with it; queries must embed in the same space)."""
+        if not C.semantic_adapt_enabled():
+            return
+        base = self._base_embedder()
+        if not hasattr(base, "set_semantic_model"):
+            return
+        from shodh_tpu.models.semantic_model import CorpusSemanticModel
+
+        model = CorpusSemanticModel.load(self.data_dir / "semantic_model")
+        if model is not None:
+            base.set_semantic_model(model, weight=C.semantic_blend_weight())
+            if hasattr(self.embedder, "refresh_inner"):
+                self.embedder.refresh_inner()
 
     @_locked
     def rebuild_index(self) -> int:

@@ -119,6 +119,12 @@ class CachedEmbedder:
         self.hits = 0
         self.misses = 0
 
+    def refresh_inner(self) -> None:
+        """Re-read the inner embedder's identity and drop cached vectors
+        (called after the inner model changes, e.g. a semantic-model fit)."""
+        self.name = self.inner.name
+        self._cache.clear()
+
     def _get(self, kind: str, text: str) -> np.ndarray | None:
         key = cache_key(self.name, kind, text)
         hit = self._cache.get(key)

@@ -65,6 +65,19 @@ import os
 _CHAR_NGRAM_WEIGHT = float(os.environ.get("SHODH_HASH_CHAR_WEIGHT", "1.0"))
 
 
+def content_stems(text: str) -> list[str]:
+    """Stopword-filtered, abbreviation-folded content stems of ``text``.
+
+    Shared tokenization for the hash features below and the
+    corpus-adaptive semantic model (models/semantic_model.py) — both must
+    segment identically so distributional stats line up with hash buckets.
+    """
+    from shodh_tpu.nlp.normalize import fold_abbreviations
+
+    words = _WORD_RE.findall(fold_abbreviations(text).lower())
+    return [stem(w) for w in words if w not in _STOP]
+
+
 def _features(text: str) -> dict[int, float]:
     from shodh_tpu.nlp.normalize import fold_abbreviations
 
@@ -95,7 +108,15 @@ def _features(text: str) -> dict[int, float]:
 
 
 class HashEmbedder:
-    """Embedder-protocol implementation (see models/embedder.py)."""
+    """Embedder-protocol implementation (see models/embedder.py).
+
+    Optionally blends a corpus-adaptive distributional component
+    (models/semantic_model.py) into the same 384-d space:
+    ``normalize(hash_vec + weight * Q @ sem_vec)`` where Q has orthonormal
+    columns (seeded QR), so semantic cosines are preserved exactly and
+    hash-vs-semantic cross terms vanish in expectation. With no model set
+    the output is byte-identical to the pure hash embedder.
+    """
 
     name = "hash-projection-v1"
     dimension = 384
@@ -107,6 +128,30 @@ class HashEmbedder:
         self._proj = (rng.standard_normal((_BUCKETS, dim)) / np.sqrt(dim)).astype(np.float32)
         self._proj_dev = None
         self._use_device = use_device
+        self._sem_model = None
+        self._sem_weight = 0.0
+        self._sem_basis: np.ndarray | None = None  # (dim, sem_dim) orthonormal cols
+
+    def set_semantic_model(self, model, weight: float) -> None:
+        """Attach (or detach with ``model=None``) a fitted semantic model.
+
+        Changes ``name`` so SHA-keyed embedding caches miss stale entries.
+        """
+        if model is None:
+            self._sem_model = None
+            self._sem_weight = 0.0
+            self._sem_basis = None
+            self.name = "hash-projection-v1"
+            return
+        rng = np.random.default_rng(_SEED ^ 0xA5A5)
+        g = rng.standard_normal((self.dimension, model.dim)).astype(np.float32)
+        q, _ = np.linalg.qr(g)  # (dim, sem_dim) orthonormal columns
+        self._sem_basis = np.ascontiguousarray(q[:, : model.dim], np.float32)
+        self._sem_model = model
+        self._sem_weight = float(weight)
+        self.name = (
+            f"hash-projection-v1+sem{model.corpus_fingerprint[:8]}w{weight:g}"
+        )
 
     # -- Embedder protocol ----------------------------------------------------
 
@@ -129,7 +174,13 @@ class HashEmbedder:
         else:
             out = sparse @ self._proj
         norms = np.linalg.norm(out, axis=1, keepdims=True)
-        return (out / np.maximum(norms, 1e-12)).astype(np.float32)
+        out = (out / np.maximum(norms, 1e-12)).astype(np.float32)
+        if self._sem_model is not None and self._sem_weight > 0.0:
+            sem = np.stack([self._sem_model.text_vec(t) for t in texts])
+            out = out + self._sem_weight * (sem @ self._sem_basis.T)
+            norms = np.linalg.norm(out, axis=1, keepdims=True)
+            out = (out / np.maximum(norms, 1e-12)).astype(np.float32)
+        return out
 
     def _device_project(self, sparse: np.ndarray):
         import jax.numpy as jnp

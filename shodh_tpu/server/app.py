@@ -1181,6 +1181,51 @@ def make_app(manager: MultiUserMemoryManager) -> web.Application:
         n = await run(sys_.rebuild_index)
         return web.json_response({"rebuilt": n})
 
+    async def semantics_status(request):
+        uid = user_of(request)
+        sys_ = mgr(request).get_user_memory(uid)
+        model = getattr(sys_._base_embedder(), "_sem_model", None)
+        if model is None:
+            return web.json_response({"fitted": False})
+        return web.json_response(
+            {
+                "fitted": True,
+                "vocab_size": len(model.vocab),
+                "dim": model.dim,
+                "corpus_fingerprint": model.corpus_fingerprint,
+                "fitted_n": int(getattr(model, "fitted_n", 0)),
+            }
+        )
+
+    async def semantics_neighbors(request):
+        uid = user_of(request)
+        sys_ = mgr(request).get_user_memory(uid)
+        word = request.query.get("word", "")
+        if not word:
+            return _err(422, "validation", "word query parameter required")
+        try:
+            k = min(50, int(request.query.get("k", "10")))
+        except ValueError:
+            return _err(422, "validation", "k must be an integer")
+        model = getattr(sys_._base_embedder(), "_sem_model", None)
+        if model is None:
+            return web.json_response({"word": word, "neighbors": []})
+        return web.json_response(
+            {
+                "word": word,
+                "neighbors": [
+                    {"stem": t, "similarity": s} for t, s in model.neighbors(word, k)
+                ],
+            }
+        )
+
+    async def semantics_refit(request):
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        refit = await run(sys_.adapt_semantics, True)
+        return web.json_response({"refit": bool(refit)})
+
     async def storage_stats(request):
         uid = user_of(request)
         sys_ = mgr(request).get_user_memory(uid)
@@ -1293,6 +1338,9 @@ def make_app(manager: MultiUserMemoryManager) -> web.Application:
     app.router.add_get("/api/telemetry", telemetry_status)
     app.router.add_get("/api/index/verify", index_verify)
     app.router.add_post("/api/index/rebuild", index_rebuild)
+    app.router.add_get("/api/semantics/status", semantics_status)
+    app.router.add_get("/api/semantics/neighbors", semantics_neighbors)
+    app.router.add_post("/api/semantics/refit", semantics_refit)
     app.router.add_get("/api/storage/stats", storage_stats)
     app.router.add_post("/api/storage/cleanup", storage_cleanup)
     app.router.add_post("/api/memories/clear", memories_clear)

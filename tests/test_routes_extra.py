@@ -470,3 +470,44 @@ class TestRound2Routes:
             "POST", "/api/sync/github", {"token": "t", "owner": "a", "repo": "b"}
         )
         assert status == 502 and body["error"]["code"] == "upstream_unreachable"
+
+
+class TestSemanticsRoutes:
+    def test_status_unfitted(self, client):
+        status, body = client.request("GET", "/api/semantics/status")
+        assert status == 200 and body == {"fitted": False}
+
+    def test_neighbors_requires_word(self, client):
+        status, body = client.request("GET", "/api/semantics/neighbors")
+        assert status == 422
+
+    def test_neighbors_unfitted_empty(self, client):
+        status, body = client.request("GET", "/api/semantics/neighbors?word=movie")
+        assert status == 200 and body["neighbors"] == []
+
+    def test_refit_lifecycle(self, client, monkeypatch):
+        monkeypatch.setenv("SHODH_ADAPTIVE_SEMANTICS", "1")
+        monkeypatch.setenv("SHODH_SEM_WEIGHT", "0")
+        words = ("budget review planning quarterly meeting agenda deadline "
+                 "milestone sprint report metric dashboard revenue forecast "
+                 "launch roadmap design prototype customer interview survey "
+                 "analysis experiment hypothesis result summary architecture "
+                 "deployment rollout incident postmortem runbook oncall "
+                 "alert latency throughput capacity storage network compute "
+                 "cluster region zone vendor contract invoice payroll audit "
+                 "hiring onboarding training mentor workshop conference keynote "
+                 "panel poster abstract journal citation dataset pipeline model "
+                 "feature label training validation inference serving cache "
+                 "queue broker stream batch window trigger schedule backlog").split()
+        for i in range(40):
+            ws = [words[(i * 5 + j) % len(words)] for j in range(10)]
+            status, _ = client.request(
+                "POST", "/api/remember", {"content": f"note {i} about " + " ".join(ws)}
+            )
+            assert status == 200
+        status, body = client.request("POST", "/api/semantics/refit", {})
+        assert status == 200 and body["refit"] is True
+        status, body = client.request("GET", "/api/semantics/status")
+        assert status == 200 and body["fitted"] is True and body["vocab_size"] >= 64
+        status, body = client.request("GET", "/api/semantics/neighbors?word=budget&k=5")
+        assert status == 200 and len(body["neighbors"]) == 5
