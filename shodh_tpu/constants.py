@@ -474,7 +474,9 @@ def semantic_adapt_enabled() -> bool:
 
 
 def semantic_blend_weight() -> float:
-    return env_float("SHODH_SEM_WEIGHT", 0.5)
+    # 0: the dense blend measured negative at every weight swept (0.15/0.3/
+    # 0.5 — see BENCHMARKS.md); the model drives BM25 expansion only.
+    return env_float("SHODH_SEM_WEIGHT", 0.0)
 # Refit when the store grew by max(ABS, FRAC * fitted_n) since the last fit.
 SEMANTIC_REFIT_MIN_ABS = env_int("SHODH_SEM_REFIT_ABS", 64)
 SEMANTIC_REFIT_FRAC = env_float("SHODH_SEM_REFIT_FRAC", 0.5)
