@@ -491,3 +491,16 @@ SEM_EXPANSION_TERM_WEIGHT = env_float("SHODH_SEM_EXP_WEIGHT", 0.4)
 # Fit-corpus cap: refits sample the newest texts (deterministic by
 # (created_at, id) desc) so maintenance never stalls on huge stores.
 SEMANTIC_FIT_MAX_TEXTS = env_int("SHODH_SEM_FIT_MAX_TEXTS", 20000)
+# Pseudo-relevance feedback (RM3-lite second BM25 pass; boost family "prf").
+PRF_TOP_DOCS = env_int("SHODH_PRF_TOP_DOCS", 5)
+PRF_TERMS = env_int("SHODH_PRF_TERMS", 6)
+PRF_TERM_WEIGHT = env_float("SHODH_PRF_WEIGHT", 0.3)
+
+
+def prf_enabled() -> bool:
+    # ON: armed only for open-ended questions (polar / why / descriptive
+    # how) with no date anchor. Measured: gate ndcg +0.14pp, mrr +0.17pp,
+    # map +0.17pp at equal r@10/p@1; held-out suite a wash (r@10 -0.06pp
+    # = ~1 case). Ungated PRF measured NEGATIVE (temporal -1.7pp) — the
+    # question-type gate is what makes it shippable.
+    return env_flag("SHODH_PRF", True)

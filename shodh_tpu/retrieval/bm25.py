@@ -183,6 +183,14 @@ class BM25Index:
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:limit]
 
+    def idf(self, term: str) -> float:
+        """BM25 idf of a (stemmed) term; 0 for unseen terms."""
+        df = len(self._postings.get(term, {}))
+        if df == 0:
+            return 0.0
+        n_docs = len(self._doc_len)
+        return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
     def flush(self) -> None:
         if self.kv is not None:
             self.kv.flush()

@@ -212,3 +212,62 @@ def test_zero_weight_skips_rebuild(tmp_path, sem_env):
     assert system.adapt_semantics() is True
     assert len(system.index) == rows_before  # no re-embed at weight 0
     system.close()
+
+
+class TestPRF:
+    """RM3-lite pseudo-relevance feedback (boost family "prf")."""
+
+    def _system(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("SHODH_PRF", "1")
+        from shodh_tpu.engine.memory_system import MemorySystem
+
+        system = MemorySystem(tmp_path / "m")
+        _ingest(system)
+        system.flush()
+        return system
+
+    def test_feedback_terms_deterministic_and_exclude_query(self, tmp_path, monkeypatch):
+        system = self._system(tmp_path, monkeypatch)
+        from shodh_tpu.types import Query
+
+        q = Query(query_text="how does the movie compare", max_results=5)
+        r = system.recall(q)
+        fused = {sm.memory.id: sm.score for sm in r.memories}
+        t1 = system._prf_feedback_terms(fused, "how does the movie compare")
+        t2 = system._prf_feedback_terms(fused, "how does the movie compare")
+        assert t1 == t2
+        qstems = set(content_stems("how does the movie compare"))
+        assert all(t not in qstems for t, _ in t1)
+        if t1:
+            assert t1[0][1] == 1.0  # normalized to the top term
+        system.close()
+
+    def test_prf_recall_deterministic(self, tmp_path, monkeypatch):
+        system = self._system(tmp_path, monkeypatch)
+        from shodh_tpu.types import Query
+
+        q = Query(query_text="why was the festival screening so popular", max_results=5)
+        r1 = system.recall(q)
+        r2 = system.recall(q)
+        assert r1.ids == r2.ids
+        system.close()
+
+    def test_open_ended_predicate(self):
+        from shodh_tpu.nlp.query_parser import QueryParser
+
+        p = QueryParser()
+        def armed(q):
+            a = p.analyze(q)
+            lo = q.lower().lstrip()
+            oe = a.is_polar or lo.startswith("why ") or (
+                lo.startswith("how ")
+                and not lo.startswith(("how many", "how much", "how long",
+                                       "how often", "how old", "how far"))
+            )
+            return oe and a.date_range is None and not a.is_temporal_seeking and not a.multihop
+
+        assert armed("Why does Nate like turtles as pets?")
+        assert armed("How does Nate describe the process?")
+        assert not armed("How many times has Joanna been hiking?")
+        assert not armed("How long did the book take?")
+        assert not armed("What flavor of ice cream did Nate make on 25 February, 2022?")
