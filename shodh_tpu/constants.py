@@ -504,3 +504,6 @@ def prf_enabled() -> bool:
     # = ~1 case). Ungated PRF measured NEGATIVE (temporal -1.7pp) — the
     # question-type gate is what makes it shippable.
     return env_flag("SHODH_PRF", True)
+# Recency scale for time-seeking queries ("when did X") — the event's age
+# carries no relevance signal there; boost family "seek_recency_mute".
+TEMPORAL_SEEK_RECENCY_SCALE = env_float("SHODH_SEEK_RECENCY_SCALE", 0.0)

@@ -50,6 +50,19 @@ from shodh_tpu.utils.hashing import content_hash
 
 
 
+def _temporal_context_match(a: "Memory", b: "Memory") -> bool:
+    """Same conversational context: episode match when both carry one,
+    else tag overlap when both are tagged, else assume shared context
+    (single-stream stores keep the pure time-window semantics)."""
+    ea, eb = a.experience, b.experience
+    if ea.episode_id and eb.episode_id:
+        return ea.episode_id == eb.episode_id
+    ta, tb = set(ea.tags or ()), set(eb.tags or ())
+    if ta and tb:
+        return bool(ta & tb)
+    return True
+
+
 def _locked(fn):
     """Serialize an engine entry point on the per-system lock."""
 
@@ -842,8 +855,8 @@ class MemorySystem:
                 candidates,
                 key=lambda t: (-t[1], t[0].created_at.isoformat(), t[0].content_hash),
             )
-            top_anchors = [(mem.created_at, base) for mem, base in ranked_cand[:3]]
-            top_times = [t for t, _ in top_anchors]
+            top_anchors = [(mem, base) for mem, base in ranked_cand[:3]]
+            top_times = [mem.created_at for mem, _ in top_anchors]
             floor = ranked_cand[min(len(ranked_cand) - 1, 10)][1]
             # SHODH_NEIGHBOR_INHERIT: let neighbors inherit a fraction of the
             # anchor's score instead of the pool floor (dialogue answers often
@@ -852,7 +865,8 @@ class MemorySystem:
             # neighbors displace genuine hits) — so the default stays 0.
             inherit = float(os.environ.get("SHODH_NEIGHBOR_INHERIT", "0"))
             in_pool = {mem.id for mem, _ in candidates}
-            for t, anchor_base in top_anchors:
+            for anchor_mem, anchor_base in top_anchors:
+                t = anchor_mem.created_at
                 crit = SearchCriteria(date_range=(t - window, t + window), limit=20)
                 join_score = max(floor * 0.9, anchor_base * inherit)
                 for mid in self.storage.search(crit):
@@ -861,10 +875,23 @@ class MemorySystem:
                     mem = self.storage.get(mid)
                     if mem is None or not self._passes_filters(mem, query):
                         continue
+                    # Conversational adjacency requires shared context, not
+                    # just shared wall-clock time: multi-stream stores
+                    # (several conversations/robots ingested in parallel)
+                    # otherwise join unrelated streams' turns (measured on
+                    # locomo-full: cross-conversation turns outranked golds).
+                    if not _temporal_context_match(anchor_mem, mem):
+                        continue
                     in_pool.add(mid)
                     candidates.append((mem, join_score))
+            anchors_by_time = list(zip(top_times, (m for m, _ in top_anchors)))
             for i, (mem, base) in enumerate(candidates):
-                if any(abs(mem.created_at - t) <= window and mem.created_at != t for t in top_times):
+                if any(
+                    abs(mem.created_at - t) <= window
+                    and mem.created_at != t
+                    and _temporal_context_match(anchor_mem, mem)
+                    for t, anchor_mem in anchors_by_time
+                ):
                     candidates[i] = (mem, base * (1.0 + C.SAME_EPISODE_BOOST * 0.5))
         timings["load_ms"] = (time.perf_counter() - t0) * 1000
 
@@ -984,7 +1011,19 @@ class MemorySystem:
                         s.temporal_match[i] = C.TEMPORAL_MATCH_BOOST_MONTH
             if self.feedback is not None:
                 s.momentum[i] = self.feedback.momentum(mem.id)
-        finals = unified_score(s, recency_scale=query.recency_weight)
+        recency_scale = query.recency_weight
+        if (
+            recency_scale is None
+            and analysis is not None
+            and analysis.is_temporal_seeking
+            and "seek_recency_mute" not in C.disabled_boosts()
+        ):
+            # "When did X happen?" — the answer's age is irrelevant; the
+            # recency boost actively demotes old golds (full-suite funnel:
+            # 13 temporal cases lost AFTER fusion). Mute it for
+            # time-seeking queries unless the caller pinned a weight.
+            recency_scale = C.TEMPORAL_SEEK_RECENCY_SCALE
+        finals = unified_score(s, recency_scale=recency_scale)
         # (graph activation bonus is applied inside fuse_legs, mod.rs:4141)
 
         out = []

@@ -400,3 +400,29 @@ class TestFastIngest:
         th.join(timeout=5)
         assert not errors, errors
         sys_.close()
+
+
+def test_temporal_neighbors_require_shared_context(tmp_path):
+    """Wall-clock-coincident turns from a DIFFERENT conversation must not
+    join the temporal-neighborhood pool (multi-stream stores)."""
+    from datetime import datetime, timezone, timedelta
+
+    from shodh_tpu.engine.memory_system import _temporal_context_match, MemorySystem
+    from shodh_tpu.types import Experience, Memory
+
+    def mem(tags, episode=None):
+        e = Experience(content="x", tags=tags)
+        e.episode_id = episode
+        m = Memory(
+            id="m", experience=e,
+            created_at=datetime(2026, 1, 1, tzinfo=timezone.utc),
+            importance=0.5, content_hash="h",
+        )
+        return m
+
+    assert _temporal_context_match(mem(["conv-a"]), mem(["conv-a", "alice"]))
+    assert not _temporal_context_match(mem(["conv-a"]), mem(["conv-b"]))
+    assert _temporal_context_match(mem([], episode="e1"), mem([], episode="e1"))
+    assert not _temporal_context_match(mem(["x"], episode="e1"), mem(["x"], episode="e2"))
+    # no context on either side: keep the pure time-window semantics
+    assert _temporal_context_match(mem([]), mem([]))
