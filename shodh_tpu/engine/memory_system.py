@@ -860,10 +860,14 @@ class MemorySystem:
             floor = ranked_cand[min(len(ranked_cand) - 1, 10)][1]
             # SHODH_NEIGHBOR_INHERIT: let neighbors inherit a fraction of the
             # anchor's score instead of the pool floor (dialogue answers often
-            # follow the retrieved question-turn). Measured on both locomo
-            # suites: <=0.35 is a no-op, >=0.45 regresses the gate (boosted
-            # neighbors displace genuine hits) — so the default stays 0.
-            inherit = float(os.environ.get("SHODH_NEIGHBOR_INHERIT", "0"))
+            # follow the retrieved question-turn — pronoun-heavy golds like
+            # "I've had them 3 years" only surface via their anchor). Before
+            # the shared-context guard this was a no-op <=0.35 and a
+            # regression >=0.45 (cross-conversation turns inherited too);
+            # with the guard, 0.35 measures strictly non-negative with
+            # single_hop +0.24pp / full r@10 +0.06pp, and 0.6 still
+            # regresses — so the default is 0.35.
+            inherit = float(os.environ.get("SHODH_NEIGHBOR_INHERIT", "0.35"))
             in_pool = {mem.id for mem, _ in candidates}
             for anchor_mem, anchor_base in top_anchors:
                 t = anchor_mem.created_at
