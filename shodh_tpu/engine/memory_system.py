@@ -131,6 +131,9 @@ class MemorySystem:
         self.sessions = None  # engine/sessions.py
         self.files = None  # engine/files.py
         self._pending_access: list[tuple[str, int, Optional[datetime]]] = []
+        # Most recent memory id per tag (context-augmented indexing);
+        # kv-persisted ("ctxtail"), read-through on miss after reopen.
+        self._context_tail: dict[str, str] = {}
         # Engine lock: the reference serializes per-user mutation under a
         # parking_lot RwLock with documented ordering (retrieval.rs:33-48).
         # One reentrant lock per system gives the same safety under the
@@ -327,9 +330,28 @@ class MemorySystem:
             mrows = midx.add(vec[None, :])
             self.storage.set_vector_rows(mem.id, mrows, modality=modality)
 
-        # 7. BM25 leg
+        # 7. BM25 leg (+ context-augmented indexing: the previous
+        # same-context turn's terms fold in at CONTEXT_INDEX_WEIGHT so
+        # pronoun-heavy turns keep their antecedent's nouns)
         if self.bm25 is not None:
-            self.bm25.upsert(mem.id, experience.content, experience.tags, experience.entities)
+            ctx_w = C.context_index_weight()
+            context_content = None
+            if ctx_w > 0.0 and experience.tags:
+                prev = self._context_prev(experience.tags)
+                if prev is not None:
+                    context_content = prev.experience.content
+            self.bm25.upsert(
+                mem.id,
+                experience.content,
+                experience.tags,
+                experience.entities,
+                context_content=context_content,
+                context_weight=ctx_w,
+            )
+            for t in experience.tags or ():
+                key = t.lower()
+                self._context_tail[key] = mem.id
+                self.storage.kv.put("ctxtail", key, mem.id.encode())
 
         # 8. Hot tiers
         evicted = self.working.add(mem)
@@ -945,6 +967,27 @@ class MemorySystem:
                 "layers": query.layers.report_key,
             }
         return result
+
+    def _context_prev(self, tags: list[str]) -> Optional[Memory]:
+        """Most recent stored memory sharing a tag (the dialogue
+        antecedent). Ties across tags break on (created_at, id)."""
+        best: Optional[Memory] = None
+        for t in tags:
+            key = t.lower()
+            mid = self._context_tail.get(key)
+            if mid is None:
+                raw = self.storage.kv.get("ctxtail", key)
+                if raw is not None:
+                    mid = raw.decode()
+                    self._context_tail[key] = mid
+            if mid is None:
+                continue
+            mem = self.storage.get(mid)
+            if mem is None:
+                continue
+            if best is None or (mem.created_at, mem.id) > (best.created_at, best.id):
+                best = mem
+        return best
 
     def _prf_feedback_terms(
         self, fused: dict[str, float], query_text: str

@@ -111,7 +111,13 @@ class BM25Index:
         content: str,
         tags: list[str] | None = None,
         entities: list[str] | None = None,
+        context_content: str | None = None,
+        context_weight: float = 0.0,
     ) -> None:
+        """Index a document. ``context_content`` folds a neighboring
+        document's terms in at ``context_weight`` x their tf (dialogue
+        turns inherit their antecedent's nouns so pronoun-heavy turns
+        stay findable — engine-side feature, see memory_system.remember)."""
         self._remove(doc_id)
         tf: Counter[str] = Counter(tokenize(content))
         weighted: dict[str, float] = dict(tf)
@@ -121,6 +127,9 @@ class BM25Index:
         for e in entities or []:
             for tok in tokenize(e):
                 weighted[tok] = weighted.get(tok, 0.0) + ENTITY_BOOST
+        if context_content and context_weight > 0.0:
+            for tok, f in Counter(tokenize(context_content)).items():
+                weighted[tok] = weighted.get(tok, 0.0) + context_weight * f
         self._insert(doc_id, weighted)
         if self.kv is not None:
             self.kv.put("bm25doc", doc_id, encode(weighted))

@@ -271,3 +271,69 @@ class TestPRF:
         assert not armed("How many times has Joanna been hiking?")
         assert not armed("How long did the book take?")
         assert not armed("What flavor of ice cream did Nate make on 25 February, 2022?")
+
+
+class TestContextIndexing:
+    """Context-augmented lexical indexing (CONTEXT_INDEX_WEIGHT)."""
+
+    def test_pronoun_turn_findable_via_antecedent(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("SHODH_CONTEXT_INDEX_WEIGHT", "0.42")
+        from shodh_tpu.engine.memory_system import MemorySystem
+        from shodh_tpu.types import Experience, Query
+
+        system = MemorySystem(tmp_path / "m")
+        system.remember(Experience(content="I adopted two turtles last spring", tags=["conv-a"]))
+        follow = system.remember(
+            Experience(content="I have had them for three years and they bring joy", tags=["conv-a"])
+        )
+        # distractors from another conversation
+        for i in range(10):
+            system.remember(Experience(content=f"meeting note {i} about budget planning", tags=["conv-b"]))
+        r = system.recall(Query(query_text="how long turtles", max_results=5))
+        assert follow.id in r.ids  # "them" turn carries "turtle" from its antecedent
+        system.close()
+
+    def test_antecedent_requires_shared_tag(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("SHODH_CONTEXT_INDEX_WEIGHT", "0.42")
+        from shodh_tpu.engine.memory_system import MemorySystem
+        from shodh_tpu.types import Experience, Query
+
+        system = MemorySystem(tmp_path / "m")
+        system.remember(Experience(content="I adopted two turtles last spring", tags=["conv-a"]))
+        other = system.remember(
+            Experience(content="I have had them for three years", tags=["conv-b"])
+        )
+        # different conversation: the BM25 doc must NOT inherit "turtle"
+        bm_hits = {d for d, _ in system.bm25.search("turtles", limit=10)}
+        assert other.id not in bm_hits
+        system.close()
+
+    def test_context_tail_survives_reopen(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("SHODH_CONTEXT_INDEX_WEIGHT", "0.42")
+        from shodh_tpu.engine.memory_system import MemorySystem
+        from shodh_tpu.types import Experience, Query
+
+        system = MemorySystem(tmp_path / "m")
+        system.remember(Experience(content="I adopted two turtles last spring", tags=["conv-a"]))
+        system.close()
+        reopened = MemorySystem(tmp_path / "m")
+        follow = reopened.remember(
+            Experience(content="I have had them for three years", tags=["conv-a"])
+        )
+        r = reopened.recall(Query(query_text="turtles", max_results=5))
+        assert follow.id in r.ids
+        reopened.close()
+
+    def test_weight_zero_is_noop(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("SHODH_CONTEXT_INDEX_WEIGHT", "0")
+        from shodh_tpu.engine.memory_system import MemorySystem
+        from shodh_tpu.types import Experience, Query
+
+        system = MemorySystem(tmp_path / "m")
+        system.remember(Experience(content="I adopted two turtles last spring", tags=["conv-a"]))
+        follow = system.remember(
+            Experience(content="completely unrelated sentence about gardening", tags=["conv-a"])
+        )
+        bm_hits = {d for d, _ in system.bm25.search("turtles", limit=10)}
+        assert follow.id not in bm_hits  # weight 0: no term inheritance
+        system.close()
