@@ -13,9 +13,12 @@ stemming folds inflected forms onto shared buckets. This is the same
 feature family as spaCy's HashEmbed / Vowpal Wabbit hashing trick —
 a standard public technique, implemented fresh.
 
-TPU mapping: the projection is a (BUCKETS_DENSE, 384) matrix on device;
-encoding a batch is a segment-sum into (B, BUCKETS_DENSE) then one MXU
-matmul. Host cost is tokenization only.
+Execution note: encoding is a HOST-side sparse gather+segment-sum
+(~10^2 active buckets/text -> ~40 MFLOP per 1k texts). A device matmul
+formulation was measured and rejected: the dense (B, 16384) input costs
+16 MB/tile over the remote-TPU tunnel and collapsed bulk ingest
+1,063->13 items/s; even on local TPUs this op is too small to pay a
+dispatch. The TPU does the work that scales — corpus scoring — not this.
 
 Swap in the real MiniLM checkpoint (models/minilm.py) for semantic parity
 with the reference; the Embedder protocol is identical.
@@ -126,8 +129,6 @@ class HashEmbedder:
         rng = np.random.default_rng(seed)
         # JL projection: N(0, 1/sqrt(dim)); fixed for the life of the format.
         self._proj = (rng.standard_normal((_BUCKETS, dim)) / np.sqrt(dim)).astype(np.float32)
-        self._proj_dev = None
-        self._use_device = use_device
         self._sem_model = None
         self._sem_weight = 0.0
         self._sem_basis: np.ndarray | None = None  # (dim, sem_dim) orthonormal cols
@@ -165,14 +166,19 @@ class HashEmbedder:
     def encode_batch(self, texts: list[str]) -> np.ndarray:
         if not texts:
             return np.zeros((0, self.dimension), np.float32)
-        sparse = np.zeros((len(texts), _BUCKETS), np.float32)
-        for i, t in enumerate(texts):
-            for k, v in _features(t).items():
-                sparse[i, k] += v
-        if self._use_device and len(texts) >= 8:
-            out = np.asarray(self._device_project(sparse))
-        else:
-            out = sparse @ self._proj
+        # Sparse host projection: each text activates ~10^2 of the 16,384
+        # buckets, so out[i] = sum_k w_k * proj[row_k] is a gather+segment
+        # sum (~40 MFLOP per 1k texts) — cheaper than materializing the
+        # dense (B, BUCKETS) matrix, and critically cheaper than shipping
+        # 16 MB/tile dense inputs through the remote-TPU tunnel (measured:
+        # the dense device path collapsed bulk ingest 1,063->13 items/s).
+        out = np.zeros((len(texts), self.dimension), np.float32)
+        for i, f in enumerate(map(_features, texts)):
+            if not f:
+                continue
+            idx = np.fromiter(f.keys(), np.int64, len(f))
+            w = np.fromiter(f.values(), np.float32, len(f))
+            out[i] = w @ self._proj[idx]  # (nnz,) @ (nnz, dim) BLAS matvec
         norms = np.linalg.norm(out, axis=1, keepdims=True)
         out = (out / np.maximum(norms, 1e-12)).astype(np.float32)
         if self._sem_model is not None and self._sem_weight > 0.0:
@@ -181,10 +187,3 @@ class HashEmbedder:
             norms = np.linalg.norm(out, axis=1, keepdims=True)
             out = (out / np.maximum(norms, 1e-12)).astype(np.float32)
         return out
-
-    def _device_project(self, sparse: np.ndarray):
-        import jax.numpy as jnp
-
-        if self._proj_dev is None:
-            self._proj_dev = jnp.asarray(self._proj)
-        return jnp.dot(jnp.asarray(sparse), self._proj_dev, preferred_element_type=jnp.float32)
