@@ -335,11 +335,17 @@ class MemorySystem:
         # pronoun-heavy turns keep their antecedent's nouns)
         if self.bm25 is not None:
             ctx_w = C.context_index_weight()
+            fwd_w = C.context_forward_weight()
             context_content = None
-            if ctx_w > 0.0 and experience.tags:
+            prev = None
+            if (ctx_w > 0.0 or fwd_w > 0.0) and experience.tags:
                 prev = self._context_prev(experience.tags)
                 if prev is not None:
-                    context_content = prev.experience.content
+                    context_content = prev.experience.content if ctx_w > 0.0 else None
+            if prev is not None and fwd_w > 0.0:
+                # forward context: the predecessor gains this turn's terms
+                # exactly once (the tail moves to this memory below)
+                self.bm25.add_context_terms(prev.id, experience.content, fwd_w)
             self.bm25.upsert(
                 mem.id,
                 experience.content,

@@ -192,6 +192,39 @@ class BM25Index:
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:limit]
 
+    def add_context_terms(self, doc_id: str, content: str, weight: float) -> None:
+        """Fold a successor document's terms into an EXISTING doc at
+        ``weight`` x tf (forward dialogue context: the turn that follows
+        often names what this turn only alludes to). No-op for unknown
+        docs. O(|old terms| + |new terms|), not O(vocab)."""
+        if weight <= 0.0 or doc_id not in self._doc_len:
+            return
+        extra: dict[str, float] = {}
+        for t, f in Counter(tokenize(content)).items():
+            extra[t] = weight * f
+        if not extra:
+            return
+        if self.kv is not None:
+            raw = self.kv.get("bm25doc", doc_id)
+            weighted = decode(raw) if raw is not None else {}
+        else:
+            weighted = {
+                t: docs[doc_id] for t, docs in self._postings.items() if doc_id in docs
+            }
+        # targeted removal of the old posting entries (not the O(vocab) scan)
+        self._total_len -= self._doc_len.pop(doc_id, 0.0)
+        for t in weighted:
+            docs = self._postings.get(t)
+            if docs is not None:
+                docs.pop(doc_id, None)
+                if not docs:
+                    del self._postings[t]
+        for t, w in extra.items():
+            weighted[t] = weighted.get(t, 0.0) + w
+        self._insert(doc_id, weighted)
+        if self.kv is not None:
+            self.kv.put("bm25doc", doc_id, encode(weighted))
+
     def idf(self, term: str) -> float:
         """BM25 idf of a (stemmed) term; 0 for unseen terms."""
         df = len(self._postings.get(term, {}))

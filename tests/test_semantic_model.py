@@ -337,3 +337,36 @@ class TestContextIndexing:
         bm_hits = {d for d, _ in system.bm25.search("turtles", limit=10)}
         assert follow.id not in bm_hits  # weight 0: no term inheritance
         system.close()
+
+    def test_forward_context_reaches_predecessor(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("SHODH_CONTEXT_INDEX_WEIGHT", "0.42")
+        monkeypatch.setenv("SHODH_CONTEXT_FWD_WEIGHT", "0.6")
+        from shodh_tpu.engine.memory_system import MemorySystem
+        from shodh_tpu.types import Experience
+
+        system = MemorySystem(tmp_path / "m")
+        vague = system.remember(
+            Experience(content="something bad happened to me yesterday", tags=["conv-a"])
+        )
+        system.remember(
+            Experience(content="the car accident left my bumper dented", tags=["conv-a"])
+        )
+        # the vague turn is findable by the successor's terms
+        bm_hits = {d for d, _ in system.bm25.search("car accident", limit=10)}
+        assert vague.id in bm_hits
+        system.close()
+
+    def test_forward_context_applies_once(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("SHODH_CONTEXT_INDEX_WEIGHT", "0.42")
+        monkeypatch.setenv("SHODH_CONTEXT_FWD_WEIGHT", "0.6")
+        from shodh_tpu.engine.memory_system import MemorySystem
+        from shodh_tpu.types import Experience
+
+        system = MemorySystem(tmp_path / "m")
+        first = system.remember(Experience(content="alpha event", tags=["conv-a"]))
+        system.remember(Experience(content="beta follows quickly", tags=["conv-a"]))
+        len_after_one = system.bm25._doc_len[first.id]
+        system.remember(Experience(content="gamma concludes things", tags=["conv-a"]))
+        # only the immediate successor's terms folded into `first`
+        assert system.bm25._doc_len[first.id] == len_after_one
+        system.close()
