@@ -36,6 +36,7 @@ from shodh_tpu.models.embedder import default_embedder
 from shodh_tpu.storage.store import MemoryStorage, SearchCriteria
 from shodh_tpu.types import (
     Experience,
+    ExperienceType,
     LayerMode,
     Memory,
     MemoryTier,
@@ -338,7 +339,15 @@ class MemorySystem:
             fwd_w = C.context_forward_weight()
             context_content = None
             prev = None
-            if (ctx_w > 0.0 or fwd_w > 0.0) and experience.tags:
+            # Dialogue-context semantics apply to dialogue only: for
+            # topic-tagged note stores the previous same-tag memory is
+            # merely related, not an antecedent, and its terms are noise
+            # (measured: smoke p@1 -1.9pp with inheritance on notes).
+            if (
+                (ctx_w > 0.0 or fwd_w > 0.0)
+                and experience.tags
+                and experience.experience_type == ExperienceType.CONVERSATION
+            ):
                 prev = self._context_prev(experience.tags)
                 if prev is not None:
                     context_content = prev.experience.content if ctx_w > 0.0 else None

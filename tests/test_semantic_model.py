@@ -279,12 +279,13 @@ class TestContextIndexing:
     def test_pronoun_turn_findable_via_antecedent(self, tmp_path, monkeypatch):
         monkeypatch.setenv("SHODH_CONTEXT_INDEX_WEIGHT", "0.42")
         from shodh_tpu.engine.memory_system import MemorySystem
-        from shodh_tpu.types import Experience, Query
+        from shodh_tpu.types import Experience, ExperienceType, Query
 
+        conv = ExperienceType.CONVERSATION
         system = MemorySystem(tmp_path / "m")
-        system.remember(Experience(content="I adopted two turtles last spring", tags=["conv-a"]))
+        system.remember(Experience(content="I adopted two turtles last spring", tags=["conv-a"], experience_type=conv))
         follow = system.remember(
-            Experience(content="I have had them for three years and they bring joy", tags=["conv-a"])
+            Experience(content="I have had them for three years and they bring joy", tags=["conv-a"], experience_type=conv)
         )
         # distractors from another conversation
         for i in range(10):
@@ -296,12 +297,13 @@ class TestContextIndexing:
     def test_antecedent_requires_shared_tag(self, tmp_path, monkeypatch):
         monkeypatch.setenv("SHODH_CONTEXT_INDEX_WEIGHT", "0.42")
         from shodh_tpu.engine.memory_system import MemorySystem
-        from shodh_tpu.types import Experience, Query
+        from shodh_tpu.types import Experience, ExperienceType, Query
 
+        conv = ExperienceType.CONVERSATION
         system = MemorySystem(tmp_path / "m")
-        system.remember(Experience(content="I adopted two turtles last spring", tags=["conv-a"]))
+        system.remember(Experience(content="I adopted two turtles last spring", tags=["conv-a"], experience_type=conv))
         other = system.remember(
-            Experience(content="I have had them for three years", tags=["conv-b"])
+            Experience(content="I have had them for three years", tags=["conv-b"], experience_type=conv)
         )
         # different conversation: the BM25 doc must NOT inherit "turtle"
         bm_hits = {d for d, _ in system.bm25.search("turtles", limit=10)}
@@ -311,14 +313,16 @@ class TestContextIndexing:
     def test_context_tail_survives_reopen(self, tmp_path, monkeypatch):
         monkeypatch.setenv("SHODH_CONTEXT_INDEX_WEIGHT", "0.42")
         from shodh_tpu.engine.memory_system import MemorySystem
-        from shodh_tpu.types import Experience, Query
+        from shodh_tpu.types import Experience, ExperienceType, Query
 
+        conv = ExperienceType.CONVERSATION
         system = MemorySystem(tmp_path / "m")
-        system.remember(Experience(content="I adopted two turtles last spring", tags=["conv-a"]))
+        system.remember(Experience(content="I adopted two turtles last spring", tags=["conv-a"], experience_type=conv))
         system.close()
         reopened = MemorySystem(tmp_path / "m")
         follow = reopened.remember(
-            Experience(content="I have had them for three years", tags=["conv-a"])
+            Experience(content="I have had them for three years", tags=["conv-a"],
+                       experience_type=ExperienceType.CONVERSATION)
         )
         r = reopened.recall(Query(query_text="turtles", max_results=5))
         assert follow.id in r.ids
@@ -327,12 +331,13 @@ class TestContextIndexing:
     def test_weight_zero_is_noop(self, tmp_path, monkeypatch):
         monkeypatch.setenv("SHODH_CONTEXT_INDEX_WEIGHT", "0")
         from shodh_tpu.engine.memory_system import MemorySystem
-        from shodh_tpu.types import Experience, Query
+        from shodh_tpu.types import Experience, ExperienceType, Query
 
+        conv = ExperienceType.CONVERSATION
         system = MemorySystem(tmp_path / "m")
-        system.remember(Experience(content="I adopted two turtles last spring", tags=["conv-a"]))
+        system.remember(Experience(content="I adopted two turtles last spring", tags=["conv-a"], experience_type=conv))
         follow = system.remember(
-            Experience(content="completely unrelated sentence about gardening", tags=["conv-a"])
+            Experience(content="completely unrelated sentence about gardening", tags=["conv-a"], experience_type=conv)
         )
         bm_hits = {d for d, _ in system.bm25.search("turtles", limit=10)}
         assert follow.id not in bm_hits  # weight 0: no term inheritance
@@ -342,14 +347,15 @@ class TestContextIndexing:
         monkeypatch.setenv("SHODH_CONTEXT_INDEX_WEIGHT", "0.42")
         monkeypatch.setenv("SHODH_CONTEXT_FWD_WEIGHT", "0.6")
         from shodh_tpu.engine.memory_system import MemorySystem
-        from shodh_tpu.types import Experience
+        from shodh_tpu.types import Experience, ExperienceType
 
+        conv = ExperienceType.CONVERSATION
         system = MemorySystem(tmp_path / "m")
         vague = system.remember(
-            Experience(content="something bad happened to me yesterday", tags=["conv-a"])
+            Experience(content="something bad happened to me yesterday", tags=["conv-a"], experience_type=conv)
         )
         system.remember(
-            Experience(content="the car accident left my bumper dented", tags=["conv-a"])
+            Experience(content="the car accident left my bumper dented", tags=["conv-a"], experience_type=conv)
         )
         # the vague turn is findable by the successor's terms
         bm_hits = {d for d, _ in system.bm25.search("car accident", limit=10)}
@@ -360,13 +366,14 @@ class TestContextIndexing:
         monkeypatch.setenv("SHODH_CONTEXT_INDEX_WEIGHT", "0.42")
         monkeypatch.setenv("SHODH_CONTEXT_FWD_WEIGHT", "0.6")
         from shodh_tpu.engine.memory_system import MemorySystem
-        from shodh_tpu.types import Experience
+        from shodh_tpu.types import Experience, ExperienceType
 
+        conv = ExperienceType.CONVERSATION
         system = MemorySystem(tmp_path / "m")
-        first = system.remember(Experience(content="alpha event", tags=["conv-a"]))
-        system.remember(Experience(content="beta follows quickly", tags=["conv-a"]))
+        first = system.remember(Experience(content="alpha event", tags=["conv-a"], experience_type=conv))
+        system.remember(Experience(content="beta follows quickly", tags=["conv-a"], experience_type=conv))
         len_after_one = system.bm25._doc_len[first.id]
-        system.remember(Experience(content="gamma concludes things", tags=["conv-a"]))
+        system.remember(Experience(content="gamma concludes things", tags=["conv-a"], experience_type=conv))
         # only the immediate successor's terms folded into `first`
         assert system.bm25._doc_len[first.id] == len_after_one
         system.close()
