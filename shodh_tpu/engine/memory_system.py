@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import functools
 import os
+import re
 import threading
 import time
 from dataclasses import dataclass
@@ -49,6 +50,16 @@ from shodh_tpu.types import (
 from shodh_tpu.utils.clock import days_between, hours_between, scoring_now
 from shodh_tpu.utils.hashing import content_hash
 
+
+
+_SPEAKER_RE = re.compile(r"^([A-Za-z][\w .'-]{0,31}?):\s")
+
+
+def _utterance_speaker(content: str) -> Optional[str]:
+    """Speaker of a chat-log-convention utterance ("Name: text"), lowered;
+    None when the content doesn't carry an attribution prefix."""
+    m = _SPEAKER_RE.match(content)
+    return m.group(1).lower() if m else None
 
 
 def _temporal_context_match(a: "Memory", b: "Memory") -> bool:
@@ -873,6 +884,22 @@ class MemorySystem:
             if not self._passes_filters(mem, query):
                 continue
             candidates.append((mem, base))
+
+        # Dialogue speaker match ("speaker_match" family): utterances whose
+        # speaker prefix names one of the query's entities rank up —
+        # measured on locomo-full multi_hop, golds are subject-speaker
+        # turns at 0.86-0.90 vs 0.59-0.66 for non-golds.
+        if (
+            C.SPEAKER_MATCH_BOOST > 0.0
+            and "speaker_match" not in disabled
+            and analysis is not None
+            and analysis.entities
+        ):
+            q_ents = {e.lower() for e in analysis.entities}
+            for i, (mem, base) in enumerate(candidates):
+                spk = _utterance_speaker(mem.experience.content)
+                if spk is not None and spk in q_ents:
+                    candidates[i] = (mem, base * (1.0 + C.SPEAKER_MATCH_BOOST))
 
         # Temporal-neighborhood prefetch + boost (PREFETCH_TEMPORAL_WINDOW /
         # SAME_EPISODE_BOOST family): conversational context travels together,

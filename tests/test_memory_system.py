@@ -426,3 +426,26 @@ def test_temporal_neighbors_require_shared_context(tmp_path):
     assert not _temporal_context_match(mem(["x"], episode="e1"), mem(["x"], episode="e2"))
     # no context on either side: keep the pure time-window semantics
     assert _temporal_context_match(mem([]), mem([]))
+
+
+def test_speaker_match_boost(tmp_path):
+    """Utterances by the query's subject outrank other speakers' mentions
+    (family speaker_match; measured gold-speaker rate 0.86-0.90 on locomo)."""
+    from shodh_tpu.engine.memory_system import MemorySystem, _utterance_speaker
+    from shodh_tpu.types import Experience, ExperienceType, Query
+
+    assert _utterance_speaker("Melanie: hi there") == "melanie"
+    assert _utterance_speaker("no speaker prefix here") is None
+
+    conv = ExperienceType.CONVERSATION
+    system = MemorySystem(tmp_path / "m")
+    by_subject = system.remember(
+        Experience(content="Melanie: I painted a sunrise over the lake", tags=["c"], experience_type=conv)
+    )
+    about_subject = system.remember(
+        Experience(content="Caroline: your painting of the sunrise is lovely Melanie", tags=["c"], experience_type=conv)
+    )
+    r = system.recall(Query(query_text="What has Melanie painted", max_results=2))
+    assert r.ids[0] == by_subject.id
+    assert about_subject.id in r.ids
+    system.close()
