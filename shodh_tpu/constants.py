@@ -528,3 +528,9 @@ def context_forward_weight() -> float:
 # locomo-full multi_hop: golds are subject-speaker turns at 0.86-0.90 rate
 # vs 0.59-0.66 for non-golds. Family "speaker_match".
 SPEAKER_MATCH_BOOST = env_float("SHODH_SPEAKER_MATCH_BOOST", 0.4)  # swept 0/.15/.3/.4/.5/.8; 0.4 peaks every full-suite aggregate
+# Temporal diversity at final ranking: at most this many results from the
+# same 2h window of one conversation inside the top-k (0 = off). Measured
+# NEGATIVE at cap 2 and 3 (single_hop -10pp/-3pp, every category down):
+# multi-gold sets are themselves temporally clustered, so the cap evicts
+# golds. Kept as an off-by-default knob with the negative result recorded.
+TEMPORAL_DIVERSITY_CAP = env_int("SHODH_DIVERSITY_CAP", 0)

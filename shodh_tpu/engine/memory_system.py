@@ -62,6 +62,31 @@ def _utterance_speaker(content: str) -> Optional[str]:
     return m.group(1).lower() if m else None
 
 
+def _diversity_rerank(scored, k: int, cap: int, window) -> list:
+    """Greedy top-k reranking: admit candidates in score order but defer any
+    whose 2h-window/context group already holds ``cap`` admitted results;
+    deferred candidates follow the selected k in their original order, so
+    the pass is deterministic and a pure permutation."""
+    selected: list = []
+    overflow: list = []
+    rest: list = []
+    for s in scored:
+        if len(selected) >= k:
+            rest.append(s)
+            continue
+        group = sum(
+            1
+            for t in selected
+            if abs(t.memory.created_at - s.memory.created_at) <= window
+            and _temporal_context_match(t.memory, s.memory)
+        )
+        if group >= cap:
+            overflow.append(s)
+        else:
+            selected.append(s)
+    return selected + overflow + rest
+
+
 def _temporal_context_match(a: "Memory", b: "Memory") -> bool:
     """Same conversational context: episode match when both carry one,
     else tag overlap when both are tagged, else assume shared context
@@ -981,6 +1006,15 @@ class MemorySystem:
 
             q_entities = analysis.entities or analysis.focal_terms[:4]
             scored = companion_rerank(scored, q_entities, self.graph, k)
+
+        # Temporal diversity ("diversity" family): cap same-moment
+        # near-duplicates in the top-k so multi-gold enumeration queries
+        # surface distinct events (measured: multi_hop near-misses at
+        # final rank 11-20 are the largest failure mass).
+        if C.TEMPORAL_DIVERSITY_CAP > 0 and "diversity" not in disabled and k >= 5:
+            scored = _diversity_rerank(
+                scored, k, cap=C.TEMPORAL_DIVERSITY_CAP, window=timedelta(hours=2)
+            )
 
         # Truncate to max(k, geo high-water mark): injected geo candidates sit
         # at the floor score, so a plain [:k] cut would silently drop them —

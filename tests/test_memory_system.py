@@ -449,3 +449,27 @@ def test_speaker_match_boost(tmp_path):
     assert r.ids[0] == by_subject.id
     assert about_subject.id in r.ids
     system.close()
+
+
+def test_diversity_rerank_caps_same_window(tmp_path):
+    """_diversity_rerank admits at most `cap` per 2h/context group in the
+    top-k and keeps the pass a deterministic permutation."""
+    from datetime import datetime, timedelta, timezone
+
+    from shodh_tpu.engine.memory_system import _diversity_rerank
+    from shodh_tpu.types import Experience, Memory, ScoredMemory
+
+    def sm(score, minute, tag):
+        e = Experience(content="x", tags=[tag])
+        m = Memory(
+            id=f"m{score}", experience=e,
+            created_at=datetime(2026, 1, 1, 12, minute, tzinfo=timezone.utc),
+            importance=0.5, content_hash=f"h{score}",
+        )
+        return ScoredMemory(memory=m, score=score)
+
+    scored = [sm(9, 0, "a"), sm(8, 5, "a"), sm(7, 10, "a"), sm(6, 15, "b"), sm(5, 20, "a")]
+    out = _diversity_rerank(scored, k=4, cap=2, window=timedelta(hours=2))
+    assert sorted(s.score for s in out) == [5, 6, 7, 8, 9]  # permutation
+    # third same-window "a" deferred; "b" promoted into the top-k
+    assert [s.score for s in out[:4]] == [9, 8, 6, 7]
