@@ -534,3 +534,8 @@ SPEAKER_MATCH_BOOST = env_float("SHODH_SPEAKER_MATCH_BOOST", 0.4)  # swept 0/.15
 # multi-gold sets are themselves temporally clustered, so the cap evicts
 # golds. Kept as an off-by-default knob with the negative result recorded.
 TEMPORAL_DIVERSITY_CAP = env_int("SHODH_DIVERSITY_CAP", 0)
+# Time-seeking queries ("when did X"): candidates carrying extracted
+# temporal expressions get this multiplicative boost — golds carry
+# temporal_refs at 0.54 vs 0.10 for non-golds (locomo-full measurement).
+# Family "seek_temporal_refs".
+SEEK_TEMPORAL_REFS_BOOST = env_float("SHODH_SEEK_TREFS_BOOST", 0.3)  # saturates by 0.3; full suite all-metrics-up

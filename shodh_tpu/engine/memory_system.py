@@ -926,6 +926,19 @@ class MemorySystem:
                 if spk is not None and spk in q_ents:
                     candidates[i] = (mem, base * (1.0 + C.SPEAKER_MATCH_BOOST))
 
+        # Time-seeking answer boost ("seek_temporal_refs" family): for
+        # "when did X" queries, candidates carrying extracted temporal
+        # expressions rank up (gold rate 0.54 vs 0.10 — see constants.py).
+        if (
+            C.SEEK_TEMPORAL_REFS_BOOST > 0.0
+            and "seek_temporal_refs" not in disabled
+            and analysis is not None
+            and analysis.is_temporal_seeking
+        ):
+            for i, (mem, base) in enumerate(candidates):
+                if mem.experience.temporal_refs:
+                    candidates[i] = (mem, base * (1.0 + C.SEEK_TEMPORAL_REFS_BOOST))
+
         # Temporal-neighborhood prefetch + boost (PREFETCH_TEMPORAL_WINDOW /
         # SAME_EPISODE_BOOST family): conversational context travels together,
         # so neighbors-in-time of the strongest hits JOIN the pool at a floor

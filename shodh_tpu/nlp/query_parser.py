@@ -225,7 +225,13 @@ class QueryParser:
         for pat in (
             r"\byesterday\b", r"\btoday\b", r"\btomorrow\b",
             r"\blast (?:week|month|year|night)\b", r"\bthis (?:week|month|year|morning)\b",
-            r"\bnext (?:week|month|year)\b", r"\b\d+ (?:days?|weeks?|months?) ago\b",
+            r"\bnext (?:week|month|year)\b",
+            # numeric and spelled-out durations: "3 weeks ago", "three years ago",
+            # "for 2 months", "a year ago" (temporal_facts.rs duration cues)
+            r"\b(?:\d+|a|an|one|two|three|four|five|six|seven|eight|nine|ten|couple of|few) "
+            r"(?:seconds?|minutes?|hours?|days?|weeks?|months?|years?) ago\b",
+            r"\bfor (?:\d+|a|an|one|two|three|four|five|six|seven|eight|nine|ten) "
+            r"(?:days?|weeks?|months?|years?)\b",
             r"\b(?:january|february|march|april|may|june|july|august|september|october|november|december)(?: \d{1,2})?(?:,? \d{4})?\b",
             r"\b\d{4}-\d{2}-\d{2}\b",
         ):

@@ -473,3 +473,23 @@ def test_diversity_rerank_caps_same_window(tmp_path):
     assert sorted(s.score for s in out) == [5, 6, 7, 8, 9]  # permutation
     # third same-window "a" deferred; "b" promoted into the top-k
     assert [s.score for s in out[:4]] == [9, 8, 6, 7]
+
+
+def test_time_seeking_temporal_refs_boost(tmp_path):
+    """'When did X' queries rank temporal-expression-bearing answers up
+    (family seek_temporal_refs; gold rate 0.54 vs 0.10 measured)."""
+    from shodh_tpu.engine.memory_system import MemorySystem
+    from shodh_tpu.types import Experience, ExperienceType, Query
+
+    conv = ExperienceType.CONVERSATION
+    system = MemorySystem(tmp_path / "m")
+    dated = system.remember(Experience(
+        content="Nate: I adopted the turtles three years ago in spring",
+        tags=["c"], experience_type=conv))
+    undated = system.remember(Experience(
+        content="Nate: the turtles love their adopted tank habitat",
+        tags=["c"], experience_type=conv))
+    assert dated.experience.temporal_refs  # parser extracted the duration
+    r = system.recall(Query(query_text="When did Nate adopt the turtles?", max_results=2))
+    assert r.ids[0] == dated.id
+    system.close()
