@@ -539,3 +539,8 @@ TEMPORAL_DIVERSITY_CAP = env_int("SHODH_DIVERSITY_CAP", 0)
 # temporal_refs at 0.54 vs 0.10 for non-golds (locomo-full measurement).
 # Family "seek_temporal_refs".
 SEEK_TEMPORAL_REFS_BOOST = env_float("SHODH_SEEK_TREFS_BOOST", 0.3)  # saturates by 0.3; full suite all-metrics-up
+# Answer-type matching for where/why questions (family "answer_type"):
+# where -> toponym-bearing candidates, why -> causal-marker-bearing ones.
+# Measured lifts 0.20-vs-0.08 / 0.18-vs-0.07 (weaker than the temporal
+# signal; boost kept moderate).
+ANSWER_TYPE_BOOST = env_float("SHODH_ANSWER_TYPE_BOOST", 0.25)  # full r@10 +0.22pp, gate p@1/mrr/map/ndcg all up

@@ -53,6 +53,10 @@ from shodh_tpu.utils.hashing import content_hash
 
 
 _SPEAKER_RE = re.compile(r"^([A-Za-z][\w .'-]{0,31}?):\s")
+_CAUSAL_MARKER_RE = re.compile(
+    r"\b(because|since|so that|that's why|due to|thanks to|led to|made me|helps me|reason)\b",
+    re.IGNORECASE,
+)
 
 
 def _utterance_speaker(content: str) -> Optional[str]:
@@ -938,6 +942,24 @@ class MemorySystem:
             for i, (mem, base) in enumerate(candidates):
                 if mem.experience.temporal_refs:
                     candidates[i] = (mem, base * (1.0 + C.SEEK_TEMPORAL_REFS_BOOST))
+
+        # Answer-type matching ("answer_type" family): where-questions rank
+        # toponym-bearing candidates up, why-questions rank causal-marker
+        # candidates up (gold-vs-nongold rates 0.20/0.08 and 0.18/0.07).
+        if (
+            C.ANSWER_TYPE_BOOST > 0.0
+            and "answer_type" not in disabled
+            and query.query_text
+        ):
+            ql = query.query_text.lower().lstrip()
+            if ql.startswith("where "):
+                for i, (mem, base) in enumerate(candidates):
+                    if mem.experience.toponyms:
+                        candidates[i] = (mem, base * (1.0 + C.ANSWER_TYPE_BOOST))
+            elif ql.startswith(("why ", "how does", "how did")):
+                for i, (mem, base) in enumerate(candidates):
+                    if _CAUSAL_MARKER_RE.search(mem.experience.content):
+                        candidates[i] = (mem, base * (1.0 + C.ANSWER_TYPE_BOOST))
 
         # Temporal-neighborhood prefetch + boost (PREFETCH_TEMPORAL_WINDOW /
         # SAME_EPISODE_BOOST family): conversational context travels together,
