@@ -31,6 +31,8 @@ import numpy as np
 
 REFERENCE_QPS = 1000.0 / 46.0  # 21.7 QPS (README.md:183 midpoint)
 WATCHDOG_SECS = float(os.environ.get("SHODH_BENCH_WATCHDOG_SECS", "560"))
+# Extra grace when NOTHING banked at the watchdog (slow device claim):
+WATCHDOG_EXTRA_SECS = float(os.environ.get("SHODH_BENCH_WATCHDOG_EXTRA_SECS", "1200"))
 
 _result_lock = threading.Lock()
 _best_result: dict | None = None
@@ -62,17 +64,27 @@ def run_scales() -> None:
     log(f"backend={jax.default_backend()}")
 
     def build_corpus(n):
-        key = jax.random.PRNGKey(0)
+        # HOST-side build + one upload. The previous device-side build ran
+        # ~5 distinct eager ops through the remote tunnel, each paying a
+        # cold compile (~60 s) — 296 s for the FIRST corpus, which ate the
+        # 560 s watchdog before any result banked (BENCH run observed
+        # "recall_qps_per_chip_unavailable"). numpy builds the same
+        # quantized corpus in seconds with zero device compiles.
+        import numpy as _np
+
+        rng = _np.random.default_rng(0)
         parts, ss = [], []
         chunks = 16
-        for i in range(chunks):
-            sub = jax.random.normal(jax.random.fold_in(key, i), (n // chunks, d), jnp.float32)
-            sub = sub / jnp.linalg.norm(sub, axis=1, keepdims=True)
-            s = jnp.maximum(jnp.max(jnp.abs(sub), axis=1) / 127.0, 1e-9)
-            parts.append(jnp.clip(jnp.round(sub / s[:, None]), -127, 127).astype(jnp.int8))
+        for _ in range(chunks):
+            sub = rng.standard_normal((n // chunks, d), dtype=_np.float32)
+            sub /= _np.linalg.norm(sub, axis=1, keepdims=True)
+            s = _np.maximum(_np.abs(sub).max(axis=1) / 127.0, 1e-9).astype(_np.float32)
+            parts.append(
+                _np.clip(_np.round(sub / s[:, None]), -127, 127).astype(_np.int8)
+            )
             ss.append(s)
-        corpus = jnp.concatenate(parts)
-        scales = jnp.concatenate(ss)
+        corpus = jnp.asarray(_np.concatenate(parts))
+        scales = jnp.asarray(_np.concatenate(ss))
         # force materialization before timing anything
         float(jnp.sum(scales))
         return corpus, scales
@@ -241,6 +253,19 @@ def main() -> None:
     worker.join(timeout=WATCHDOG_SECS)
     with _result_lock:
         result = _best_result
+    if result is None:
+        # Nothing banked yet — almost always a slow remote device claim
+        # (measured 270-560+ s when another process just released the
+        # tunnel). Printing "unavailable" now is a guaranteed failure, so
+        # keep waiting in short increments and print the moment the first
+        # measurement banks, up to a hard cap.
+        deadline = time.monotonic() + WATCHDOG_EXTRA_SECS
+        while time.monotonic() < deadline:
+            worker.join(timeout=30.0)
+            with _result_lock:
+                result = _best_result
+            if result is not None or not worker.is_alive():
+                break
     if result is None:
         result = {
             "metric": "recall_qps_per_chip_unavailable",
