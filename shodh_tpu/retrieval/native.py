@@ -40,6 +40,10 @@ def load() -> Optional[ctypes.CDLL]:
     lib = ctypes.CDLL(str(_LIB_PATH))
     lib.shodh_bm25_new.restype = ctypes.c_void_p
     lib.shodh_bm25_free.argtypes = [ctypes.c_void_p]
+    try:
+        lib.shodh_bm25_set_params.argtypes = [ctypes.c_float, ctypes.c_float]
+    except AttributeError:
+        pass  # older prebuilt lib: defaults baked in
     lib.shodh_bm25_remove.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
     lib.shodh_bm25_upsert_text.argtypes = [
         ctypes.c_void_p, ctypes.c_uint64, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p
@@ -85,10 +89,14 @@ class NativeBM25:
     """Thin OO wrapper over the C BM25 engine. Doc ids are uint64 handles;
     the caller maintains the handle<->string-id mapping."""
 
-    def __init__(self):
+    def __init__(self, k1: float = 1.2, b: float = 0.75):
         self._lib = load()
         if self._lib is None:
             raise RuntimeError("native library unavailable")
+        if (k1, b) != (1.2, 0.75):
+            if not hasattr(self._lib, "shodh_bm25_set_params"):
+                raise RuntimeError("native library predates shodh_bm25_set_params")
+            self._lib.shodh_bm25_set_params(k1, b)
         self._h = self._lib.shodh_bm25_new()
 
     def __del__(self):
