@@ -31,7 +31,11 @@ from shodh_tpu.storage.serialization import decode, encode
 
 _WORD_RE = re.compile(r"[a-z0-9][a-z0-9_\-./]*")
 
-K1 = float(os.environ.get("SHODH_BM25_K1", "1.2"))
+# tf saturation swept on locomo-full (1.6/1.2/1.0/0.8/0.6/0.4): short
+# conversational turns rarely repeat terms, so a faster-saturating tf
+# (k1=0.6) lets idf and field boosts decide — full r@10 .6675->.6772,
+# gate .6277->.6423, every aggregate up. (Reference: textbook 1.2.)
+K1 = float(os.environ.get("SHODH_BM25_K1", "0.6"))
 # Length normalization swept on locomo-full (0.75/.6/.5/.4/.3/.2/0):
 # conversational turns are short and similar-length, and the measured
 # missed-gold profile was LONGER answer-bearing turns (18.6 vs 14.5 mean
