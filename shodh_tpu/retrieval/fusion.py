@@ -47,7 +47,12 @@ from shodh_tpu.constants import (
     env_float,
 )
 
-FLAT_CONSENSUS = 0.5  # swept: 0.5 beats the reference-default 0.3 on both suites with this embedder
+# Re-swept after the round-2 BM25 retune (k1 0.6 / b 0.3 / context
+# indexing): 0.3-0.4 now peaks locomo (0.5 was best only for the weaker
+# legacy leg), but 0.3 breaks the smoke 2% contract (notes-domain p@1
+# -2.8pp). 0.4 keeps ~all the locomo gain (full p@1 .4004/map .4734,
+# both best) with smoke green.
+FLAT_CONSENSUS = 0.4
 ADAPT_TRUST_MAX = 2.0
 ADAPT_AGREE_K = 10
 ADAPT_AGREE_LO = 0.1
