@@ -84,7 +84,9 @@ def adaptive_vec_trust(semantic: Mapping[str, float], bm25: Mapping[str, float])
     SHODH_FLAT_ADAPTIVE=1.
     """
     if not env_flag("SHODH_FLAT_ADAPTIVE", False):
-        return 1.0
+        # Fixed trust (sweepable): scales the vector leg against the
+        # calibrated BM25 leg in the max() fusion.
+        return env_float("SHODH_FLAT_VEC_TRUST", 1.0)
     trust_max = env_float("SHODH_ADAPT_TRUST_MAX", ADAPT_TRUST_MAX)
     if not bm25:
         t = 1.0  # no lexical signal at all: strongest "no anchor" case
