@@ -511,11 +511,12 @@ TEMPORAL_SEEK_RECENCY_SCALE = env_float("SHODH_SEEK_RECENCY_SCALE", 0.0)
 # previous same-context turn's terms at this weight (0 disables). Dialogue
 # antecedents keep pronoun-heavy turns findable ("I've had them 3 years").
 def context_index_weight() -> float:
-    # 0.42 swept on the held-out full suite (0/.2/.35/.42/.5/.7): the
-    # largest single quality lever of the build — full r@10 .5684->.6257,
-    # single_hop +8.7pp, every category up; 0.42 dominates-or-ties 0.35
-    # and 0.5 on all five aggregates (temporal peaks lower, recall higher).
-    return env_float("SHODH_CONTEXT_INDEX_WEIGHT", 0.42)
+    # The largest single quality lever of the build (full r@10
+    # .5684->.6257 when it landed at 0.42). Re-swept after the k1/b
+    # Okapi retune — the optimum moved up: 0.8 gives full r@10
+    # .6771->.6837 with map/mrr/ndcg best and gate mrr +1.9pp, smoke
+    # green (1.0 declines again).
+    return env_float("SHODH_CONTEXT_INDEX_WEIGHT", 0.8)
 # Forward context: when a successor turn arrives, its terms fold into the
 # predecessor's BM25 doc once ("happened yesterday..." turns gain the next
 # turn's "car accident"). 0 disables.
