@@ -43,8 +43,8 @@ K1 = float(os.environ.get("SHODH_BM25_K1", "0.6"))
 # matter. b=0.3 peaks p@1/mrr/map (full r@10 .6567->.6675, gate ->.6277);
 # the reference keeps the textbook 0.75 (hybrid_search.rs).
 B = float(os.environ.get("SHODH_BM25_B", "0.3"))
-TAG_BOOST = 1.5
-ENTITY_BOOST = 1.3
+TAG_BOOST = float(os.environ.get("SHODH_BM25_TAG_BOOST", "1.5"))
+ENTITY_BOOST = float(os.environ.get("SHODH_BM25_ENTITY_BOOST", "1.3"))
 
 
 def tokenize(text: str) -> list[str]:
