@@ -45,12 +45,14 @@ class FeedbackStore:
         self._predictions: dict[str, float] = {}
 
     def _get(self, memory_id: str) -> Optional[MomentumState]:
+        # Misses are cached too (as None): most memories never receive
+        # feedback, and the uncached miss path was one sqlite read per
+        # candidate per recall (~420/query profiled). record() overwrites
+        # the entry on write, so negatives never go stale in-process.
         if memory_id in self._cache:
             return self._cache[memory_id]
         raw = self.kv.get(NS_FEEDBACK, memory_id)
-        if raw is None:
-            return None
-        st = MomentumState.from_dict(decode(raw))
+        st = MomentumState.from_dict(decode(raw)) if raw is not None else None
         self._cache[memory_id] = st
         return st
 
