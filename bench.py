@@ -30,6 +30,32 @@ import time
 import numpy as np
 
 REFERENCE_QPS = 1000.0 / 46.0  # 21.7 QPS (README.md:183 midpoint)
+
+# Hardware roofline (v5e defaults; override for other chips). MFU/HBM
+# columns keep the round-2 verdict's perf pressure visible: the 1M tier is
+# score-matrix HBM-bound at ~8% bf16 MFU, and only a no-materialization
+# kernel (ops/fused_topk.py Pallas path) moves the ceiling.
+PEAK_BF16_TFLOPS = float(os.environ.get("SHODH_TPU_PEAK_TFLOPS", "197"))
+PEAK_HBM_GBPS = float(os.environ.get("SHODH_TPU_PEAK_HBM_GBPS", "819"))
+
+
+def roofline(n: int, d: int, b: int, per_batch_s: float) -> dict:
+    """MFU + HBM-bytes columns for one measured batch.
+
+    flops: the scoring matmul (2*b*n*d). bytes: int8 corpus read + f32
+    score-matrix write+read (the XLA two-pass formulation materializes
+    (B, N) once and re-reads it for the reduce; the Pallas kernel removes
+    both score passes — that delta is the headroom the column exposes).
+    """
+    flops = 2.0 * b * n * d
+    bytes_xla = n * d * 1 + 2 * (b * n * 4) + b * d * 4
+    tflops = flops / per_batch_s / 1e12
+    return {
+        "mfu_pct": round(100.0 * tflops / PEAK_BF16_TFLOPS, 2),
+        "achieved_tflops": round(tflops, 2),
+        "hbm_gbps": round(bytes_xla / per_batch_s / 1e9, 1),
+        "hbm_util_pct": round(100.0 * bytes_xla / per_batch_s / 1e9 / PEAK_HBM_GBPS, 1),
+    }
 WATCHDOG_SECS = float(os.environ.get("SHODH_BENCH_WATCHDOG_SECS", "560"))
 # Extra grace when NOTHING banked at the watchdog (slow device claim):
 WATCHDOG_EXTRA_SECS = float(os.environ.get("SHODH_BENCH_WATCHDOG_EXTRA_SECS", "1200"))
@@ -145,13 +171,17 @@ def run_scales() -> None:
         total_s = time.perf_counter() - t0
         per_batch = total_s / iters
         qps = b / per_batch
-        log(f"{label}: {per_batch*1e3:.2f} ms/batch -> {qps:,.0f} QPS/chip")
+        roof = roofline(n, d, b, per_batch)
+        log(f"{label}: {per_batch*1e3:.2f} ms/batch -> {qps:,.0f} QPS/chip "
+            f"(MFU {roof['mfu_pct']}% bf16, HBM {roof['hbm_gbps']} GB/s "
+            f"= {roof['hbm_util_pct']}% of peak)")
         record(
             {
                 "metric": f"recall_qps_per_chip_{label}_int8_exact_top10",
                 "value": round(qps, 1),
                 "unit": "queries/s",
                 "vs_baseline": round(qps / REFERENCE_QPS, 1),
+                **roof,
             }
         )
         del corpus, scales, valid, approx

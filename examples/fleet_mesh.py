@@ -28,11 +28,20 @@ signer = FleetTransport(manager, bus=InProcessBus(), auth_key=SECRET)
 results = []
 robot_bus.subscribe(f"{KEY_PREFIX}/*/recall/result",
                     lambda k, p: results.append(json.loads(p)))
+acks = []
+robot_bus.subscribe(f"{KEY_PREFIX}/*/remember/ack",
+                    lambda k, p: acks.append(p))
 
 payload = signer.sign({"content": "obstacle detected at loading dock 3",
                        "tags": ["nav"]})
 robot_bus.publish(f"{KEY_PREFIX}/rover1/remember", json.dumps(payload).encode())
-time.sleep(0.5)
+# Wait for the brain's ack, not a fixed sleep: first-contact engine
+# construction on a loaded host can take seconds, and recalling before the
+# remember lands races to an empty result.
+deadline = time.monotonic() + 30
+while time.monotonic() < deadline and not acks:
+    time.sleep(0.05)
+assert acks, "brain never acked the remember"
 
 query = signer.sign({"query_text": "obstacle at the dock", "max_results": 3})
 robot_bus.publish(f"{KEY_PREFIX}/rover1/recall", json.dumps(query).encode())

@@ -101,6 +101,14 @@ def main(argv: list[str] | None = None) -> int:
         import tempfile
         from pathlib import Path
 
+        # Quality evals are CPU-only: metrics must not depend on (or claim)
+        # the remote TPU tunnel, and eval latency through the tunnel is not
+        # a serving number. env JAX_PLATFORMS is overridden by this
+        # machine's sitecustomize — the config call is the reliable path.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
         from shodh_tpu.engine.memory_system import MemorySystem
         from shodh_tpu.harness.runner import compare_to_baseline, run_suite
         from shodh_tpu.types import LayerMode

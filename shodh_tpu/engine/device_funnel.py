@@ -14,6 +14,7 @@ maintenance.
 
 from __future__ import annotations
 
+import zlib
 from datetime import datetime, timezone
 from typing import Optional
 
@@ -26,6 +27,15 @@ _EPOCH = datetime(2020, 1, 1, tzinfo=timezone.utc)
 
 def _hours_since_epoch(dt: datetime) -> float:
     return (dt - _EPOCH).total_seconds() / 3600.0
+
+
+def speaker_hash(name: Optional[str]) -> int:
+    """Stable positive int32 hash of a (lowercased) speaker/entity name;
+    0 for none. Shared by the row mirrors and the query side so the
+    in-program speaker match reproduces the host's string comparison."""
+    if not name:
+        return 0
+    return (zlib.crc32(name.lower().encode("utf-8")) & 0x7FFFFFFF) or 1
 
 
 class DeviceRecallEngine:
@@ -49,7 +59,16 @@ class DeviceRecallEngine:
             "credibility": np.full(cap, 0.5, np.float32),
             "tag_penalty": np.ones(cap, np.float32),
             "momentum": np.zeros(cap, np.float32),
+            # round-2 boost-stack mirrors (verdict #1): speaker identity +
+            # [has temporal_refs, has toponyms, has causal marker] flags
+            "speaker_hash": np.zeros(cap, np.int32),
+            "row_flags": np.zeros((cap, 3), np.float32),
         }
+        from shodh_tpu.engine.memory_system import (
+            _CAUSAL_MARKER_RE,
+            _utterance_speaker,
+        )
+
         storage = self.system.storage
         fb = self.system.feedback
         for mem in storage.iter_memories():
@@ -57,15 +76,24 @@ class DeviceRecallEngine:
             if not rows:
                 continue
             mom = fb.momentum(mem.id) if fb is not None else 0.0
+            exp = mem.experience
+            spk = speaker_hash(_utterance_speaker(exp.content))
+            flags = (
+                1.0 if exp.temporal_refs else 0.0,
+                1.0 if exp.toponyms else 0.0,
+                1.0 if _CAUSAL_MARKER_RE.search(exp.content) else 0.0,
+            )
             for r in rows:
                 if r >= cap:
                     continue
                 meta["importance"][r] = mem.importance
                 meta["created_hours"][r] = _hours_since_epoch(mem.created_at)
-                meta["arousal"][r] = mem.experience.emotional.arousal
-                meta["credibility"][r] = mem.experience.source.credibility
-                meta["tag_penalty"][r] = tag_penalty_for(mem.experience.tags)
+                meta["arousal"][r] = exp.emotional.arousal
+                meta["credibility"][r] = exp.source.credibility
+                meta["tag_penalty"][r] = tag_penalty_for(exp.tags)
                 meta["momentum"][r] = mom
+                meta["speaker_hash"][r] = spk
+                meta["row_flags"][r] = flags
         self._meta = meta
         self._built_rows = len(index)
 
@@ -133,6 +161,136 @@ class DeviceRecallEngine:
         )
         vals, rows = np.asarray(vals), np.asarray(rows)
         return self._rows_to_hits(vals, rows, k)
+
+    def recall_pool(
+        self,
+        qvecs: list[np.ndarray],
+        bm25_scores: dict[str, float],
+        graph_activation: dict[str, float],
+        *,
+        q_entities: list[str],
+        seek_temporal: bool,
+        where_question: bool,
+        causal_question: bool,
+        date_range,
+        tmatch_boost: float,
+        recency_scale: float,
+        density: float,
+        pool_size: int,
+        vec_k: int,
+        now: datetime,
+    ) -> Optional[list[tuple[str, float, Optional[float]]]]:
+        """Reunified-funnel pool proposal (round-2 verdict #1).
+
+        The caller (memory_system._device_funnel_recall) prepares the
+        sparse host legs EXACTLY as the staged funnel would (same BM25
+        query plan, same graph seeds, same polar dual embedding); this
+        method runs ONE fused device program over the whole corpus with
+        the boost-stack mirrors folded into the selection score, and
+        returns the chunk-deduped top pool as
+
+            [(memory_id, fused_l4_value, cosine_or_None), ...]
+
+        (cosine None when no row of the memory passed the vector-leg
+        admission cut — the host funnel would hold no mem_scores entry)
+        for the host epilogue to re-rank exactly. None => the fused
+        program can't serve (empty index / HBM spill active) and the
+        staged host funnel must run instead.
+        """
+        import jax.numpy as jnp
+
+        from shodh_tpu.constants import env_float
+        from shodh_tpu.ops.device_recall import fused_recall_pool
+        from shodh_tpu.retrieval.fusion import FLAT_CONSENSUS
+
+        system = self.system
+        self._ensure_mirrors()
+        index = system.index
+        cap = index.capacity
+        if cap == 0:
+            return None
+        arrays = index._device_arrays()
+        if arrays is None or index._device_start > 0:
+            return None  # HBM spill: mirrors no longer row-aligned
+        vecs, scales, valid = arrays[:3]
+
+        bm25 = np.zeros(cap, np.float32)
+        for mid, score in bm25_scores.items():
+            for r in system.storage.get_vector_map(mid).get("text", []):
+                if r < cap:
+                    bm25[r] = max(bm25[r], score)
+        graph = np.zeros(cap, np.float32)
+        for mid, act in graph_activation.items():
+            for r in system.storage.get_vector_map(mid).get("text", []):
+                if r < cap:
+                    graph[r] = max(graph[r], act)
+
+        meta = self._meta
+        now_h = _hours_since_epoch(now)
+        hours_old = np.maximum(0.0, now_h - meta["created_hours"]).astype(np.float32)
+
+        q_hashes = np.full(8, -1, np.int32)
+        for i, ent in enumerate(q_entities[:8]):
+            q_hashes[i] = speaker_hash(ent)
+        q_flags = np.array(
+            [
+                1.0 if seek_temporal else 0.0,
+                1.0 if where_question else 0.0,
+                1.0 if causal_question else 0.0,
+                1.0 if date_range is not None else 0.0,
+            ],
+            np.float32,
+        )
+        if date_range is not None:
+            lo, hi = date_range
+            age = np.array(
+                [max(0.0, now_h - _hours_since_epoch(hi)), now_h - _hours_since_epoch(lo)],
+                np.float32,
+            )
+        else:
+            age = np.zeros(2, np.float32)
+        q_scalars = np.array(
+            [
+                tmatch_boost,
+                recency_scale,
+                env_float("SHODH_FLAT_CONSENSUS", FLAT_CONSENSUS),
+            ],
+            np.float32,
+        )
+        qmat = np.stack(qvecs if len(qvecs) > 1 else [qvecs[0], qvecs[0]]).astype(
+            np.float32
+        )
+
+        kk = min(pool_size, cap)
+        vals, rows, fused_vals, cos_vals = fused_recall_pool(
+            jnp.asarray(qmat), vecs, scales, valid,
+            jnp.asarray(bm25), jnp.asarray(graph),
+            jnp.asarray(meta["importance"]), jnp.asarray(hours_old),
+            jnp.asarray(meta["arousal"]), jnp.asarray(meta["credibility"]),
+            jnp.asarray(meta["momentum"]), jnp.asarray(meta["tag_penalty"]),
+            jnp.float32(density),
+            jnp.asarray(meta["speaker_hash"]), jnp.asarray(meta["row_flags"]),
+            jnp.asarray(q_hashes), jnp.asarray(q_flags),
+            jnp.asarray(age), jnp.asarray(q_scalars), k=kk,
+            vec_k=min(vec_k, cap),
+        )
+        vals = np.asarray(vals)
+        rows = np.asarray(rows)
+        fused_vals = np.asarray(fused_vals)
+        cos_vals = np.asarray(cos_vals)
+        out: list[tuple[str, float, Optional[float]]] = []
+        seen: set[str] = set()
+        for i in range(len(vals)):
+            if vals[i] <= -1e29:
+                continue
+            mid = system.storage.memory_for_row(int(rows[i]))
+            if mid is None or mid in seen:
+                continue  # chunk dedup: per-memory factors are row-constant,
+                # so the first (best-final) row is also the max-cos row
+            seen.add(mid)
+            cv = float(cos_vals[i])
+            out.append((mid, float(fused_vals[i]), cv if cv > -1e29 else None))
+        return out
 
     def _rows_to_hits(self, vals, rows, k: int) -> list[tuple[str, float]]:
         out: list[tuple[str, float]] = []

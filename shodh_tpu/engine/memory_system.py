@@ -639,64 +639,14 @@ class MemorySystem:
 
         # L4 BM25 leg + RRF fusion
         bm25_scores: dict[str, float] = {}
+        bm25_query: Optional[str] = None
+        term_weights = None
+        bm25_k = pool_k
         if query.layers >= LayerMode.PLUS_BM25 and self.bm25 is not None and query.query_text:
             t0 = time.perf_counter()
-            term_weights = analysis.ic_weights if analysis is not None else None
-            bm25_k = pool_k * (
-                C.POLAR_QUERY_BM25_POOL_MULTIPLIER if len(qvecs) > 1 else 1
+            bm25_query, term_weights, bm25_k = self._plan_bm25_query(
+                query, analysis, seeds, pool_k, len(qvecs), disabled, now
             )
-            # Graph-driven cue expansion (mod.rs:2760-3330): strongest 1-hop
-            # bridge entities of the seeds join the BM25 query as weighted
-            # extra terms. Measured with the hash embedder: WASH on the
-            # held-out full suite (r@10 0.5636 on vs 0.5645 off; p@1 +0.2pp
-            # on), slightly negative on the gate — default OFF until a
-            # trained embedder makes bridges semantic. SHODH_GRAPH_CUE_EXPANSION=1
-            # enables.
-            bm25_query = query.query_text
-            if (
-                seeds
-                and self.graph is not None
-                and os.environ.get("SHODH_GRAPH_CUE_EXPANSION", "0") == "1"
-            ):
-                bridges = self.graph.bridge_cues(seeds, now=now)
-                if bridges:
-                    from shodh_tpu.retrieval.bm25 import tokenize as _bm_tok
-
-                    bm25_query = query.query_text + " " + " ".join(bridges)
-                    term_weights = dict(term_weights or {})
-                    for b_name in bridges:
-                        for tok in _bm_tok(b_name):
-                            term_weights.setdefault(tok, C.GRAPH_CUE_TERM_WEIGHT)
-            # Semantic expansion (corpus-adaptive co-occurrence neighbors of
-            # the query stems join as low-weight extra terms — recovers
-            # paraphrase golds absent from both base legs; see
-            # models/semantic_model.py). Gated by the fitted model's
-            # presence + the "sem_expansion" boost family.
-            sem_model = getattr(self._base_embedder(), "_sem_model", None)
-            if (
-                sem_model is not None
-                and "sem_expansion" not in disabled
-                # Date-anchored queries already carry a hard prefilter; the
-                # extra terms only add noise there (measured: temporal r@10
-                # .75 -> .733 with expansion on date queries).
-                and (analysis is None or analysis.date_range is None)
-            ):
-                from shodh_tpu.models.hash_embedder import content_stems
-                from shodh_tpu.nlp.stemmer import stem as _stem_fn
-
-                expansions = sem_model.expansion_terms(
-                    list(dict.fromkeys(content_stems(query.query_text))),
-                    per_stem=C.SEM_EXPANSION_PER_STEM,
-                    min_sim=C.SEM_EXPANSION_MIN_SIM,
-                    max_terms=C.SEM_EXPANSION_MAX_TERMS,
-                )
-                # Only idempotent stems survive the query re-tokenization.
-                expansions = [(t, s) for t, s in expansions if _stem_fn(t) == t]
-                if expansions:
-                    bm25_query = bm25_query + " " + " ".join(t for t, _ in expansions)
-                    term_weights = dict(term_weights or {})
-                    for t, sim in expansions:
-                        term_weights.setdefault(t, C.SEM_EXPANSION_TERM_WEIGHT * sim)
             bm25_scores = dict(
                 self.bm25.search(bm25_query, limit=bm25_k, term_weights=term_weights)
             )
@@ -725,6 +675,124 @@ class MemorySystem:
             )
         else:
             fused = dict(mem_scores)
+
+        return self._rank_pool(
+            query=query,
+            k=k,
+            now=now,
+            t_start=t_start,
+            t_fusion_start=t0,
+            timings=timings,
+            analysis=analysis,
+            disabled=disabled,
+            companion_gate=companion_gate,
+            overrides=overrides,
+            fused=fused,
+            mem_scores=mem_scores,
+            bm25_scores=bm25_scores,
+            graph_activation=graph_activation,
+            temporal_ids=temporal_ids,
+            bm25_query=bm25_query,
+            term_weights=term_weights,
+            bm25_k=bm25_k,
+            diagnostics=diagnostics,
+        )
+
+    def _plan_bm25_query(
+        self, query: Query, analysis, seeds, pool_k: int, n_qvecs: int, disabled, now
+    ):
+        """Build the BM25 query string + per-term weights (shared by the
+        staged host funnel and the fused device funnel so the lexical leg is
+        identical on both paths)."""
+        term_weights = analysis.ic_weights if analysis is not None else None
+        bm25_k = pool_k * (
+            C.POLAR_QUERY_BM25_POOL_MULTIPLIER if n_qvecs > 1 else 1
+        )
+        # Graph-driven cue expansion (mod.rs:2760-3330): strongest 1-hop
+        # bridge entities of the seeds join the BM25 query as weighted
+        # extra terms. Measured with the hash embedder: WASH on the
+        # held-out full suite (r@10 0.5636 on vs 0.5645 off; p@1 +0.2pp
+        # on), slightly negative on the gate — default OFF until a
+        # trained embedder makes bridges semantic. SHODH_GRAPH_CUE_EXPANSION=1
+        # enables.
+        bm25_query = query.query_text
+        if (
+            seeds
+            and self.graph is not None
+            and os.environ.get("SHODH_GRAPH_CUE_EXPANSION", "0") == "1"
+        ):
+            bridges = self.graph.bridge_cues(seeds, now=now)
+            if bridges:
+                from shodh_tpu.retrieval.bm25 import tokenize as _bm_tok
+
+                bm25_query = query.query_text + " " + " ".join(bridges)
+                term_weights = dict(term_weights or {})
+                for b_name in bridges:
+                    for tok in _bm_tok(b_name):
+                        term_weights.setdefault(tok, C.GRAPH_CUE_TERM_WEIGHT)
+        # Semantic expansion (corpus-adaptive co-occurrence neighbors of
+        # the query stems join as low-weight extra terms — recovers
+        # paraphrase golds absent from both base legs; see
+        # models/semantic_model.py). Gated by the fitted model's
+        # presence + the "sem_expansion" boost family.
+        sem_model = getattr(self._base_embedder(), "_sem_model", None)
+        if (
+            sem_model is not None
+            and "sem_expansion" not in disabled
+            # Date-anchored queries already carry a hard prefilter; the
+            # extra terms only add noise there (measured: temporal r@10
+            # .75 -> .733 with expansion on date queries).
+            and (analysis is None or analysis.date_range is None)
+        ):
+            from shodh_tpu.models.hash_embedder import content_stems
+            from shodh_tpu.nlp.stemmer import stem as _stem_fn
+
+            expansions = sem_model.expansion_terms(
+                list(dict.fromkeys(content_stems(query.query_text))),
+                per_stem=C.SEM_EXPANSION_PER_STEM,
+                min_sim=C.SEM_EXPANSION_MIN_SIM,
+                max_terms=C.SEM_EXPANSION_MAX_TERMS,
+            )
+            # Only idempotent stems survive the query re-tokenization.
+            expansions = [(t, s) for t, s in expansions if _stem_fn(t) == t]
+            if expansions:
+                bm25_query = bm25_query + " " + " ".join(t for t, _ in expansions)
+                term_weights = dict(term_weights or {})
+                for t, sim in expansions:
+                    term_weights.setdefault(t, C.SEM_EXPANSION_TERM_WEIGHT * sim)
+        return bm25_query, term_weights, bm25_k
+
+    def _rank_pool(
+        self,
+        *,
+        query: Query,
+        k: int,
+        now: datetime,
+        t_start: float,
+        t_fusion_start: float,
+        timings: dict[str, float],
+        analysis,
+        disabled,
+        companion_gate: bool,
+        overrides,
+        fused: dict[str, float],
+        mem_scores: dict[str, float],
+        bm25_scores: dict[str, float],
+        graph_activation: dict[str, float],
+        temporal_ids: set[str],
+        bm25_query: Optional[str],
+        term_weights,
+        bm25_k: int,
+        diagnostics: bool,
+    ) -> RecallResult:
+        """Shared candidate-pool epilogue: PRF, boost stack, L5 scoring,
+        deterministic ranking. The staged host funnel calls this with its
+        leg-union pool; the fused device funnel calls it with the top pool
+        the device program proposed — so every quality feature downstream of
+        fusion applies identically on both paths (round-2 verdict item 1)."""
+        from shodh_tpu.harness import diagnostics as _diag
+
+        t0 = t_fusion_start
 
         # Pseudo-relevance feedback (RM3-lite, boost family "prf"): salient
         # stems of the top fused docs join a second BM25 pass, then the legs
@@ -1272,28 +1340,214 @@ class MemorySystem:
     def _device_funnel_recall(
         self, query: Query, k: int, now: datetime, t_start: float
     ) -> Optional[RecallResult]:
-        """One fused device program for L3->L5 (ops/device_recall.py) —
-        serving fast path behind SHODH_DEVICE_FUNNEL=1."""
+        """Reunified fused-funnel fast path behind SHODH_DEVICE_FUNNEL=1.
+
+        ONE device program (ops/device_recall.py fused_recall_pool) runs the
+        O(N) work — cosine over the whole corpus, FLAT fusion, L5 scoring,
+        boost-mirror selection — and proposes a deep candidate pool; the
+        host then runs the EXACT same epilogue as the staged funnel
+        (_rank_pool: PRF, boost stack, L5 re-score, companion, deterministic
+        ordering) over those few hundred candidates. The served ranking is
+        therefore quality-identical to the host funnel (round-2 verdict #1
+        — previously this path skipped the round-2 boost stack entirely),
+        while the per-row cost stays on device. Returns None whenever the
+        fused program can't reproduce host math (fusion-variant envs, A/B
+        scoring overrides, HBM spill) so the staged funnel serves instead.
+        """
         from shodh_tpu.engine.device_funnel import DeviceRecallEngine
+
+        # The program bakes FLAT calibrated-max fusion with vec_raw and
+        # vec_trust=1; any env/experiment that changes fusion math falls
+        # through to the staged funnel.
+        if (
+            os.environ.get("SHODH_FUSION_RRF", "") == "1"
+            or os.environ.get("SHODH_FLAT_ADAPTIVE", "") == "1"
+            or os.environ.get("SHODH_FLAT_VEC_RAW", "1") in ("0", "false")
+            or C.env_float("SHODH_FLAT_VEC_TRUST", 1.0) != 1.0
+        ):
+            return None
+        if self._active_scoring_assignment() is not None:
+            return None
 
         if self._device_funnel is None:
             self._device_funnel = DeviceRecallEngine(self)
+
+        timings: dict[str, float] = {}
+        analysis = None
+        if self.query_parser is not None and query.query_text:
+            analysis = self.query_parser.analyze(query.query_text, now=now)
+        timings["analyze_ms"] = (time.perf_counter() - t_start) * 1000
+        disabled = C.disabled_boosts()
+
+        companion_gate = False
+        pool_k = k * C.VECTOR_SEARCH_CANDIDATE_MULTIPLIER
+        if (
+            query.layers >= LayerMode.PLUS_RERANK
+            and analysis is not None
+            and analysis.multihop
+            and self.graph is not None
+        ):
+            from shodh_tpu.engine.companion import DEEP_POOL_MULTIPLIER
+
+            companion_gate = True
+            pool_k = k * DEEP_POOL_MULTIPLIER
+
+        temporal_ids: set[str] = set()
+        if (
+            "temporal_prefilter" not in disabled
+            and analysis is not None
+            and analysis.date_range is not None
+        ):
+            crit = SearchCriteria(date_range=analysis.date_range, limit=pool_k * 4)
+            temporal_ids = set(self.storage.search(crit))
+
+        # Embedding — identical prep to the staged funnel (temporal prefix,
+        # polar dual form)
+        t0 = time.perf_counter()
+        qtext = query.query_text
+        if analysis is not None and analysis.temporal_prefix:
+            qtext = analysis.temporal_prefix + " " + qtext
+        qvecs = [self.embedder.encode_query(qtext)]
+        if analysis is not None and analysis.negated_form:
+            qvecs.append(self.embedder.encode_query(analysis.negated_form))
+        timings["embed_ms"] = (time.perf_counter() - t0) * 1000
+
+        # Host-side sparse legs, same plans as the staged funnel
+        t0 = time.perf_counter()
+        seeds = analysis.focal_terms if analysis is not None else []
+        if query.ner_entities:
+            seeds = list(dict.fromkeys(list(seeds) + list(query.ner_entities)))
+        graph_activation: dict[str, float] = {}
+        if query.layers >= LayerMode.PLUS_SPREADING and self.graph is not None and seeds:
+            graph_activation = self.graph.spreading_activation(seeds, now=now)
+        timings["graph_ms"] = (time.perf_counter() - t0) * 1000
+
+        bm25_scores: dict[str, float] = {}
+        bm25_query: Optional[str] = None
+        term_weights = None
+        bm25_k = pool_k
+        if self.bm25 is not None:
+            t0 = time.perf_counter()
+            bm25_query, term_weights, bm25_k = self._plan_bm25_query(
+                query, analysis, seeds, pool_k, len(qvecs), disabled, now
+            )
+            bm25_scores = dict(
+                self.bm25.search(bm25_query, limit=bm25_k, term_weights=term_weights)
+            )
+            timings["bm25_ms"] = (time.perf_counter() - t0) * 1000
+
+        # Query-side boost features (mirror of the _rank_pool candidate
+        # boosts — in-program they only steer pool SELECTION)
+        ql = (query.query_text or "").lower().lstrip()
+        recency_scale = query.recency_weight
+        if (
+            recency_scale is None
+            and analysis is not None
+            and analysis.is_temporal_seeking
+            and "seek_recency_mute" not in disabled
+        ):
+            recency_scale = C.TEMPORAL_SEEK_RECENCY_SCALE
+        if recency_scale is None:
+            recency_scale = C.RECENCY_BOOST_SCALE
+        tmatch_boost = 0.0
+        if analysis is not None and analysis.date_range is not None:
+            lo, hi = analysis.date_range
+            span_days = max((hi - lo).total_seconds() / 86400.0, 0.01)
+            if span_days <= 2:
+                tmatch_boost = C.TEMPORAL_MATCH_BOOST_EXACT
+            elif span_days <= 8:
+                tmatch_boost = C.TEMPORAL_MATCH_BOOST_WEEK
+            else:
+                tmatch_boost = C.TEMPORAL_MATCH_BOOST_MONTH
+
+        density = self.graph.edge_density() if self.graph is not None else 0.0
+
+        # Pool size: 4x the host pool (power-of-two bucketed for stable jit
+        # shapes) so bounded epilogue boosts can't promote a row the device
+        # selection dropped.
+        pool_size = 1 << (max(256, 4 * pool_k) - 1).bit_length()
+
+        t0 = time.perf_counter()
         try:
-            hits = self._device_funnel.recall(query.query_text, k=k, now=now)
+            pool = self._device_funnel.recall_pool(
+                qvecs,
+                bm25_scores,
+                graph_activation,
+                q_entities=(
+                    list(analysis.entities)
+                    if analysis is not None and "speaker_match" not in disabled
+                    and C.SPEAKER_MATCH_BOOST > 0.0
+                    else []
+                ),
+                seek_temporal=bool(
+                    analysis is not None
+                    and analysis.is_temporal_seeking
+                    and "seek_temporal_refs" not in disabled
+                    and C.SEEK_TEMPORAL_REFS_BOOST > 0.0
+                ),
+                where_question=bool(
+                    ql.startswith("where ")
+                    and "answer_type" not in disabled
+                    and C.ANSWER_TYPE_BOOST > 0.0
+                ),
+                causal_question=bool(
+                    ql.startswith(("why ", "how does", "how did"))
+                    and "answer_type" not in disabled
+                    and C.ANSWER_TYPE_BOOST > 0.0
+                ),
+                date_range=(analysis.date_range if analysis is not None else None),
+                tmatch_boost=tmatch_boost,
+                recency_scale=float(recency_scale),
+                density=density,
+                pool_size=pool_size,
+                # host vec-leg admission cut: index.search(k=vec_k*2) rows
+                vec_k=2
+                * pool_k
+                * (C.POLAR_QUERY_VECTOR_POOL_MULTIPLIER if len(qvecs) > 1 else 1),
+                now=now,
+            )
         except Exception:  # noqa: BLE001 — fast path must never break recall
             return None
-        out: list[ScoredMemory] = []
-        for mid, score in hits:
-            mem = self.working.get(mid) or self.session.get(mid) or self.storage.get(mid)
-            if mem is None:
-                continue
-            out.append(ScoredMemory(memory=mem, score=score, attribution={"device_funnel": 1.0}))
-        if not C.recall_readonly():
-            self._record_usage(out, now)
-        return RecallResult(
-            memories=out,
-            stage_timings_ms={"total_ms": (time.perf_counter() - t_start) * 1000},
+        if pool is None:
+            return None
+        timings["device_pool_ms"] = (time.perf_counter() - t0) * 1000
+
+        fused = {mid: f for mid, f, _ in pool}
+        mem_scores = {mid: c for mid, _, c in pool if c is not None}
+
+        from shodh_tpu.harness import diagnostics as _diag
+
+        if _diag.is_armed():
+            _diag.observe_stage(
+                "vector",
+                [m for m, _ in sorted(mem_scores.items(), key=lambda kv: (-kv[1], kv[0]))],
+            )
+
+        t_fusion = time.perf_counter()
+        result = self._rank_pool(
+            query=query,
+            k=k,
+            now=now,
+            t_start=t_start,
+            t_fusion_start=t_fusion,
+            timings=timings,
+            analysis=analysis,
+            disabled=disabled,
+            companion_gate=companion_gate,
+            overrides=None,
+            fused=fused,
+            mem_scores=mem_scores,
+            bm25_scores=bm25_scores,
+            graph_activation=graph_activation,
+            temporal_ids=temporal_ids,
+            bm25_query=bm25_query,
+            term_weights=term_weights,
+            bm25_k=bm25_k,
+            diagnostics=False,
         )
+        for sm in result.memories:
+            sm.attribution["device_funnel"] = 1.0
+        return result
 
     def _index_retrieve(self, query: Query, now: datetime) -> RecallResult:
         """Non-semantic retrieval: robotics modes + filter-only queries

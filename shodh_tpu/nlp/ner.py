@@ -124,6 +124,66 @@ class RuleBasedExtractor:
         return "concept", 0.5
 
 
+def maybe_load_distilled(ner: "NeuralNer") -> bool:
+    """Plug the distilled GLiNER-teacher tagger (nlp/distilled_ner.py).
+
+    Default ON when the trained artifact ships (SHODH_DISTILLED_NER=0
+    disables): held-out typed-span F1 0.83 vs 0.03 for the rules
+    (tools/ner_eval.py), so it is strictly the better extractor for the
+    facade's contract. MISC spans that are bare pronouns/stopwords are
+    dropped before they can become graph entities.
+    """
+    import os
+
+    if os.environ.get("SHODH_DISTILLED_NER", "1") in ("0", "false"):
+        return False
+    from shodh_tpu.nlp import distilled_ner
+
+    if not distilled_ner.available():
+        return False
+    typer = distilled_ner.load_default()
+    rules = RuleBasedExtractor()
+
+    def fn(text: str) -> list[EntityMention]:
+        spans = [
+            s
+            for s in typer.extract(text)
+            if not (
+                s.type == "MISC"
+                and (
+                    s.text.lower() in STOPWORDS
+                    or s.text.lower() in distilled_ner.GENERIC_MISC
+                )
+            )
+        ]
+        out = distilled_ner.spans_to_mentions(spans)
+        # Rule-extractor union: the tagger is distilled from dialogue-domain
+        # teacher output and can miss out-of-domain capitalized entities
+        # ("Alice deployed..." with no speaker colon); non-overlapping
+        # capitalized rule spans keep the facade's never-miss-a-name
+        # robustness (ner.rs degradation contract in spirit).
+        taken = [(s.start, s.end) for s in spans]
+        covered = {m.text.lower() for m in out}
+        # concept-labeled rule spans (the rules' catch-all for bare names)
+        # join only when the tagger found no person at all — the measured
+        # no-cost robustness point (fixture F1 .825 vs .827 without, but
+        # "Alice deployed X" out-of-domain shapes keep their entities)
+        has_per = any(s.type == "PER" for s in spans)
+        for m in rules.extract(text):
+            if m.label == "concept" and has_per:
+                continue
+            me = m.start + len(m.text)
+            if m.text.lower() in covered:
+                continue
+            if any(a < me and m.start < b for a, b in taken):
+                continue
+            out.append(m)
+        return out
+
+    ner.set_model(fn)
+    return True
+
+
 def maybe_load_gliner(ner: "NeuralNer") -> bool:
     """Plug the GLiNER-shape span typer when a checkpoint is configured.
 
@@ -164,7 +224,10 @@ class NeuralNer:
         self._model: Optional[Callable[[str], list[EntityMention]]] = None
         self._model_failed = False
         try:
-            maybe_load_gliner(self)
+            # GLiNER checkpoint wins when configured; the distilled
+            # teacher-output tagger is the shipping default behind it.
+            if not maybe_load_gliner(self):
+                maybe_load_distilled(self)
         except Exception:
             pass  # a broken checkpoint must never take down the engine
 

@@ -93,6 +93,131 @@ def fused_recall(
     return vals, rows
 
 
+@partial(jax.jit, static_argnames=("k", "vec_k"))
+def fused_recall_pool(
+    queries,  # (Q, D) f32 L2-normalized — positive + negated polar form
+    #           (duplicate the positive query when there is no negated form)
+    corpus,  # (N, D) f32 or int8
+    scales,  # (N,) f32 dequant scales (ones for f32)
+    valid,  # (N,) f32 {0,1}
+    bm25,  # (N,) f32 raw BM25 scores (0 where absent)
+    graph_activation,  # (N,) f32 in [0,1] (0 where absent)
+    importance,  # (N,) f32
+    hours_old,  # (N,) f32
+    arousal,  # (N,) f32
+    credibility,  # (N,) f32
+    momentum,  # (N,) f32 in [-1,1]
+    tag_penalty,  # (N,) f32
+    graph_density,  # scalar f32 (edges/entity)
+    speaker_hash,  # (N,) i32 — crc32 of the utterance speaker prefix, 0=none
+    row_flags,  # (N, 3) f32 — [has temporal_refs, has toponyms, has causal marker]
+    q_ent_hashes,  # (E,) i32 — crc32 of query entities, pad -1
+    q_flags,  # (4,) f32 — [is_temporal_seeking, where-question, causal-question, date_on]
+    q_age_range,  # (2,) f32 — date window as [min_age_h, max_age_h] bounds on hours_old
+    q_scalars,  # (3,) f32 — [temporal_match boost value, recency scale, flat consensus]
+    k: int,
+    vec_k: int,  # host vec-leg truncation: only the top vec_k rows per query
+    #             enter the vector leg (index.search semantics — the cut is a
+    #             measured noise filter; giving every row its true cosine
+    #             ranked WORSE on locomo-gate: p@1 .32 vs .35)
+):
+    """Pool proposal for the reunified device funnel (round-2 verdict #1).
+
+    Same L4 fusion + L5 scoring as :func:`fused_recall`, PLUS the round-2
+    candidate boost stack mirrored per-row (speaker match mod.rs:3396-4730
+    analog, temporal_refs presence, answer-type signals, temporal-prefilter
+    window + temporal_match recency semantics) so pool SELECTION can't miss
+    a boost-rescued gold. Returns
+
+        (final (k,), rows (k,), fused (k,), cos (k,))
+
+    where ``fused`` is the PRE-boost L4 value and ``cos`` the raw cosine —
+    the host epilogue (memory_system._rank_pool) re-applies the exact boost
+    stack and L5 scoring on the pool, so the served ranking is identical to
+    the staged host funnel's; the device score only decides membership.
+    """
+    consensus = q_scalars[2]
+    rscale = q_scalars[1]
+
+    # L3 vector leg: union of positive+negated embeddings keeping best,
+    # with the host funnel's per-query top-vec_k admission cut (rows below
+    # a query's vec_k-th cosine do not enter that query's vector leg)
+    raw = jax.lax.dot_general(
+        queries, corpus,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (Q, N)
+    cos_q = raw * scales[None, :]  # (Q, N) dequantized cosines
+    masked_q = cos_q * valid[None, :] + (1.0 - valid[None, :]) * NEG_INF
+    thr = jax.lax.top_k(masked_q, min(vec_k, corpus.shape[0]))[0][:, -1]  # (Q,)
+    admitted_q = jnp.where(masked_q >= thr[:, None], cos_q, NEG_INF)
+    cos_adm = jnp.max(admitted_q, axis=0)  # (N,) NEG_INF where not admitted
+    cos = jnp.where(cos_adm > NEG_INF * 0.5, cos_adm, 0.0)
+
+    # L4 FLAT fusion (fusion.py flat_fuse, vec_raw form, vec_trust=1)
+    graph_on = jnp.any(graph_activation > 0)
+    graph_w = jnp.where(
+        graph_on,
+        jnp.clip(
+            C.DENSITY_GRAPH_WEIGHT_MAX
+            + (graph_density - C.DENSITY_THRESHOLD_MIN)
+            / (C.DENSITY_THRESHOLD_MAX - C.DENSITY_THRESHOLD_MIN)
+            * (C.DENSITY_GRAPH_WEIGHT_MIN - C.DENSITY_GRAPH_WEIGHT_MAX),
+            C.DENSITY_GRAPH_WEIGHT_MIN,
+            C.DENSITY_GRAPH_WEIGHT_MAX,
+        ),
+        0.0,
+    )
+    hybrid_w = 1.0 - graph_w
+    max_bm = jnp.maximum(jnp.max(bm25), 1e-6)
+    vn = jnp.clip(cos, 0.0, 1.0)
+    bn = jnp.clip(bm25 / max_bm, 0.0, 1.0)
+    hi = jnp.maximum(vn, bn)
+    lo = jnp.minimum(vn, bn)
+    fused = hybrid_w * (hi + consensus * lo)
+    max_act = jnp.maximum(jnp.max(graph_activation), 1e-6)
+    fused = fused + graph_w * jnp.clip(graph_activation / max_act, 0.0, 1.0)
+    fused = fused * (1.0 + graph_w * C.ACTIVATION_BONUS_SCALE * jnp.clip(graph_activation, 0.0, 1.0))
+
+    # Round-2 boost stack, selection-score arm (host re-applies exactly):
+    spk_match = jnp.logical_and(
+        speaker_hash > 0,
+        jnp.any(speaker_hash[:, None] == q_ent_hashes[None, :], axis=1),
+    ).astype(jnp.float32)
+    boosted = fused * (1.0 + C.SPEAKER_MATCH_BOOST * spk_match)
+    boosted = boosted * (1.0 + C.SEEK_TEMPORAL_REFS_BOOST * q_flags[0] * row_flags[:, 0])
+    boosted = boosted * (
+        1.0 + C.ANSWER_TYPE_BOOST * (q_flags[1] * row_flags[:, 1] + q_flags[2] * row_flags[:, 2])
+    )
+    in_window = jnp.logical_and(
+        hours_old >= q_age_range[0], hours_old <= q_age_range[1]
+    ).astype(jnp.float32) * q_flags[3]
+    boosted = boosted * (1.0 + C.TEMPORAL_PREFILTER_BOOST * in_window)
+
+    # L5 unified scoring (engine/scoring.py unified_score incl. the
+    # temporal_match additive term and the seek-recency scale)
+    recency = jnp.exp(-C.RECENCY_DECAY_RATE * hours_old) * rscale
+    arousal_f = arousal * C.AROUSAL_BOOST_SCALE
+    cred_f = jnp.maximum(credibility - 0.5, 0.0) * C.CREDIBILITY_BOOST_SCALE
+    tmatch = in_window * q_scalars[0]
+    boosts = jnp.minimum(C.SCORING_BOOST_CAP, 1.0 + recency + arousal_f + cred_f + tmatch)
+    imp = C.SCORING_IMPORTANCE_FLOOR + importance * C.SCORING_IMPORTANCE_RANGE
+    mom = jnp.clip(
+        momentum * C.FEEDBACK_MOMENTUM_SCALE,
+        -C.FEEDBACK_MOMENTUM_SCALE,
+        C.FEEDBACK_MOMENTUM_SCALE,
+    )
+    final = boosted * imp * boosts * (1.0 + mom) * tag_penalty
+
+    final = final * valid + (1.0 - valid) * NEG_INF
+    vals, rows = jax.lax.top_k(final, k)
+    # cos_adm carries NEG_INF for rows outside the vector-leg admission cut
+    # so the host epilogue can reconstruct mem_scores with host-identical
+    # membership (PRF re-fusion reads it)
+    return vals, rows, fused[rows], cos_adm[rows]
+
+
 # Working-set sweet spot for the batched funnel, measured at 1M x 384 on
 # v5e: B=32 runs 5.5 ms/batch (5.8k QPS) while one flat B=256 program takes
 # 90 ms (2.8k QPS) — the (B, N) scatter planes + top_k blow past the

@@ -57,35 +57,94 @@ class ShardedVectorIndex:
         mesh: Mesh,
         axis: str = "shard",
         dtype: str = "float32",
+        spare_capacity: int = 0,
     ):
         vectors = np.asarray(vectors, np.float32)
         self.mesh = mesh
         self.axis = axis
+        self.dtype = dtype
         n_shards = mesh.shape[axis]
         n, d = vectors.shape
-        # Pad N to a multiple of the shard count
-        padded_n = ((n + n_shards - 1) // n_shards) * n_shards
+        # Pad N (+ delta-append headroom) to a multiple of the shard count.
+        # Row layout is BLOCK-partitioned (global row = shard * rows_per_shard
+        # + local), so ascending-shard/ascending-local merge order IS
+        # ascending global row order — equal-score ties therefore break on
+        # the lowest global row exactly like the single-chip lax.top_k,
+        # regardless of which shard holds which tied row.
+        padded_n = ((n + spare_capacity + n_shards - 1) // n_shards) * n_shards
         self.n = n
         self.dim = d
         self.n_shards = n_shards
+        self.capacity = padded_n
+        self._deleted = 0
         valid = np.zeros(padded_n, np.float32)
         valid[:n] = 1.0
         buf = np.zeros((padded_n, d), np.float32)
         buf[:n] = vectors
-        if dtype == "int8":
-            from shodh_tpu.index.device_index import _quantize_int8_np
-
-            q, s = _quantize_int8_np(buf)
-            corpus_np, scales_np = q, s
-        else:
-            corpus_np, scales_np = buf, np.ones(padded_n, np.float32)
-        row_sharding = NamedSharding(mesh, P(axis))
-        scalar_sharding = NamedSharding(mesh, P(axis))
-        self._corpus = jax.device_put(corpus_np, row_sharding)
-        self._scales = jax.device_put(scales_np, scalar_sharding)
-        self._valid = jax.device_put(valid, scalar_sharding)
+        self._host_vectors = buf  # canonical f32 copy for delta/compaction
+        self._host_valid = valid
+        self._upload(buf, valid)
         self._search_fn = None
         self._search_k = None
+
+    def _upload(self, buf: np.ndarray, valid: np.ndarray) -> None:
+        if self.dtype == "int8":
+            from shodh_tpu.index.device_index import _quantize_int8_np
+
+            corpus_np, scales_np = _quantize_int8_np(buf)
+        else:
+            corpus_np, scales_np = buf, np.ones(len(buf), np.float32)
+        row_sharding = NamedSharding(self.mesh, P(self.axis))
+        self._corpus = jax.device_put(corpus_np, row_sharding)
+        self._scales = jax.device_put(scales_np, row_sharding)
+        self._valid = jax.device_put(valid, row_sharding)
+
+    # -- mutation (config 5 scale-out lifecycle: delta append, soft delete,
+    # -- compaction; mirrors index/device_index.py single-chip semantics) --
+
+    def add(self, vectors: np.ndarray) -> list[int]:
+        """Delta append into spare capacity; returns assigned global rows.
+        Grows capacity (with re-shard) when headroom runs out."""
+        vectors = np.atleast_2d(np.asarray(vectors, np.float32))
+        count = len(vectors)
+        if self.n + count > self.capacity:
+            grow = max(self.capacity, self.n + count)
+            padded = ((grow + self.n_shards - 1) // self.n_shards) * self.n_shards
+            buf = np.zeros((padded, self.dim), np.float32)
+            buf[: len(self._host_vectors)] = self._host_vectors
+            valid = np.zeros(padded, np.float32)
+            valid[: len(self._host_valid)] = self._host_valid
+            self._host_vectors, self._host_valid = buf, valid
+            self.capacity = padded
+        rows = list(range(self.n, self.n + count))
+        self._host_vectors[self.n : self.n + count] = vectors
+        self._host_valid[self.n : self.n + count] = 1.0
+        self.n += count
+        self._upload(self._host_vectors, self._host_valid)
+        return rows
+
+    def delete(self, rows: list[int]) -> None:
+        """Soft delete: rows stop matching immediately; space reclaims at
+        compaction."""
+        for r in rows:
+            if 0 <= r < self.n and self._host_valid[r] > 0:
+                self._host_valid[r] = 0.0
+                self._deleted += 1
+        self._upload(self._host_vectors, self._host_valid)
+
+    def compact(self) -> dict[int, int]:
+        """Drop soft-deleted rows and repack; returns old->new row map."""
+        live = np.nonzero(self._host_valid[: self.n] > 0)[0]
+        mapping = {int(old): new for new, old in enumerate(live)}
+        vectors = self._host_vectors[live]
+        self.__init__(
+            vectors, self.mesh, axis=self.axis, dtype=self.dtype,
+            spare_capacity=self.capacity - len(live),
+        )
+        return mapping
+
+    def __len__(self) -> int:
+        return self.n - self._deleted
 
     def _build_search(self, k: int):
         axis = self.axis

@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from shodh_tpu.index.ivf import IVFIndex
 from shodh_tpu.index.kmeans import kmeans
@@ -126,6 +127,86 @@ class TestShardedIndex:
         sharded = ShardedVectorIndex(v, mesh, dtype="int8")
         _, rows = sharded.search(v[:3], k=1)
         np.testing.assert_array_equal(rows[:, 0], np.arange(3))
+
+    def test_cross_shard_tie_determinism(self):
+        """Equal-score rows in DIFFERENT shards must break ties exactly like
+        the single-chip index: lowest global row wins (round-2 verdict #8 —
+        mesh merges are exactly where tie discipline breaks)."""
+        rng = np.random.default_rng(4)
+        d = 32
+        base = rng.standard_normal((64, d)).astype(np.float32)
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        # duplicate one vector into rows scattered across many shards
+        dup = base[5].copy()
+        for r in (13, 21, 37, 55, 62):  # 8 shards x 8 rows: shards 1,2,4,6,7
+            base[r] = dup
+        mesh = make_mesh(8)
+        sharded = ShardedVectorIndex(base, mesh)
+        vals, rows = sharded.search(dup[None, :], k=6)
+        # the 6 tied copies must come back in ascending global row order
+        tied = [5, 13, 21, 37, 55, 62]
+        np.testing.assert_array_equal(rows[0], tied)
+        # and identically to the single-chip reference
+        ref = jax.lax.top_k(jnp.asarray(base @ dup), 6)[1]
+        np.testing.assert_array_equal(rows[0], np.asarray(ref))
+
+    def test_sharded_ingest_delete_compact(self):
+        rng = np.random.default_rng(7)
+        d = 16
+        v = rng.standard_normal((20, d)).astype(np.float32)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        mesh = make_mesh(8)
+        idx = ShardedVectorIndex(v, mesh, spare_capacity=8)
+        assert len(idx) == 20
+        # delta append lands in spare capacity with stable global rows
+        extra = rng.standard_normal((3, d)).astype(np.float32)
+        extra /= np.linalg.norm(extra, axis=1, keepdims=True)
+        new_rows = idx.add(extra)
+        assert new_rows == [20, 21, 22]
+        _, rows = idx.search(extra, k=1)
+        np.testing.assert_array_equal(rows[:, 0], new_rows)
+        # soft delete: the row stops matching immediately
+        idx.delete([21])
+        assert len(idx) == 22
+        _, rows = idx.search(extra[1][None, :], k=1)
+        assert rows[0, 0] != 21
+        # append past capacity grows the mesh allocation
+        more = rng.standard_normal((40, d)).astype(np.float32)
+        more /= np.linalg.norm(more, axis=1, keepdims=True)
+        grown = idx.add(more)
+        assert grown[0] == 23 and idx.capacity % 8 == 0
+        _, rows = idx.search(more[:2], k=1)
+        np.testing.assert_array_equal(rows[:, 0], grown[:2])
+        # compaction drops the deleted row and remaps survivors
+        mapping = idx.compact()
+        assert 21 not in mapping and mapping[22] == 21
+        assert len(idx) == 62
+        _, rows = idx.search(extra[2][None, :], k=1)
+        assert rows[0, 0] == mapping[22]
+
+    def test_sharded_eval_suite_parity(self):
+        """Mini retrieval suite through the mesh index: every query's full
+        ranking must equal the single-chip reference ranking (the 8-device
+        eval the round-2 verdict asked for, in miniature)."""
+        rng = np.random.default_rng(11)
+        d, n, q, k = 48, 160, 24, 10
+        corpus = rng.standard_normal((n, d)).astype(np.float32)
+        corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+        queries = corpus[rng.integers(0, n, q)] + 0.05 * rng.standard_normal(
+            (q, d)
+        ).astype(np.float32)
+        queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+        mesh = make_mesh(8)
+        sharded = ShardedVectorIndex(corpus, mesh)
+        vals, rows = sharded.search(queries, k=k)
+        ref = queries @ corpus.T
+        agree = 0
+        for b in range(q):
+            want_v, want_r = jax.lax.top_k(jnp.asarray(ref[b]), k)
+            np.testing.assert_array_equal(rows[b], np.asarray(want_r))
+            np.testing.assert_allclose(vals[b], np.asarray(want_v), rtol=1e-4)
+            agree += 1
+        assert agree == q
 
 
 class TestIVFPersistence:

@@ -181,6 +181,89 @@ class TestDeviceFunnelFastPath:
         sys_.close()
 
 
+class TestReunifiedFunnelParity:
+    """Round-2 verdict #1: SHODH_DEVICE_FUNNEL=1 must serve the SAME
+    ranking as the staged host funnel — the device program proposes the
+    pool, the shared _rank_pool epilogue applies the full round-2 boost
+    stack (speaker match, temporal refs, answer type, PRF, temporal
+    neighborhood, companion) identically on both paths."""
+
+    @staticmethod
+    def _build_corpus(sys_):
+        from datetime import datetime, timedelta, timezone
+
+        from shodh_tpu.types import Experience
+
+        base = datetime(2023, 5, 10, 9, 0, tzinfo=timezone.utc)
+        rows = [
+            # dialogue turns with speakers + tags (speaker/neighborhood boosts)
+            ("Melanie: I went pottery painting with my kids last weekend", ["conv-1"], 0),
+            ("Caroline: That sounds lovely, I adopted a rescue dog named Biscuit", ["conv-1"], 1),
+            ("Melanie: We painted mugs and my daughter made a tiny vase", ["conv-1"], 2),
+            ("Caroline: Biscuit chewed through my running shoes because he was anxious", ["conv-1"], 26),
+            # temporal_refs-bearing answers (seek_temporal_refs boost)
+            ("The deployment finished on March 3rd 2023 after the freeze lifted", ["ops"], 50),
+            ("We migrated the database last Tuesday evening", ["ops"], 51),
+            # toponym answers (answer_type where-boost)
+            ("The offsite happened in Lisbon near the waterfront", ["travel"], 80),
+            ("Flights booked through Porto with a layover", ["travel"], 81),
+            # causal answers (answer_type why-boost)
+            ("The cache blew up because the eviction policy ignored TTLs", ["incident"], 100),
+            ("Latency dropped since we enabled request coalescing", ["incident"], 101),
+        ] + [(f"filler standup note {i} about sprint {i % 7}", ["standup"], 200 + i) for i in range(30)]
+        for content, tags, hours in rows:
+            sys_.remember(
+                Experience(content=content, tags=tags),
+                created_at=base + timedelta(hours=hours),
+            )
+        sys_.flush()
+
+    def test_ranking_matches_host_across_query_shapes(self, tmp_path, monkeypatch):
+        from shodh_tpu.engine.memory_system import MemorySystem
+        from shodh_tpu.types import Query
+
+        monkeypatch.setenv("SHODH_EVAL_NOW", "2023-06-01T12:00:00+00:00")
+        # Readonly recalls: usage/coactivation writes would otherwise mutate
+        # graph state between the two runs and mask true path parity.
+        monkeypatch.setenv("SHODH_RECALL_READONLY", "1")
+        sys_ = MemorySystem(tmp_path / "par")
+        self._build_corpus(sys_)
+
+        queries = [
+            "What did Melanie paint with her kids?",          # speaker match
+            "When did the deployment finish?",                # temporal seeking
+            "where was the offsite held?",                    # answer-type where
+            "why did the cache blow up?",                     # answer-type causal + PRF
+            "Did Caroline adopt a dog?",                      # polar (negated form)
+            "What did Melanie and Caroline both do outdoors?",  # multihop/companion
+            "pottery painting mugs",                          # plain lexical
+        ]
+        for qt in queries:
+            monkeypatch.delenv("SHODH_DEVICE_FUNNEL", raising=False)
+            host = sys_.recall(Query(query_text=qt, max_results=8))
+            monkeypatch.setenv("SHODH_DEVICE_FUNNEL", "1")
+            fast = sys_.recall(Query(query_text=qt, max_results=8))
+            assert fast.ids == host.ids, f"ranking drift for {qt!r}"
+            assert fast.memories and fast.memories[0].attribution.get("device_funnel") == 1.0
+            for a, b in zip(fast.memories, host.memories):
+                np.testing.assert_allclose(a.score, b.score, rtol=5e-5)
+        sys_.close()
+
+    def test_fusion_variant_envs_fall_through(self, tmp_path, monkeypatch):
+        from shodh_tpu.engine.memory_system import MemorySystem
+        from shodh_tpu.types import Experience, Query
+
+        sys_ = MemorySystem(tmp_path / "var")
+        sys_.remember(Experience(content="alpha migration plan drafted"))
+        sys_.remember(Experience(content="beta rollout scheduled"))
+        monkeypatch.setenv("SHODH_DEVICE_FUNNEL", "1")
+        monkeypatch.setenv("SHODH_FUSION_RRF", "1")
+        res = sys_.recall(Query(query_text="migration plan", max_results=2))
+        # RRF fusion isn't modeled by the fused program -> host funnel served
+        assert all(sm.attribution.get("device_funnel") is None for sm in res.memories)
+        sys_.close()
+
+
 class TestBatchedFunnel:
     """fused_recall_batch: the (B, k) serving configuration must agree with
     the single-query program per row (round-2; VERDICT item 8)."""

@@ -1,0 +1,77 @@
+"""Distilled NER: artifact loads, extraction quality, facade wiring.
+
+The tagger is distilled from the reference's GLiNER output fixture
+(7,400 annotated LoCoMo texts); training is tools/train_ner.py, the
+held-out measurement lives in tools/ner_eval.py / BENCHMARKS.md. These
+tests pin the runtime contract, not the training numbers.
+"""
+
+import pytest
+
+from shodh_tpu.nlp import distilled_ner
+from shodh_tpu.nlp.ner import NeuralNer
+
+
+@pytest.fixture(scope="module")
+def typer():
+    if not distilled_ner.available():
+        pytest.skip("distilled artifact not built")
+    return distilled_ner.load_default()
+
+
+class TestDistilledTagger:
+    def test_dialogue_speakers_are_people(self, typer):
+        spans = typer.extract("Melanie: I went pottery painting with my kids")
+        by_type = {s.type: s.text for s in spans}
+        assert by_type.get("PER") == "Melanie"
+
+    def test_mid_sentence_names(self, typer):
+        spans = typer.extract("According to Evan, what matters to Sam is consistency")
+        pers = sorted(s.text for s in spans if s.type == "PER")
+        assert pers == ["Evan", "Sam"]
+
+    def test_offsets_slice_source_text(self, typer):
+        text = "Caroline: We hiked near Lake Tahoe with Joanna last June"
+        for s in typer.extract(text):
+            assert text[s.start : s.end] == s.text
+
+    def test_deterministic(self, typer):
+        text = "John: Capturing that view in Yosemite was amazing"
+        a = [(s.text, s.type, s.start) for s in typer.extract(text)]
+        b = [(s.text, s.type, s.start) for s in typer.extract(text)]
+        assert a == b
+
+    def test_empty_and_degenerate_inputs(self, typer):
+        assert typer.extract("") == []
+        assert typer.extract("   ") == []
+        typer.extract("?!?!")  # must not raise
+
+
+class TestFacadeWiring:
+    def test_facade_uses_distilled_by_default(self):
+        ner = NeuralNer()
+        assert not ner.degraded  # distilled model plugged
+        out = ner.extract("Melanie: I adopted a rescue dog named Biscuit")
+        labels = {m.text: m.label for m in out}
+        assert labels.get("Melanie") == "person"
+
+    def test_env_kill_switch(self, monkeypatch):
+        monkeypatch.setenv("SHODH_DISTILLED_NER", "0")
+        ner = NeuralNer()
+        assert ner.degraded  # rules only
+
+    def test_rule_union_out_of_domain(self):
+        """Dialogue-distilled tagger + rule union must keep entities for
+        out-of-domain shapes (no speaker colon, unseen names)."""
+        ner = NeuralNer()
+        out = {m.text.lower() for m in ner.extract(
+            "Alice deployed the RocksDB migration for Acme Corp."
+        )}
+        assert any("alice" in t for t in out)
+
+    def test_pronoun_misc_spans_filtered(self):
+        ner = NeuralNer()
+        out = {m.text.lower() for m in ner.extract(
+            "Caroline: I told them that people should stretch before running"
+        )}
+        assert "them" not in out and "people" not in out

@@ -140,6 +140,10 @@ class TestFacade:
 
     def test_absent_dir_stays_rules(self, monkeypatch):
         monkeypatch.setenv("SHODH_GLINER_DIR", "/nonexistent/gliner")
+        # distilled tagger off too: this test pins the rules-only
+        # degradation floor (the distilled default path is covered in
+        # test_distilled_ner.py)
+        monkeypatch.setenv("SHODH_DISTILLED_NER", "0")
         from shodh_tpu.nlp.ner import NeuralNer
 
         ner = NeuralNer()

@@ -246,6 +246,11 @@ class TestPRF:
         system = self._system(tmp_path, monkeypatch)
         from shodh_tpu.types import Query
 
+        # Readonly recalls: with the distilled NER populating real graph
+        # entities, recalled-together coactivation (Hebbian, by design)
+        # would otherwise strengthen edges between the two calls — the
+        # determinism contract is defined under the harness readonly flag.
+        monkeypatch.setenv("SHODH_RECALL_READONLY", "1")
         q = Query(query_text="why was the festival screening so popular", max_results=5)
         r1 = system.recall(q)
         r2 = system.recall(q)
