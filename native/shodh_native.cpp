@@ -229,20 +229,39 @@ static std::vector<std::string> tokenize(const char* text) {
 struct Bm25Index {
     std::unordered_map<std::string, std::unordered_map<uint64_t, float>> postings;
     std::unordered_map<uint64_t, float> doc_len;
+    std::unordered_map<uint64_t, uint8_t> doc_class;  // per-doc param class
     double total_len = 0.0;
     std::mutex mu;
 };
 
-// Okapi parameters: overridable at runtime (shodh_bm25_set_params) so the
-// host-side sweeps and the native fast path always score identically.
-static float K1 = 1.2f;
-static float B = 0.75f;
+// Okapi parameters, per document PARAM CLASS: the k1/b optimum is domain-
+// dependent (dialogue turns peak at 0.6/0.3, prose notes at Okapi
+// 1.2/0.75 — round-3 scoping of the round-2 global retune), so each doc
+// carries a class and scores under its own curve. Class 0 is the default
+// for docs never assigned one; shodh_bm25_set_params keeps its original
+// meaning (sets class 0) for back-compat with older callers.
+static const int MAX_CLASSES = 4;
+static float K1C[MAX_CLASSES] = {1.2f, 1.2f, 1.2f, 1.2f};
+static float BC[MAX_CLASSES] = {0.75f, 0.75f, 0.75f, 0.75f};
 
 extern "C" {
 
 void shodh_bm25_set_params(float k1, float b) {
-    K1 = k1;
-    B = b;
+    K1C[0] = k1;
+    BC[0] = b;
+}
+
+void shodh_bm25_set_class_params(int cls, float k1, float b) {
+    if (cls < 0 || cls >= MAX_CLASSES) return;
+    K1C[cls] = k1;
+    BC[cls] = b;
+}
+
+void shodh_bm25_set_doc_class(void* h, uint64_t doc, int cls) {
+    auto* idx = static_cast<Bm25Index*>(h);
+    std::lock_guard<std::mutex> lk(idx->mu);
+    if (cls <= 0) idx->doc_class.erase(doc);
+    else idx->doc_class[doc] = (uint8_t)cls;
 }
 
 void* shodh_bm25_new() { return new Bm25Index(); }
@@ -351,7 +370,10 @@ int shodh_bm25_search(void* h, const char* query, const char* term_weights,
         if (wit != weights.end()) w = wit->second;
         for (auto& [doc, tf] : pit->second) {
             float dl = idx->doc_len[doc];
-            float tf_norm = (tf * (K1 + 1.0f)) / (tf + K1 * (1.0f - B + B * dl / (float)avg_len));
+            auto cit = idx->doc_class.find(doc);
+            int cls = (cit == idx->doc_class.end()) ? 0 : cit->second;
+            float k1 = K1C[cls], b = BC[cls];
+            float tf_norm = (tf * (k1 + 1.0f)) / (tf + k1 * (1.0f - b + b * dl / (float)avg_len));
             scores[doc] += w * idf * tf_norm;
         }
     }

@@ -488,6 +488,12 @@ SEM_EXPANSION_PER_STEM = env_int("SHODH_SEM_EXP_PER_STEM", 3)
 SEM_EXPANSION_MIN_SIM = env_float("SHODH_SEM_EXP_MIN_SIM", 0.45)  # 0.35 admits topical noise (gate -0.5pp)
 SEM_EXPANSION_MAX_TERMS = env_int("SHODH_SEM_EXP_MAX_TERMS", 8)
 SEM_EXPANSION_TERM_WEIGHT = env_float("SHODH_SEM_EXP_WEIGHT", 0.4)
+# Document-side expansion (round 3): each BM25 doc inherits its distinctive
+# stems' co-occurrence neighbors at SHODH_DOC_EXPANSION_WEIGHT * sim during
+# adapt_semantics (0 = off; the weight itself is read in memory_system).
+DOC_EXPANSION_TOP_STEMS = env_int("SHODH_DOC_EXP_TOP_STEMS", 6)
+DOC_EXPANSION_PER_STEM = env_int("SHODH_DOC_EXP_PER_STEM", 2)
+DOC_EXPANSION_MIN_SIM = env_float("SHODH_DOC_EXP_MIN_SIM", 0.5)
 # Fit-corpus cap: refits sample the newest texts (deterministic by
 # (created_at, id) desc) so maintenance never stalls on huge stores.
 SEMANTIC_FIT_MAX_TEXTS = env_int("SHODH_SEM_FIT_MAX_TEXTS", 20000)

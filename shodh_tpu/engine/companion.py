@@ -72,3 +72,53 @@ def companion_rerank(
         key=lambda s: (-s.score, s.memory.created_at.isoformat(), s.memory.content_hash)
     )
     return anchors + reranked
+
+
+def mmr_rerank(
+    scored: list[ScoredMemory],
+    k: int,
+    lam: float,
+    anchors: int = FROZEN_ANCHORS,
+) -> list[ScoredMemory]:
+    """Content-diversity greedy rerank for enumeration queries (MMR,
+    Carbonell & Goldstein 1998 — public technique; no direct reference
+    analog, motivated by the measured near-miss mass: 151/281 multi_hop
+    cases hold a gold at final rank 11-20 behind near-duplicate turns).
+
+    Greedy selection by ``score * (1 - lam * max_jaccard_to_selected)``
+    over content stems. Unlike the (rejected) time-window diversity cap
+    this never penalizes same-moment turns with DIFFERENT content — only
+    lexical near-duplicates of already-selected results. Anchors keep
+    their seats; pure permutation; deterministic (score ties keep the
+    incoming order, which is already fully tie-broken)."""
+    if lam <= 0.0 or len(scored) <= anchors + 1:
+        return scored
+    from shodh_tpu.models.hash_embedder import content_stems
+
+    pool_n = min(len(scored), max(k * 3, 30))
+    pool = scored[:pool_n]
+    rest = scored[pool_n:]
+    stems = [frozenset(content_stems(s.memory.experience.content)) for s in pool]
+    selected = list(range(min(anchors, pool_n)))
+    remaining = [i for i in range(pool_n) if i not in selected]
+    while remaining:
+        best_i = None
+        best_val = -1e30
+        for i in remaining:
+            if stems[i] and selected:
+                sim = max(
+                    (
+                        len(stems[i] & stems[j]) / len(stems[i] | stems[j])
+                        for j in selected
+                        if stems[j]
+                    ),
+                    default=0.0,
+                )
+            else:
+                sim = 0.0
+            val = pool[i].score * (1.0 - lam * sim)
+            if val > best_val + 1e-12:  # strict: ties keep incoming order
+                best_i, best_val = i, val
+        selected.append(best_i)
+        remaining.remove(best_i)
+    return [pool[i] for i in selected] + rest

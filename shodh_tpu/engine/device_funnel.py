@@ -201,7 +201,6 @@ class DeviceRecallEngine:
 
         from shodh_tpu.constants import env_float
         from shodh_tpu.ops.device_recall import fused_recall_pool
-        from shodh_tpu.retrieval.fusion import FLAT_CONSENSUS
 
         system = self.system
         self._ensure_mirrors()
@@ -253,7 +252,7 @@ class DeviceRecallEngine:
             [
                 tmatch_boost,
                 recency_scale,
-                env_float("SHODH_FLAT_CONSENSUS", FLAT_CONSENSUS),
+                env_float("SHODH_FLAT_CONSENSUS", self.system._store_consensus()),
             ],
             np.float32,
         )

@@ -395,6 +395,16 @@ class MemorySystem:
                 # forward context: the predecessor gains this turn's terms
                 # exactly once (the tail moves to this memory below)
                 self.bm25.add_context_terms(prev.id, experience.content, fwd_w)
+            # Per-domain Okapi params: the k1=0.6/b=0.3 retune was measured
+            # on dialogue; prose notes keep classic Okapi (round-3 scoping —
+            # the global retune cost the notes-domain smoke suite r@10/map).
+            from shodh_tpu.retrieval.bm25 import CLASS_DIALOGUE, CLASS_NOTES
+
+            param_class = (
+                CLASS_DIALOGUE
+                if experience.experience_type == ExperienceType.CONVERSATION
+                else CLASS_NOTES
+            )
             self.bm25.upsert(
                 mem.id,
                 experience.content,
@@ -402,6 +412,7 @@ class MemorySystem:
                 experience.entities,
                 context_content=context_content,
                 context_weight=ctx_w,
+                param_class=param_class,
             )
             for t in experience.tags or ():
                 key = t.lower()
@@ -472,15 +483,25 @@ class MemorySystem:
         # engine-lock and writes usage counters through the kv).
         out: list[Memory] = []
         chunk = 32
-        for base in range(0, len(exps), chunk):
-            part = exps[base : base + chunk]
-            with self._lock:
-                with self.storage.kv.transaction():
-                    if self.graph is not None:
-                        with self.graph.kv.transaction():
+        if self.sessions is not None:
+            self.sessions.defer = True
+        try:
+            for base in range(0, len(exps), chunk):
+                part = exps[base : base + chunk]
+                with self._lock:
+                    with self.storage.kv.transaction():
+                        if self.graph is not None:
+                            with self.graph.kv.transaction():
+                                out.extend(self.remember(e, enrich=enrich) for e in part)
+                        else:
                             out.extend(self.remember(e, enrich=enrich) for e in part)
-                    else:
-                        out.extend(self.remember(e, enrich=enrich) for e in part)
+                        if self.sessions is not None:
+                            # deferred session appends ride the chunk commit
+                            self.sessions.flush()
+        finally:
+            if self.sessions is not None:
+                self.sessions.defer = False
+                self.sessions.flush()
         return out
 
     @_locked
@@ -672,6 +693,7 @@ class MemorySystem:
                 graph=graph_activation,
                 density=density,
                 overrides=overrides,
+                consensus=self._store_consensus(),
             )
         else:
             fused = dict(mem_scores)
@@ -697,6 +719,19 @@ class MemorySystem:
             bm25_k=bm25_k,
             diagnostics=diagnostics,
         )
+
+    def _store_consensus(self) -> float:
+        """Domain-aware FLAT consensus default: the fusion optimum is
+        domain-dependent like the Okapi k1/b curve (dialogue 0.4, prose
+        notes 0.5 — see fusion.py sweep notes). Majority document class of
+        the store decides; SHODH_FLAT_CONSENSUS / A/B overrides still win
+        downstream."""
+        from shodh_tpu.retrieval.fusion import FLAT_CONSENSUS, FLAT_CONSENSUS_NOTES
+
+        if self.bm25 is None or not len(self.bm25):
+            return FLAT_CONSENSUS
+        notes = len(self.bm25._doc_class)
+        return FLAT_CONSENSUS_NOTES if 2 * notes > len(self.bm25) else FLAT_CONSENSUS
 
     def _plan_bm25_query(
         self, query: Query, analysis, seeds, pool_k: int, n_qvecs: int, disabled, now
@@ -851,6 +886,7 @@ class MemorySystem:
                     graph=graph_activation,
                     density=density,
                     overrides=overrides,
+                    consensus=self._store_consensus(),
                 )
                 timings["prf_ms"] = (time.perf_counter() - t0) * 1000
 
@@ -1105,10 +1141,15 @@ class MemorySystem:
 
         # Companion rerank over the deep pool (frozen anchors keep seats)
         if companion_gate and analysis is not None and "companion" not in disabled:
-            from shodh_tpu.engine.companion import companion_rerank
+            from shodh_tpu.engine.companion import companion_rerank, mmr_rerank
 
             q_entities = analysis.entities or analysis.focal_terms[:4]
             scored = companion_rerank(scored, q_entities, self.graph, k)
+            # Enumeration diversity (MMR on content stems): near-duplicate
+            # turns stop crowding multi-gold answers out of the top-k.
+            mmr_lam = C.env_float("SHODH_MMR_LAMBDA", 0.0)
+            if mmr_lam > 0.0 and "mmr" not in disabled:
+                scored = mmr_rerank(scored, k, mmr_lam)
 
         # Temporal diversity ("diversity" family): cap same-moment
         # near-duplicates in the top-k so multi-gold enumeration queries
@@ -1863,6 +1904,8 @@ class MemorySystem:
         self.storage.flush()
         if self.bm25 is not None:
             self.bm25.flush()
+        if self.sessions is not None:
+            self.sessions.flush()
         self.adapt_semantics()
 
     # ------------------------------------------------------------------
@@ -1918,11 +1961,52 @@ class MemorySystem:
             # Dense blend changes stored vectors; re-embed. At weight 0 the
             # model only drives BM25 expansion — vectors are untouched.
             self.rebuild_index()
+        doc_w = C.env_float("SHODH_DOC_EXPANSION_WEIGHT", 0.0)
+        if doc_w > 0.0 and self.bm25 is not None:
+            self._expand_bm25_docs(model, doc_w)
         if self.introspection is not None:
             self.introspection.record(
                 "adapt_semantics", "", {"vocab": len(model.vocab), "n": n}
             )
         return True
+
+    def _expand_bm25_docs(self, model, weight: float) -> None:
+        """Document-side semantic expansion (the index-time mirror of BM25
+        query expansion): every doc inherits the co-occurrence neighbors of
+        its most distinctive stems at ``weight * sim``. Paraphrase golds
+        ("movies" vs "films") then match on the LEXICAL leg even when the
+        query side expands to nothing. Idempotent across refits —
+        bm25.set_expansion_terms replaces the previous expansion."""
+        from shodh_tpu.models.hash_embedder import content_stems
+
+        nbr_memo: dict[str, list[tuple[str, float]]] = {}
+
+        def nbrs(s: str):
+            if s not in nbr_memo:
+                nbr_memo[s] = [
+                    (t, sim)
+                    for t, sim in model.neighbors_of_stem(s, C.DOC_EXPANSION_PER_STEM)
+                    if sim >= C.DOC_EXPANSION_MIN_SIM
+                ]
+            return nbr_memo[s]
+
+        for mem in self.storage.iter_memories():
+            stems = list(dict.fromkeys(content_stems(mem.experience.content)))
+            if not stems:
+                continue
+            # distinctive stems first: expansion from common words only adds noise
+            stems.sort(key=lambda s: (-self.bm25.idf(s), s))
+            extra: dict[str, float] = {}
+            sset = set(stems)
+            for s in stems[: C.DOC_EXPANSION_TOP_STEMS]:
+                for t, sim in nbrs(s):
+                    if t in sset:
+                        continue
+                    w = weight * sim
+                    if w > extra.get(t, 0.0):
+                        extra[t] = w
+            if extra:
+                self.bm25.set_expansion_terms(mem.id, extra)
 
     def _reload_semantic_model(self) -> None:
         """Re-attach a persisted semantic model on open (stored vectors were

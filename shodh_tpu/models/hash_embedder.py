@@ -89,14 +89,16 @@ def _features(text: str) -> dict[int, float]:
     stems = [stem(w) for w in content]
     feats: dict[int, float] = {}
     for s in stems:
-        feats[_hash_token(s)] = feats.get(_hash_token(s), 0.0) + 1.0
+        k = _hash_token(s)
+        feats[k] = feats.get(k, 0.0) + 1.0
     for a, b in zip(stems, stems[1:]):
         key = _hash_token(a + "_" + b)
         feats[key] = feats.get(key, 0.0) + 0.8
     # raw (unstemmed) unigrams give exact-form matches extra weight
-    for w in content:
-        if stem(w) != w:
-            feats[_hash_token(w)] = feats.get(_hash_token(w), 0.0) + 0.5
+    for w, s in zip(content, stems):
+        if s != w:
+            k = _hash_token(w)
+            feats[k] = feats.get(k, 0.0) + 0.5
     # character trigrams (subword robustness)
     if _CHAR_NGRAM_WEIGHT > 0:
         for w in content:

@@ -36,6 +36,14 @@ _WORD_RE = re.compile(r"[a-z0-9][a-z0-9_\-./]*")
 # (k1=0.6) lets idf and field boosts decide — full r@10 .6675->.6772,
 # gate .6277->.6423, every aggregate up. (Reference: textbook 1.2.)
 K1 = float(os.environ.get("SHODH_BM25_K1", "0.6"))
+# Param class 1: prose/notes documents. The 0.6/0.3 retune was measured on
+# dialogue turns; the smoke (notes-domain) suite lost r@10/map under it
+# (round-2 weak #5). Non-conversation experiences score under Okapi
+# defaults instead — per-document, in the same index.
+K1_NOTES = float(os.environ.get("SHODH_BM25_K1_NOTES", "1.2"))
+B_NOTES = float(os.environ.get("SHODH_BM25_B_NOTES", "0.75"))
+CLASS_DIALOGUE = 0
+CLASS_NOTES = 1
 # Length normalization swept on locomo-full (0.75/.6/.5/.4/.3/.2/0):
 # conversational turns are short and similar-length, and the measured
 # missed-gold profile was LONGER answer-bearing turns (18.6 vs 14.5 mean
@@ -58,6 +66,7 @@ class BM25Index:
     def __init__(self, path: str | Path | None = None, use_native: bool = True):
         self._postings: dict[str, dict[str, float]] = defaultdict(dict)  # term -> {doc: tf}
         self._doc_len: dict[str, float] = {}
+        self._doc_class: dict[str, int] = {}  # per-doc Okapi param class
         self._total_len = 0.0
         self.kv: Optional[KvStore] = None
         # Native C++ scorer (retrieval/native.py): same tokenizer + math,
@@ -75,6 +84,10 @@ class BM25Index:
                     # Okapi parameters pass through so host and native
                     # scorers always agree (shodh_bm25_set_params).
                     self._native = NativeBM25(k1=K1, b=B)
+                    if self._native.has_classes:
+                        self._native.set_class_params(CLASS_NOTES, K1_NOTES, B_NOTES)
+                    else:
+                        self._native = None  # stale lib: host scoring only
             except Exception:
                 self._native = None
         if path is not None:
@@ -84,6 +97,11 @@ class BM25Index:
     # -- persistence ----------------------------------------------------------
 
     def _load(self) -> None:
+        for doc_id, raw in self.kv.scan_prefix("bm25cls", ""):
+            cls = raw[0] if raw else CLASS_DIALOGUE
+            self._doc_class[doc_id] = cls
+            if self._native is not None:
+                self._native.set_doc_class(self._handle(doc_id), cls)
         for doc_id, raw in self.kv.scan_prefix("bm25doc", ""):
             tf = decode(raw)
             self._insert(doc_id, tf)
@@ -126,6 +144,7 @@ class BM25Index:
         entities: list[str] | None = None,
         context_content: str | None = None,
         context_weight: float = 0.0,
+        param_class: int = CLASS_DIALOGUE,
     ) -> None:
         """Index a document. ``context_content`` folds a neighboring
         document's terms in at ``context_weight`` x their tf (dialogue
@@ -143,16 +162,31 @@ class BM25Index:
         if context_content and context_weight > 0.0:
             for tok, f in Counter(tokenize(context_content)).items():
                 weighted[tok] = weighted.get(tok, 0.0) + context_weight * f
+        self._set_doc_class(doc_id, param_class)
         self._insert(doc_id, weighted)
         if self.kv is not None:
             self.kv.put("bm25doc", doc_id, encode(weighted))
 
+    def _set_doc_class(self, doc_id: str, param_class: int) -> None:
+        if param_class != CLASS_DIALOGUE:
+            self._doc_class[doc_id] = param_class
+            if self.kv is not None:
+                self.kv.put("bm25cls", doc_id, bytes([param_class]))
+        elif doc_id in self._doc_class:
+            del self._doc_class[doc_id]
+            if self.kv is not None:
+                self.kv.delete("bm25cls", doc_id)
+        if self._native is not None:
+            self._native.set_doc_class(self._handle(doc_id), param_class)
+
     def delete(self, doc_id: str) -> None:
         self._remove(doc_id)
+        self._doc_class.pop(doc_id, None)
         if self._native is not None and doc_id in self._handle_of:
             self._native.remove(self._handle_of[doc_id])
         if self.kv is not None:
             self.kv.delete("bm25doc", doc_id)
+            self.kv.delete("bm25cls", doc_id)
 
     # -- search ---------------------------------------------------------------
 
@@ -193,7 +227,11 @@ class BM25Index:
             w = term_weights.get(term, 1.0) if term_weights else 1.0
             for doc_id, tf in plist.items():
                 dl = self._doc_len[doc_id]
-                tf_norm = (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avg_len))
+                if self._doc_class.get(doc_id, CLASS_DIALOGUE) == CLASS_NOTES:
+                    k1, b = K1_NOTES, B_NOTES
+                else:
+                    k1, b = K1, B
+                tf_norm = (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avg_len))
                 scores[doc_id] += w * idf * tf_norm
                 seen_terms[doc_id].add(term)
         # Phrase boost: docs containing every phrase term
@@ -237,6 +275,51 @@ class BM25Index:
         self._insert(doc_id, weighted)
         if self.kv is not None:
             self.kv.put("bm25doc", doc_id, encode(weighted))
+
+    def set_expansion_terms(self, doc_id: str, extra: dict[str, float]) -> None:
+        """Attach model-derived terms to an existing doc, REPLACING any
+        previous expansion (round-3 document-side semantic expansion: each
+        doc inherits its distinctive stems' co-occurrence neighbors, the
+        index-time mirror of query expansion). The stored base document is
+        reconstructed by subtracting the previous expansion, so semantic-
+        model refits are idempotent — expansions never stack."""
+        if doc_id not in self._doc_len:
+            return
+        if self.kv is not None:
+            raw = self.kv.get("bm25exp", doc_id)
+            old_exp = decode(raw) if raw is not None else {}
+            raw = self.kv.get("bm25doc", doc_id)
+            effective = decode(raw) if raw is not None else {}
+        else:
+            old_exp = getattr(self, "_expansion", {}).get(doc_id, {})
+            effective = {
+                t: docs[doc_id] for t, docs in self._postings.items() if doc_id in docs
+            }
+        base: dict[str, float] = {}
+        for t, w in effective.items():
+            rem = w - old_exp.get(t, 0.0)
+            if rem > 1e-9:
+                base[t] = rem
+        new_effective = dict(base)
+        for t, w in extra.items():
+            if w > 0.0:
+                new_effective[t] = new_effective.get(t, 0.0) + w
+        # targeted removal of the old posting entries (not the O(vocab) scan)
+        self._total_len -= self._doc_len.pop(doc_id, 0.0)
+        for t in effective:
+            docs = self._postings.get(t)
+            if docs is not None:
+                docs.pop(doc_id, None)
+                if not docs:
+                    del self._postings[t]
+        self._insert(doc_id, new_effective)
+        if self.kv is not None:
+            self.kv.put("bm25doc", doc_id, encode(new_effective))
+            self.kv.put("bm25exp", doc_id, encode(extra))
+        else:
+            if not hasattr(self, "_expansion"):
+                self._expansion = {}
+            self._expansion[doc_id] = dict(extra)
 
     def idf(self, term: str) -> float:
         """BM25 idf of a (stemmed) term; 0 for unseen terms."""

@@ -52,7 +52,15 @@ from shodh_tpu.constants import (
 # legacy leg), but 0.3 breaks the smoke 2% contract (notes-domain p@1
 # -2.8pp). 0.4 keeps ~all the locomo gain (full p@1 .4004/map .4734,
 # both best) with smoke green.
+#
+# Round 3 scoped the optimum per DOMAIN like the k1/b retune: dialogue
+# stores fuse at 0.4, prose/notes stores at 0.5 (measured: smoke at 0.5
+# beats its baseline on map/mrr/p@1/ndcg — p@1 +1.85pp vs +0.93pp at 0.4 —
+# while locomo is conversation-majority and keeps 0.4). The engine passes
+# the store-majority default via fuse_legs(consensus=...); these constants
+# are the two endpoints.
 FLAT_CONSENSUS = 0.4
+FLAT_CONSENSUS_NOTES = 0.5
 ADAPT_TRUST_MAX = 2.0
 ADAPT_AGREE_K = 10
 ADAPT_AGREE_LO = 0.1
@@ -110,12 +118,15 @@ def flat_fuse(
     graph: Mapping[str, float],
     density: float,
     overrides: Mapping[str, float] | None = None,
+    consensus: float | None = None,
 ) -> dict[str, float]:
     """Calibrated-max fusion of the three legs (production default).
 
     ``overrides`` carries A/B-experiment LearnedWeights variants
     (ab_testing.rs): per-query scoring-weight substitutions
-    (flat_consensus / vec_trust / graph_weight_scale)."""
+    (flat_consensus / vec_trust / graph_weight_scale). ``consensus`` is
+    the caller's domain-aware default (store-majority dialogue vs notes);
+    A/B overrides then the env var still win over it."""
     overrides = overrides or {}
     graph_w = density_graph_weight(density) if graph else 0.0
     graph_w = min(1.0, graph_w * float(overrides.get("graph_weight_scale", 1.0)))
@@ -123,8 +134,11 @@ def flat_fuse(
     max_vec = max(semantic.values(), default=0.0) or 1e-6
     max_bm = max(bm25.values(), default=0.0) or 1e-6
     vec_trust = float(overrides.get("vec_trust", adaptive_vec_trust(semantic, bm25)))
+    default_consensus = FLAT_CONSENSUS if consensus is None else consensus
     consensus = float(
-        overrides.get("flat_consensus", env_float("SHODH_FLAT_CONSENSUS", FLAT_CONSENSUS))
+        overrides.get(
+            "flat_consensus", env_float("SHODH_FLAT_CONSENSUS", default_consensus)
+        )
     )
 
     # Vector-leg calibration: cosine is already in [0,1]; raw scores keep
@@ -173,6 +187,7 @@ def fuse_legs(
     graph: Mapping[str, float],
     density: float,
     overrides: Mapping[str, float] | None = None,
+    consensus: float | None = None,
 ) -> dict[str, float]:
     """Fuse recall legs. FLAT calibrated-max unless SHODH_FUSION_RRF=1."""
     if env_flag("SHODH_FUSION_RRF", False):
@@ -185,4 +200,6 @@ def fuse_legs(
                 legs.append(_ranked(leg_map))
                 weights.append(w)
         return rrf_fuse(legs, weights) if legs else {}
-    return flat_fuse(semantic, bm25, graph, density, overrides=overrides)
+    return flat_fuse(
+        semantic, bm25, graph, density, overrides=overrides, consensus=consensus
+    )

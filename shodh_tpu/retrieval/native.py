@@ -35,7 +35,10 @@ def load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not _LIB_PATH.exists() and not _build():
+    # Always invoke make: it no-ops when the .so is fresh and rebuilds it
+    # when shodh_native.cpp is newer (a stale lib missing new symbols would
+    # otherwise silently disable native acceleration).
+    if not _build() and not _LIB_PATH.exists():
         return None
     lib = ctypes.CDLL(str(_LIB_PATH))
     lib.shodh_bm25_new.restype = ctypes.c_void_p
@@ -44,6 +47,15 @@ def load() -> Optional[ctypes.CDLL]:
         lib.shodh_bm25_set_params.argtypes = [ctypes.c_float, ctypes.c_float]
     except AttributeError:
         pass  # older prebuilt lib: defaults baked in
+    try:
+        lib.shodh_bm25_set_class_params.argtypes = [
+            ctypes.c_int, ctypes.c_float, ctypes.c_float
+        ]
+        lib.shodh_bm25_set_doc_class.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int
+        ]
+    except AttributeError:
+        pass  # older prebuilt lib: single-class scoring only
     lib.shodh_bm25_remove.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
     lib.shodh_bm25_upsert_text.argtypes = [
         ctypes.c_void_p, ctypes.c_uint64, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p
@@ -112,6 +124,16 @@ class NativeBM25:
     def upsert_terms(self, doc: int, weighted_terms: dict[str, float]) -> None:
         lines = "".join(f"{t}\t{w}\n" for t, w in weighted_terms.items())
         self._lib.shodh_bm25_upsert_terms(self._h, doc, lines.encode())
+
+    @property
+    def has_classes(self) -> bool:
+        return hasattr(self._lib, "shodh_bm25_set_class_params")
+
+    def set_class_params(self, cls: int, k1: float, b: float) -> None:
+        self._lib.shodh_bm25_set_class_params(cls, k1, b)
+
+    def set_doc_class(self, doc: int, cls: int) -> None:
+        self._lib.shodh_bm25_set_doc_class(self._h, doc, cls)
 
     def remove(self, doc: int) -> None:
         self._lib.shodh_bm25_remove(self._h, doc)

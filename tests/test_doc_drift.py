@@ -33,6 +33,12 @@ def _live_default(flag: str) -> float:
         return constants.context_forward_weight()
     if flag == "SHODH_PRF":
         return float(os.environ.get("SHODH_PRF", "1"))
+    if flag == "SHODH_DISTILLED_NER":
+        # ner.py maybe_load_distilled: os.environ.get(..., "1")
+        src = (REPO / "shodh_tpu" / "nlp" / "ner.py").read_text()
+        m = re.search(r'SHODH_DISTILLED_NER",\s*"([0-9.]+)"', src)
+        assert m, "SHODH_DISTILLED_NER read site not found"
+        return float(m.group(1))
     if flag == "SHODH_NEIGHBOR_INHERIT":
         # memory_system.py:994 reads this inline with default 0.35
         src = (REPO / "shodh_tpu" / "engine" / "memory_system.py").read_text()
