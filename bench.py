@@ -186,8 +186,11 @@ def run_scales() -> None:
         )
         del corpus, scales, valid, approx
 
-    def measure_funnel(n, label, iters=8):
-        """Full hybrid funnel (config 4): fusion + L5 + top-k in one program."""
+    def measure_funnel(n, label, iters=8, bank=False):
+        """Full hybrid funnel (config 4): fusion + L5 + top-k in one program.
+        ``bank=True`` (funnel-only mode) records the B=32 batched row as the
+        run's JSON result; the default leaves the exact-search headline
+        from measure() untouched for the driver."""
         import functools
 
         from shodh_tpu.ops.device_recall import fused_recall
@@ -229,6 +232,47 @@ def run_scales() -> None:
             f"{per_query*1e3:.2f} ms/query -> {1/per_query:,.0f} QPS (sink {sink:.2f})"
         )
 
+        # Reunified pool program (round 3, verdict #1): the serving fast
+        # path's device side — boost mirrors + vec-leg admission cut + deep
+        # pool proposal. The host epilogue re-ranks ~256 candidates in
+        # python (measured separately; ~ms-scale, corpus-size-independent).
+        from shodh_tpu.ops.device_recall import fused_recall_pool
+
+        key_p = jax.random.PRNGKey(55)
+        spk = jax.random.randint(jax.random.fold_in(key_p, 1), (n,), 0, 1 << 30)
+        rflags = (jax.random.uniform(jax.random.fold_in(key_p, 2), (n, 3)) < 0.3).astype(jnp.float32)
+        q_hashes = jnp.full((8,), -1, jnp.int32)
+        q_flags = jnp.asarray([1.0, 0.0, 0.0, 0.0], jnp.float32)
+        q_age = jnp.zeros((2,), jnp.float32)
+        q_scalars = jnp.asarray([0.0, 1.0, 0.4], jnp.float32)
+
+        @functools.partial(jax.jit, static_argnames=("iters",))
+        def scan_pool(corpus, scales, valid, seed, iters):
+            def body(c, i):
+                # Q=1: the common (non-polar) query shape the engine sends
+                q = jax.random.normal(jax.random.fold_in(seed, i), (1, d), jnp.float32)
+                q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+                vals, rows, fused, cos = fused_recall_pool(
+                    q, corpus, scales, valid, meta["bm25"], meta["graph"],
+                    meta["importance"], hours, meta["arousal"], meta["credibility"],
+                    meta["momentum"], penalty, jnp.float32(1.2),
+                    spk, rflags, q_hashes, q_flags, q_age, q_scalars,
+                    k=256, vec_k=60,
+                )
+                return c + vals[0], None
+
+            total, _ = jax.lax.scan(body, 0.0, jnp.arange(iters))
+            return total
+
+        float(scan_pool(corpus, scales, valid, seed, iters))  # compile
+        t0 = time.perf_counter()
+        sink = float(scan_pool(corpus, scales, valid, seed, iters))
+        per_query = (time.perf_counter() - t0) / iters
+        log(
+            f"{label} reunified pool program (boost mirrors + vec cut, top-256): "
+            f"{per_query*1e3:.2f} ms/query -> {1/per_query:,.0f} QPS (sink {sink:.2f})"
+        )
+
         # Batched funnel (VERDICT item 8): (B, k) in one program with sparse
         # BM25/graph legs scattered on device.
         from shodh_tpu.ops.device_recall import fused_recall_batch
@@ -264,9 +308,24 @@ def run_scales() -> None:
                 f"{label} fused hybrid funnel B={bq}: {per_batch*1e3:.2f} ms/batch "
                 f"-> {bq/per_batch:,.0f} QPS (sink {sink:.2f})"
             )
+            if bank and bq == 32:
+                record(
+                    {
+                        "metric": f"funnel_qps_per_chip_{label}_batch32",
+                        "value": round(bq / per_batch, 1),
+                        "unit": "queries/s",
+                        "vs_baseline": round(bq / per_batch / REFERENCE_QPS, 1),
+                    }
+                )
 
     if "--small" in sys.argv:
         measure(64 * TILE_N, "65k", iters=4)
+        return
+    if "--funnel-only" in sys.argv:
+        # The full ladder can exhaust the watchdog before the funnel rows
+        # (4M corpus build alone is ~2 min of host numpy); this mode
+        # measures just the serving-funnel programs at the 1M tier.
+        measure_funnel(1024 * TILE_N, "1M", bank=True)
         return
     measure(64 * TILE_N, "65k", iters=6, verify_iters=0)  # below the fast-path
     measure(256 * TILE_N, "262k", iters=6, verify_iters=0)  # threshold: exact path

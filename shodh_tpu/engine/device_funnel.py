@@ -256,9 +256,12 @@ class DeviceRecallEngine:
             ],
             np.float32,
         )
-        qmat = np.stack(qvecs if len(qvecs) > 1 else [qvecs[0], qvecs[0]]).astype(
-            np.float32
-        )
+        # (Q, D): Q=1 for plain queries, Q=2 only for polar dual-form —
+        # duplicating the query to keep one trace doubled the scoring
+        # matmul for every query (measured 3.1x pool-program cost combined
+        # with the full-array threshold top_k; distinct Q shapes retrace
+        # once each and then cache)
+        qmat = np.stack(qvecs).astype(np.float32)
 
         kk = min(pool_size, cap)
         vals, rows, fused_vals, cos_vals = fused_recall_pool(

@@ -134,28 +134,42 @@ class DistilledNer:
     """Greedy averaged-perceptron BIO tagger over sparse features."""
 
     def __init__(self, weights: dict[str, dict[str, float]]):
-        # weights: feature -> {tag: w}
+        # weights: feature -> {tag: w}; densified to per-feature rows in
+        # TAGS order — the dict-of-dicts inner loop was the ingest
+        # enrichment bottleneck (~1 ms/text)
         self.weights = weights
+        idx = {t: i for i, t in enumerate(TAGS)}
+        self._rows: dict[str, list[float]] = {}
+        for ft, row in weights.items():
+            dense = [0.0] * len(TAGS)
+            for t, w in row.items():
+                dense[idx[t]] = w
+            self._rows[ft] = dense
 
     def _tag(self, words: list[str]) -> tuple[list[str], list[float]]:
         tags: list[str] = []
         margins: list[float] = []
+        rows = self._rows
+        n_tags = len(TAGS)
         prev, prev2 = "O", "O"
         for i in range(len(words)):
             feats = features(words, i, prev, prev2)
-            scores = {t: 0.0 for t in TAGS}
+            totals = [0.0] * n_tags
             for ft in feats:
-                wrow = self.weights.get(ft)
-                if wrow is None:
-                    continue
-                for t, w in wrow.items():
-                    scores[t] += w
-            # deterministic argmax (score, then fixed TAGS order)
-            best = max(TAGS, key=lambda t: (scores[t], -TAGS.index(t)))
-            ranked = sorted(scores.values(), reverse=True)
-            margin = ranked[0] - ranked[1] if len(ranked) > 1 else ranked[0]
+                row = rows.get(ft)
+                if row is not None:
+                    for t in range(n_tags):
+                        totals[t] += row[t]
+            # deterministic argmax: highest score, lowest TAGS index on ties
+            bi = 0
+            bv = totals[0]
+            for t in range(1, n_tags):
+                if totals[t] > bv:
+                    bi, bv = t, totals[t]
+            best = TAGS[bi]
+            second = max(v for t, v in enumerate(totals) if t != bi)
             tags.append(best)
-            margins.append(margin)
+            margins.append(bv - second)
             prev2, prev = prev, best
         return tags, margins
 

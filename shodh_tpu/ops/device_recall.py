@@ -150,7 +150,12 @@ def fused_recall_pool(
     )  # (Q, N)
     cos_q = raw * scales[None, :]  # (Q, N) dequantized cosines
     masked_q = cos_q * valid[None, :] + (1.0 - valid[None, :]) * NEG_INF
-    thr = jax.lax.top_k(masked_q, min(vec_k, corpus.shape[0]))[0][:, -1]  # (Q,)
+    # admission threshold = per-query vec_k-th cosine, via the two-level
+    # group selection (bit-identical to lax.top_k, ~1.5x cheaper at corpus
+    # scale — the full-array top_k here was 40% of the pool program)
+    from shodh_tpu.ops.fused_topk import exact_topk_scores
+
+    thr = exact_topk_scores(masked_q, min(vec_k, corpus.shape[0]))[0][:, -1]  # (Q,)
     admitted_q = jnp.where(masked_q >= thr[:, None], cos_q, NEG_INF)
     cos_adm = jnp.max(admitted_q, axis=0)  # (N,) NEG_INF where not admitted
     cos = jnp.where(cos_adm > NEG_INF * 0.5, cos_adm, 0.0)
@@ -211,7 +216,8 @@ def fused_recall_pool(
     final = boosted * imp * boosts * (1.0 + mom) * tag_penalty
 
     final = final * valid + (1.0 - valid) * NEG_INF
-    vals, rows = jax.lax.top_k(final, k)
+    vals, rows = exact_topk_scores(final[None, :], k)
+    vals, rows = vals[0], rows[0]
     # cos_adm carries NEG_INF for rows outside the vector-leg admission cut
     # so the host epilogue can reconstruct mem_scores with host-identical
     # membership (PRF re-fusion reads it)

@@ -101,15 +101,28 @@ class KvStore:
 
     @staticmethod
     def _apply(conn, pending) -> None:
-        for op, ns, key, value in pending:
+        # Contiguous same-op runs go through executemany — the statement
+        # prepare/dispatch overhead was ~14 execute() calls per ingested
+        # item (profiled at 15% of the fast path). Run order is preserved
+        # so put/del sequencing semantics are unchanged.
+        i, n = 0, len(pending)
+        while i < n:
+            op = pending[i][0]
+            j = i
+            while j < n and pending[j][0] == op:
+                j += 1
             if op == "put":
-                conn.execute(
+                conn.executemany(
                     "INSERT INTO kv (ns, k, v) VALUES (?, ?, ?)"
                     " ON CONFLICT (ns, k) DO UPDATE SET v = excluded.v",
-                    (ns, key, value),
+                    [(ns, key, value) for _, ns, key, value in pending[i:j]],
                 )
             else:
-                conn.execute("DELETE FROM kv WHERE ns = ? AND k = ?", (ns, key))
+                conn.executemany(
+                    "DELETE FROM kv WHERE ns = ? AND k = ?",
+                    [(ns, key) for _, ns, key, _ in pending[i:j]],
+                )
+            i = j
 
     def transaction(self):
         """Context manager: one durable COMMIT for every write inside.
