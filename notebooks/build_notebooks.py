@@ -47,6 +47,8 @@ a TPU everything runs on CPU via XLA."""),
     code("""# pip install shodh-tpu   (in this repo: pip install -e .)
 import os, tempfile
 os.environ.setdefault("JAX_PLATFORMS", "cpu")  # demo runs anywhere
+import jax
+jax.config.update("jax_platforms", "cpu")  # robust even where site config overrides env
 data_dir = tempfile.mkdtemp(prefix="shodh-demo-")"""),
     md("""## 1. Initialize memory
 
@@ -109,6 +111,7 @@ exact top-10 over 1M×384 int8** (see `bench.py` / `BASELINE.md`)."""),
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 import numpy as np, jax, jax.numpy as jnp
+jax.config.update("jax_platforms", "cpu")  # robust even where site config overrides env
 print(jax.devices())"""),
     md("""## 1. The device index
 

@@ -1,0 +1,221 @@
+"""Read-replica follower: concurrent serving over a writer's store.
+
+BASELINE config 5 asks for sustained ingest WITH concurrent queries. A
+single CPython process cannot co-schedule both at full rate (the GIL
+arithmetic is in BENCHMARKS.md), and the production answer is the same
+one storage systems use: a READ REPLICA. sqlite in WAL mode already
+supports one writer + concurrent readers across processes
+(storage.rs:38-58's RocksDB plays the same role in the reference), so a
+FollowerReader opens the writer's data_dir read-only-in-spirit and serves
+recalls while the writer ingests at full speed in its own process.
+
+Catch-up protocol (no IPC, storage-mediated):
+
+1. The writer appends every stored memory to an ordered sequence log
+   (storage.py NS_SEQ, written inside the same chunk transaction as the
+   memory record — a follower never sees a seq entry without its record).
+2. ``refresh()`` replays new seq entries: each memory re-embeds from
+   content (the hash embedder is deterministic, so vectors are
+   bit-identical to the writer's) and appends to the follower's local
+   device index. Because replay order == the writer's append order, the
+   assigned rows MATCH the writer's rows, and the shared kv row map stays
+   valid for both processes (asserted per batch; a mismatch triggers a
+   full resync).
+3. BM25 postings load directly from the writer's persisted effective
+   docs (context-augmented weights included) — no recomputation. Forward
+   dialogue context mutates each tag's previous tail doc, so refresh also
+   reloads the docs that were context tails before the batch.
+4. The graph reloads lazily every ``graph_refresh_every`` refreshes
+   (spreading activation tolerates slight staleness; documented).
+
+Recalls through a follower never write (usage recording and coactivation
+are suppressed), so WAL sees exactly one writer.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Optional
+
+from shodh_tpu.storage.store import NS_SEQ
+
+
+class FollowerReader:
+    def __init__(self, data_dir, graph_refresh_every: int = 8):
+        from shodh_tpu.engine.memory_system import MemorySystem
+
+        self.data_dir = Path(data_dir)
+        self.system = MemorySystem(self.data_dir)
+        self.system.follower_readonly = True  # suppress usage/coactivation writes
+        self._last_seq = -1
+        self._tails: dict[str, str] = {}  # tag -> doc id that was context tail
+        self._graph_refresh_every = max(1, graph_refresh_every)
+        self._refreshes = 0
+        # The index snapshot loaded at open (if the writer ever saved one)
+        # already covers its memories; fast-forward the seq cursor past
+        # everything whose rows are inside the loaded index.
+        self.refresh(catch_up_only=True)
+
+    # -- catch-up ---------------------------------------------------------------
+
+    def lag(self) -> int:
+        """Seq entries the follower has not applied yet."""
+        last = self.system.storage.kv.last_key(NS_SEQ)
+        if last is None:
+            return 0
+        return int(last) - self._last_seq
+
+    def refresh(self, catch_up_only: bool = False) -> int:
+        """Apply new writer commits; returns memories applied."""
+        sys_ = self.system
+        storage = sys_.storage
+        applied = 0
+        touched_tags: set[str] = set()
+        lo = f"{self._last_seq + 1:014d}"
+        for key, val in list(storage.kv.scan_range(NS_SEQ, lo, "9" * 14)):
+            self._last_seq = int(key)
+            mid = val.decode()
+            mem = storage.get(mid)
+            if mem is None:
+                continue  # deleted after being logged
+            writer_rows = storage.get_vector_map(mid).get("text", [])
+            if writer_rows and max(writer_rows) < len(sys_.index):
+                continue  # already covered by the loaded snapshot
+            applied += self._apply(mem, writer_rows)
+            touched_tags.update(t.lower() for t in mem.experience.tags or ())
+        if applied and not catch_up_only:
+            # forward dialogue context mutated the previous tail docs of the
+            # touched tags — reload them from the writer's persisted state
+            for tag in touched_tags:
+                old_tail = self._tails.get(tag)
+                if old_tail:
+                    sys_.bm25.load_doc(old_tail)
+        for tag in touched_tags:
+            raw = storage.kv.get("ctxtail", tag)
+            if raw is not None:
+                self._tails[tag] = raw.decode()
+        if applied:
+            sys_.index.flush()
+            if sys_._device_funnel is not None:
+                sys_._device_funnel.invalidate()
+        self._refreshes += 1
+        if not catch_up_only and self._refreshes % self._graph_refresh_every == 0:
+            self.refresh_graph()
+        return applied
+
+    def _apply(self, mem, writer_rows: list[int]) -> int:
+        from shodh_tpu.models.chunking import chunk_content
+
+        sys_ = self.system
+        chunks = chunk_content(mem.experience.content)
+        vecs = sys_.embedder.encode_batch(chunks)
+        rows = sys_.index.add(vecs)
+        if writer_rows and rows != writer_rows:
+            # row drift (writer compacted/rebuilt): full resync is the only
+            # safe answer — rebuild the local index in seq order
+            self.resync()
+            return 1
+        if sys_.bm25 is not None:
+            sys_.bm25.load_doc(mem.id)
+        return 1
+
+    def resync(self) -> None:
+        """Rebuild the local index from scratch in seq order."""
+        from shodh_tpu.index.device_index import DeviceVectorIndex
+        from shodh_tpu.models.chunking import chunk_content
+
+        sys_ = self.system
+        new_index = DeviceVectorIndex(dim=sys_.embedder.dimension, dtype=sys_.index.dtype)
+        storage = sys_.storage
+        self._last_seq = -1
+        for key, val in list(storage.kv.scan_range(NS_SEQ, "0" * 14, "9" * 14)):
+            self._last_seq = int(key)
+            mem = storage.get(val.decode())
+            if mem is None:
+                continue
+            vecs = sys_.embedder.encode_batch(chunk_content(mem.experience.content))
+            new_index.add(vecs)
+        new_index.flush()
+        sys_.index = new_index
+
+    def refresh_graph(self) -> None:
+        """Reload the graph from the writer's persisted state."""
+        sys_ = self.system
+        if sys_.graph is None:
+            return
+        from shodh_tpu.graph.graph_memory import GraphMemory
+
+        try:
+            fresh = GraphMemory(self.data_dir / "graph")
+        except Exception:
+            return  # writer mid-commit: keep serving the stale graph
+        old = sys_.graph
+        sys_.graph = fresh
+        try:
+            old.close()
+        except Exception:
+            pass
+
+    # -- serving ---------------------------------------------------------------
+
+    def recall(self, query):
+        return self.system.recall(query)
+
+    def close(self) -> None:
+        # Never save: the follower must not clobber the writer's snapshots.
+        self.system.storage.kv.flush()
+
+
+def serve_follower_hammer(
+    data_dir: str,
+    queries: list[str],
+    duration_s: float,
+    refresh_every_s: float = 0.5,
+    result_path: Optional[str] = None,
+) -> dict:
+    """Benchmark helper: hammer recalls through a follower for duration_s,
+    refreshing on a cadence; returns/writes {qps, p50_ms, refreshes, seen}.
+    Runs in its own process (tools/bench_ingest.py follower phase)."""
+    import json
+    import statistics
+    import time
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    f = FollowerReader(data_dir)
+    from shodh_tpu.types import Query
+
+    lat: list[float] = []
+    t_end = time.monotonic() + duration_s
+    next_refresh = 0.0
+    i = 0
+    while time.monotonic() < t_end:
+        now = time.monotonic()
+        if now >= next_refresh:
+            f.refresh()
+            next_refresh = now + refresh_every_s
+        q0 = time.perf_counter()
+        f.recall(Query(query_text=queries[i % len(queries)], max_results=10))
+        lat.append(time.perf_counter() - q0)
+        i += 1
+    out = {
+        "qps": round(len(lat) / duration_s, 1),
+        "p50_ms": round(statistics.median(lat) * 1000, 1) if lat else 0.0,
+        "refreshes": f._refreshes,
+        "seen": len(f.system.index),
+        "lag": f.lag(),
+    }
+    if result_path:
+        Path(result_path).write_text(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":  # follower benchmark child-process entry
+    import json
+    import sys
+
+    cfg = json.loads(sys.argv[1])
+    serve_follower_hammer(**cfg)
+    os._exit(0)  # sqlite handles flushed; skip slow interpreter teardown

@@ -322,9 +322,20 @@ class MemorySystem:
             }
             if not experience.entities:
                 experience.entities = [m.text for m in mentions]
-        # 4.5 Toponym extraction (gazetteer — textual places, NOT the geo index)
+        # 4.5 Toponym extraction (gazetteer — textual places, NOT the geo
+        # index), unioned with the distilled NER's location spans: the
+        # 239-entry curated gazetteer misses most dialogue places ("dog
+        # park", "Rio de Janeiro"), while the GLiNER-teacher tagger types
+        # them at LOC F1 .71 — textual toponyms need names, not coordinates.
         if enrich and self.gazetteer is not None and not experience.toponyms:
-            experience.toponyms = [t.name for t in self.gazetteer.extract_toponyms(experience.content)]
+            topos = [t.name for t in self.gazetteer.extract_toponyms(experience.content)]
+            seen_topo = set(topos)
+            for ent, label in entity_labels.items():
+                el = ent.lower()
+                if label == "location" and el not in seen_topo:
+                    seen_topo.add(el)
+                    topos.append(el)
+            experience.toponyms = topos
 
         # 5. Temporal reference extraction (temporal_facts.rs)
         if enrich and self.query_parser is not None and not experience.temporal_refs:
@@ -482,7 +493,11 @@ class MemorySystem:
         # waits at the chunk boundary instead of deadlocking (recall holds
         # engine-lock and writes usage counters through the kv).
         out: list[Memory] = []
-        chunk = 32
+        # Engine-lock hold per chunk bounds concurrent-recall latency: a
+        # recall waits at most one chunk. 32 amortizes the per-chunk COMMIT
+        # best; 8 keeps recall p50 low under sustained ingest (config 5
+        # "with concurrent queries") at a small throughput cost — tunable.
+        chunk = int(os.environ.get("SHODH_INGEST_CHUNK", "8"))
         if self.sessions is not None:
             self.sessions.defer = True
         try:
@@ -681,7 +696,7 @@ class MemorySystem:
         # gated by the readonly harness flag).
         ab_assignment = self._active_scoring_assignment()
         overrides = ab_assignment[2] if ab_assignment else None
-        if ab_assignment and not C.recall_readonly():
+        if ab_assignment and not self._recall_is_readonly():
             self.ab.record(ab_assignment[0].id, ab_assignment[1], "impression")
         if bm25_scores or graph_activation:
             from shodh_tpu.retrieval.fusion import fuse_legs
@@ -719,6 +734,12 @@ class MemorySystem:
             bm25_k=bm25_k,
             diagnostics=diagnostics,
         )
+
+    def _recall_is_readonly(self) -> bool:
+        """Usage/coactivation writes are suppressed under the harness env
+        flag AND for read-replica followers (engine/follower.py sets
+        follower_readonly — WAL must see exactly one writer)."""
+        return C.recall_readonly() or getattr(self, "follower_readonly", False)
 
     def _store_consensus(self) -> float:
         """Domain-aware FLAT consensus default: the fusion optimum is
@@ -1173,7 +1194,7 @@ class MemorySystem:
             _diag.observe_stage("final", [s.memory.id for s in scored])
 
         # Usage writes (gated by SHODH_RECALL_READONLY — mod.rs:49-105)
-        if not C.recall_readonly():
+        if not self._recall_is_readonly():
             self._record_usage(out, now)
 
         timings["total_ms"] = (time.perf_counter() - t_start) * 1000
@@ -1627,7 +1648,7 @@ class MemorySystem:
             key=lambda s: (-s.score, s.memory.created_at.isoformat(), s.memory.content_hash)
         )
         out = scored[query.offset : query.offset + max(1, query.max_results)]
-        if not C.recall_readonly():
+        if not self._recall_is_readonly():
             self._record_usage(out, now)
         return RecallResult(memories=out)
 

@@ -321,6 +321,39 @@ class BM25Index:
                 self._expansion = {}
             self._expansion[doc_id] = dict(extra)
 
+    def load_doc(self, doc_id: str) -> bool:
+        """(Re)load one doc's persisted postings + param class from kv —
+        follower catch-up (engine/follower.py): the writer already
+        persisted the exact effective weighted terms (context-augmented,
+        expanded), so followers mirror them without recomputation."""
+        if self.kv is None:
+            return False
+        raw = self.kv.get("bm25doc", doc_id)
+        if raw is None:
+            return False
+        if doc_id in self._doc_len:
+            # targeted removal of the old posting entries
+            old = {
+                t: docs[doc_id] for t, docs in self._postings.items() if doc_id in docs
+            }
+            self._total_len -= self._doc_len.pop(doc_id, 0.0)
+            for t in old:
+                docs = self._postings.get(t)
+                if docs is not None:
+                    docs.pop(doc_id, None)
+                    if not docs:
+                        del self._postings[t]
+        cls_raw = self.kv.get("bm25cls", doc_id)
+        cls = cls_raw[0] if cls_raw else CLASS_DIALOGUE
+        if cls != CLASS_DIALOGUE:
+            self._doc_class[doc_id] = cls
+        else:
+            self._doc_class.pop(doc_id, None)
+        if self._native is not None:
+            self._native.set_doc_class(self._handle(doc_id), cls)
+        self._insert(doc_id, decode(raw))
+        return True
+
     def idf(self, term: str) -> float:
         """BM25 idf of a (stemmed) term; 0 for unseen terms."""
         df = len(self._postings.get(term, {}))

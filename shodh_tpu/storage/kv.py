@@ -165,6 +165,13 @@ class KvStore:
         )
         yield from cur
 
+    def last_key(self, ns: str) -> Optional[str]:
+        """Greatest key in a namespace (ordered-log tails)."""
+        row = self._conn().execute(
+            "SELECT k FROM kv WHERE ns = ? ORDER BY k DESC LIMIT 1", (ns,)
+        ).fetchone()
+        return row[0] if row else None
+
     def scan_range(self, ns: str, lo: str, hi: str) -> Iterator[tuple[str, bytes]]:
         """Ordered pairs with lo <= key < hi."""
         cur = self._conn().execute(

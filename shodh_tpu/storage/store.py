@@ -28,6 +28,7 @@ from shodh_tpu.utils import geohash
 NS_MEM = "mem"
 NS_HASH = "hash"
 NS_IDX = "idx"
+NS_SEQ = "seq"  # zero-padded ingest sequence -> memory id (follower catch-up log)
 NS_VECMAP = "vecmap"  # memory id -> {modality: [rows]}
 NS_ROWMAP = "rowmap"  # "{modality}:{row}" -> memory id
 NS_META = "meta"
@@ -71,6 +72,7 @@ class MemoryStorage:
         # storage layer directly from other threads
         self._cache_lock = threading.RLock()
         self._count: Optional[int] = None
+        self._next_seq: Optional[int] = None
 
     def _cache_put(self, mem: Memory, keys: frozenset[str]) -> None:
         with self._cache_lock:
@@ -110,10 +112,21 @@ class MemoryStorage:
 
     # -- CRUD -----------------------------------------------------------------
 
+    def _seq_alloc(self) -> int:
+        if self._next_seq is None:
+            last = self.kv.last_key(NS_SEQ)
+            self._next_seq = int(last) + 1 if last is not None else 0
+        n = self._next_seq
+        self._next_seq += 1
+        return n
+
     def store(self, mem: Memory) -> None:
         ops = [("put", NS_MEM, mem.id, encode(mem.to_dict()))]
         if mem.content_hash:
             ops.append(("put", NS_HASH, mem.content_hash, mem.id.encode()))
+        # Append-order sequence log: followers (engine/follower.py) replay
+        # it to mirror the writer's index row assignment exactly.
+        ops.append(("put", NS_SEQ, f"{self._seq_alloc():014d}", mem.id.encode()))
         ops.extend(self._index_ops(mem, "put"))
         self.kv.write_batch(ops)
         with self._cache_lock:

@@ -39,6 +39,11 @@ def _live_default(flag: str) -> float:
         m = re.search(r'SHODH_DISTILLED_NER",\s*"([0-9.]+)"', src)
         assert m, "SHODH_DISTILLED_NER read site not found"
         return float(m.group(1))
+    if flag == "SHODH_INGEST_CHUNK":
+        src = (REPO / "shodh_tpu" / "engine" / "memory_system.py").read_text()
+        m = re.search(r'SHODH_INGEST_CHUNK",\s*"([0-9.]+)"', src)
+        assert m, "SHODH_INGEST_CHUNK read site not found"
+        return float(m.group(1))
     if flag == "SHODH_NEIGHBOR_INHERIT":
         # memory_system.py:994 reads this inline with default 0.35
         src = (REPO / "shodh_tpu" / "engine" / "memory_system.py").read_text()

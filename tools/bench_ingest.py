@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import random
 import statistics
 import sys
@@ -75,6 +76,77 @@ def main() -> int:
     t0 = time.perf_counter()
     enriched = fast_sys.enrich_pending(limit=10**9)
     enrich_rate = enriched / (time.perf_counter() - t0) if enriched else 0.0
+
+    # Phase 0.5: the config-5 claim AS WRITTEN — fast-path ingest rate
+    # WITH a concurrent recall hammer on the same engine.
+    fast2 = synth_corpus(args.items + 200)  # fresh contents (dedup-distinct)
+    for e in fast2:
+        e.content = "phase05 " + e.content
+    stop05 = threading.Event()
+    lat05: list[float] = []
+
+    def hammer05():
+        i = 0
+        queries = ["payment timeout incident", "who deployed staging",
+                   "latency doubled rollback", "circuit breaker billing"]
+        while not stop05.is_set():
+            q0 = time.perf_counter()
+            fast_sys.recall(Query(query_text=queries[i % 4], max_results=10))
+            lat05.append(time.perf_counter() - q0)
+            i += 1
+
+    th05 = threading.Thread(target=hammer05, daemon=True)
+    th05.start()
+    t0 = time.perf_counter()
+    fast_sys.batch_remember(fast2[200 : 200 + args.items], enrich=False)
+    dt05 = time.perf_counter() - t0
+    stop05.set()
+    th05.join(timeout=5)
+    fast_conc_rate = args.items / dt05
+    fast_conc_qps = len(lat05) / dt05 if dt05 else 0.0
+    fast_conc_p50 = statistics.median(lat05) * 1000 if lat05 else 0.0
+
+    # Phase 0.75: the production shape of config 5 — a READ-REPLICA
+    # FOLLOWER PROCESS (engine/follower.py) serves recalls over the same
+    # store while this process ingests at full fast-path rate. One WAL
+    # writer + an out-of-process reader: neither shares the other's GIL.
+    import json as _json
+    import subprocess
+
+    fast_sys.flush()
+    fol_result = Path(tempfile.mkdtemp()) / "follower.json"
+    duration = max(10.0, args.items / 400.0)
+    child = subprocess.Popen(
+        [
+            sys.executable,
+            "-m",
+            "shodh_tpu.engine.follower",
+            _json.dumps(
+                {
+                    "data_dir": str(fast_sys.data_dir),
+                    "queries": [
+                        "payment timeout incident",
+                        "who deployed staging",
+                        "latency doubled rollback",
+                        "circuit breaker billing",
+                    ],
+                    "duration_s": duration,
+                    "result_path": str(fol_result),
+                }
+            ),
+        ],
+        env={**os.environ, "JAX_PLATFORMS": "cpu", "SHODH_OFFLINE": "1"},
+    )
+    time.sleep(3.0)  # follower bootstrap (engine open + initial catch-up)
+    fast3 = synth_corpus(args.items + 200)
+    for e in fast3:
+        e.content = "phase075 " + e.content
+    t0 = time.perf_counter()
+    fast_sys.batch_remember(fast3[200 : 200 + args.items], enrich=False)
+    writer_dt = time.perf_counter() - t0
+    child.wait(timeout=duration + 120)
+    follower = _json.loads(fol_result.read_text()) if fol_result.exists() else {}
+    replica_rate = args.items / writer_dt
     fast_sys.close()
 
     # Phase 1: pure ingest
@@ -112,6 +184,15 @@ def main() -> int:
         "value": round(pure_rate, 1),
         "unit": "items/s",
         "fast_path_embed_index_items_per_sec": round(fast_rate, 1),
+        "fast_path_concurrent": {
+            "ingest_items_per_sec": round(fast_conc_rate, 1),
+            "query_qps": round(fast_conc_qps, 1),
+            "query_p50_ms": round(fast_conc_p50, 1),
+        },
+        "read_replica": {
+            "writer_ingest_items_per_sec": round(replica_rate, 1),
+            "follower": follower,
+        },
         "deferred_enrichment_items_per_sec": round(enrich_rate, 1),
         "concurrent": {
             "ingest_items_per_sec": round(conc_rate, 1),
