@@ -23,6 +23,16 @@ def main(argv: list[str] | None = None) -> int:
                    help="local IPC socket path (default: <data-dir>/shodh.sock; "
                         "SHODH_IPC_ENABLED=false disables)")
 
+    rp = sub.add_parser(
+        "replica",
+        help="read-replica recall server over a writer's store (engine/follower.py)",
+    )
+    rp.add_argument("--data-dir", required=True,
+                    help="the WRITER system's data dir (one user's store)")
+    rp.add_argument("--host", default="127.0.0.1")
+    rp.add_argument("--port", type=int, default=8901)
+    rp.add_argument("--refresh-secs", type=float, default=1.0)
+
     for name in ("remember", "recall"):
         c = sub.add_parser(name)
         c.add_argument("text")
@@ -80,6 +90,13 @@ def main(argv: list[str] | None = None) -> int:
 
         run_server(data_dir=args.data_dir, host=args.host, port=args.port,
                    ipc_path=args.ipc)
+        return 0
+
+    if args.cmd == "replica":
+        from shodh_tpu.server.replica import run_replica
+
+        run_replica(data_dir=args.data_dir, host=args.host, port=args.port,
+                    refresh_secs=args.refresh_secs)
         return 0
 
     if args.cmd in ("remember", "recall", "stats", "status", "maintenance"):

@@ -14,6 +14,7 @@ seeds, date range -> prefilter).
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass, field
 from datetime import datetime, timedelta, timezone
@@ -157,6 +158,18 @@ class QueryParser:
         a.multihop = len(a.entities) >= 2 and any(c in lowered for c in _MULTIHOP_CUES)
         if not a.multihop:
             a.multihop = len(a.entities) >= 3
+        # Enumeration questions ("What activities does X partake in?") are
+        # multi-ANSWER queries — the companion deep-pool machinery never
+        # fired for them (measured: multihop intent on 1/78 multi_hop
+        # near-miss cases). SHODH_ENUM_MULTIHOP=1 widens the gate to
+        # what/which questions over a plural head noun.
+        if not a.multihop and os.environ.get("SHODH_ENUM_MULTIHOP", "0") == "1":
+            m_enum = re.match(r"(?:what|which)\s+(?:are\s+)?(?:the\s+)?(\w+s)\b", lowered)
+            a.multihop = bool(
+                m_enum
+                and m_enum.group(1) not in STOPWORDS
+                and not m_enum.group(1).endswith("'s")
+            )
 
         # L0.5 attribute-query classification (classify_query analog):
         # "what is X's Y" / "what Y does X ..." / "where does X work"
