@@ -1978,8 +1978,32 @@ class MemorySystem:
         if hasattr(self.embedder, "refresh_inner"):
             self.embedder.refresh_inner()
         model.save(self.data_dir / "semantic_model")
-        if weight > 0.0:
-            # Dense blend changes stored vectors; re-embed. At weight 0 the
+        need_rebuild = weight > 0.0
+        # Adjacency-contrastive metric (models/adjacency_metric.py): learned
+        # warp over the hash space from same-conversation turn adjacency.
+        adj_alpha = C.env_float("SHODH_ADJ_METRIC_ALPHA", 0.0)
+        if adj_alpha > 0.0 and hasattr(base, "set_adjacency_metric"):
+            from shodh_tpu.models.adjacency_metric import (
+                AdjacencyMetric,
+                adjacency_pairs,
+            )
+
+            base.set_adjacency_metric(None, 0.0)  # fit in the RAW space
+            raw_vecs = base.encode_batch(texts)
+            metric = AdjacencyMetric.fit(
+                raw_vecs,
+                adjacency_pairs(mems),
+                epochs=int(C.env_float("SHODH_ADJ_EPOCHS", 5)),
+                identity_reg=C.env_float("SHODH_ADJ_REG", 0.02),
+            )
+            if metric is not None:
+                metric.save(self.data_dir / "adjacency_metric")
+                base.set_adjacency_metric(metric, adj_alpha)
+                need_rebuild = True
+            if hasattr(self.embedder, "refresh_inner"):
+                self.embedder.refresh_inner()
+        if need_rebuild:
+            # Blend/warp changes stored vectors; re-embed. Otherwise the
             # model only drives BM25 expansion — vectors are untouched.
             self.rebuild_index()
         doc_w = C.env_float("SHODH_DOC_EXPANSION_WEIGHT", 0.0)
@@ -2044,6 +2068,15 @@ class MemorySystem:
             base.set_semantic_model(model, weight=C.semantic_blend_weight())
             if hasattr(self.embedder, "refresh_inner"):
                 self.embedder.refresh_inner()
+        adj_alpha = C.env_float("SHODH_ADJ_METRIC_ALPHA", 0.0)
+        if adj_alpha > 0.0 and hasattr(base, "set_adjacency_metric"):
+            from shodh_tpu.models.adjacency_metric import AdjacencyMetric
+
+            metric = AdjacencyMetric.load(self.data_dir / "adjacency_metric")
+            if metric is not None:
+                base.set_adjacency_metric(metric, adj_alpha)
+                if hasattr(self.embedder, "refresh_inner"):
+                    self.embedder.refresh_inner()
 
     @_locked
     def rebuild_index(self) -> int:
