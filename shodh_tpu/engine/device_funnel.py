@@ -1,15 +1,23 @@
-"""DeviceRecallEngine: serving-scale recall through the fused program.
+"""DeviceRecallEngine: device-side recall programs + row mirrors.
 
 Maintains device-aligned per-row metadata mirrors (importance, creation
-time, arousal, credibility, tag penalty, feedback momentum) alongside the
-vector index, so a recall is: host computes the sparse BM25/graph legs
-(tiny), then ONE device program does cosine + fusion + L5 + top-k over the
-whole corpus (ops/device_recall.py).
+time, arousal, credibility, tag penalty, feedback momentum, speaker hash,
+boost flags) alongside the vector index.
 
-This is the high-throughput path for large corpora; the host funnel
-(engine/memory_system.py) remains the full-featured path (all boost
-layers). Mirrors rebuild lazily when the index grows and refresh on
-maintenance.
+THE SERVING PATH is :meth:`recall_pool`: one fused device program
+(ops/device_recall.py fused_recall_pool) proposes a boost-aware deep
+candidate pool over the whole corpus, and the host re-ranks it through
+the exact staged-funnel epilogue (memory_system._rank_pool) — quality-
+identical to the host funnel, O(N·D) on device. MemorySystem routes
+SHODH_DEVICE_FUNNEL=1 recalls through it.
+
+:meth:`recall` / :meth:`recall_batch` are the RAW single-program paths
+(L3→L5 with no candidate boost stack): they exist as the throughput-
+benchmark configuration (bench.py funnel rows) and as direct-API
+building blocks — they are NOT the production recall path and do not
+reproduce the boost stack's ranking.
+
+Mirrors rebuild lazily when the index grows and refresh on maintenance.
 """
 
 from __future__ import annotations
