@@ -333,7 +333,10 @@ def run_scales() -> None:
     # measured 1.33x over the exact path at this tier)
     measure(4096 * TILE_N, "4M", iters=6, verify_iters=2)
     measure(1024 * TILE_N, "1M")
-    measure_funnel(1024 * TILE_N, "1M")
+    # Funnel rows run via --funnel-only, NOT here: the default ladder must
+    # finish inside the watchdog so the process exits through normal PJRT
+    # teardown — an os._exit mid-funnel orphans the remote device claim
+    # for 10-40 min (observed twice; see CLAUDE.md hazards).
 
 
 def main() -> None:
