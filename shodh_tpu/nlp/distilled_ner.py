@@ -215,7 +215,8 @@ def save(model: DistilledNer, path: Path = _DATA, min_weight: float = 0.09) -> N
     path.parent.mkdir(parents=True, exist_ok=True)
     payload = json.dumps(pruned, sort_keys=True, separators=(",", ":"))
     with open(path, "wb") as raw:
-        with gzip.GzipFile(fileobj=raw, mode="wb", mtime=0) as f:  # reproducible bytes
+        # filename='' + mtime=0: byte-reproducible regardless of output path
+        with gzip.GzipFile(filename="", fileobj=raw, mode="wb", mtime=0) as f:
             f.write(payload.encode("utf-8"))
 
 

@@ -47,6 +47,27 @@ class TestDistilledTagger:
         typer.extract("?!?!")  # must not raise
 
 
+class TestArtifactProvenance:
+    def test_artifact_regenerates_byte_exact(self, tmp_path):
+        """The committed weights are the deterministic product of
+        tools/train_ner.py on the reference fixture — retraining must
+        reproduce them byte-for-byte (proves the artifact is derived,
+        not hand-tuned). Skipped where the fixture isn't available."""
+        import pathlib
+
+        fixture = pathlib.Path("/root/reference/tests/recall/locomo_ner_gliner.json")
+        if not fixture.exists():
+            pytest.skip("annotation fixture not available in this environment")
+        from shodh_tpu.nlp.distilled_ner import _DATA, save
+        from tools.ner_eval import load_fixture
+        from tools.train_ner import train
+
+        model = train(load_fixture(fixture), epochs=6)
+        out = tmp_path / "retrained.json.gz"
+        save(model, out)
+        assert out.read_bytes() == _DATA.read_bytes()
+
+
 class TestFacadeWiring:
     def test_facade_uses_distilled_by_default(self):
         ner = NeuralNer()
