@@ -15,7 +15,11 @@ from shodh_tpu.types import ScoredMemory
 
 DEEP_POOL_MULTIPLIER = 5
 FROZEN_ANCHORS = 2
-DEFAULT_WEIGHT = 0.35
+# Re-swept round 3 after the boost stack landed (optima interact):
+# 0.2/0.35/0.5 on the held-out suite — 0.2 is strictly non-negative on
+# every aggregate (full r@10 .6843→.6852, multi_hop +0.18pp) with the
+# gate bit-identical and smoke green. The round-2 0.35 predates the stack.
+DEFAULT_WEIGHT = 0.2
 
 
 def companion_rerank(
