@@ -104,6 +104,19 @@ HYBRID_SEMANTIC_WEIGHT = 0.5
 HYBRID_GRAPH_WEIGHT = 0.35
 HYBRID_LINGUISTIC_WEIGHT = 0.15
 BM25_DEFAULT_WEIGHT = 0.35  # hybrid_search.rs:69-71
+# Per-domain Okapi parameters (round 3; reference runs one global k1/b —
+# hybrid_search.rs:33-35 — this build scopes the dialogue retune per
+# document class; see retrieval/bm25.py CLASS_* and BENCHMARKS.md).
+# Class 0 (dialogue): k1 0.6 / b 0.3 (round-2 retune, measured on turns).
+# Class 1 (prose notes): classic Okapi 1.2 / 0.75.
+BM25_K1_DIALOGUE = env_float("SHODH_BM25_K1", 0.6)
+BM25_B_DIALOGUE = env_float("SHODH_BM25_B", 0.3)
+BM25_K1_NOTES = env_float("SHODH_BM25_K1_NOTES", 1.2)
+BM25_B_NOTES = env_float("SHODH_BM25_B_NOTES", 0.75)
+# FLAT fusion consensus, domain-scoped the same way (fusion.py sweep
+# notes; store-majority document class picks the default at recall time).
+FLAT_CONSENSUS_DIALOGUE = 0.4
+FLAT_CONSENSUS_NOTES_V = 0.5
 RRF_K_HYBRID_FUSION = 45.0
 RRF_K_GRAPH_FUSION = 30.0
 
@@ -487,7 +500,7 @@ SEMANTIC_MIN_CORPUS = 32
 SEM_EXPANSION_PER_STEM = env_int("SHODH_SEM_EXP_PER_STEM", 3)
 SEM_EXPANSION_MIN_SIM = env_float("SHODH_SEM_EXP_MIN_SIM", 0.45)  # 0.35 admits topical noise (gate -0.5pp)
 SEM_EXPANSION_MAX_TERMS = env_int("SHODH_SEM_EXP_MAX_TERMS", 8)
-SEM_EXPANSION_TERM_WEIGHT = env_float("SHODH_SEM_EXP_WEIGHT", 0.4)
+SEM_EXPANSION_TERM_WEIGHT = env_float("SHODH_SEM_EXP_WEIGHT", 0.4)  # r3 re-swept: 0.2 alone beat 0.4 (+0.04pp) but the gain inverted under the speaker-boost re-sweep (joint r@10 .6848 vs .6860) — interaction measured, 0.4 stays
 # Document-side expansion (round 3): each BM25 doc inherits its distinctive
 # stems' co-occurrence neighbors at SHODH_DOC_EXPANSION_WEIGHT * sim during
 # adapt_semantics (0 = off; the weight itself is read in memory_system).
@@ -534,7 +547,7 @@ def context_forward_weight() -> float:
 # is one of the query's entities get this multiplicative boost. Measured on
 # locomo-full multi_hop: golds are subject-speaker turns at 0.86-0.90 rate
 # vs 0.59-0.66 for non-golds. Family "speaker_match".
-SPEAKER_MATCH_BOOST = env_float("SHODH_SPEAKER_MATCH_BOOST", 0.4)  # swept 0/.15/.3/.4/.5/.8; 0.4 peaks every full-suite aggregate
+SPEAKER_MATCH_BOOST = env_float("SHODH_SPEAKER_MATCH_BOOST", 0.7)  # r2 swept 0.4 with rule-NER entities; r3 re-sweep after distilled NER: .3/.4/.55/.7/.85 — 0.7 peaks (full r@10 .6860, multi_hop +0.75pp, map/mrr/p@1/ndcg all up; .85 r@10 declines)
 # Temporal diversity at final ranking: at most this many results from the
 # same 2h window of one conversation inside the top-k (0 = off). Measured
 # NEGATIVE at cap 2 and 3 (single_hop -10pp/-3pp, every category down):

@@ -41,6 +41,11 @@ from typing import Optional
 from shodh_tpu.storage.store import NS_SEQ
 
 
+class _Resynced(Exception):
+    """Internal: a row-drift resync replaced the index mid-refresh; the
+    outer loop's view of the world is stale and must stop immediately."""
+
+
 class FollowerReader:
     def __init__(self, data_dir, graph_refresh_every: int = 8):
         from shodh_tpu.engine.memory_system import MemorySystem
@@ -50,11 +55,49 @@ class FollowerReader:
         self.system.follower_readonly = True  # suppress usage/coactivation writes
         self._last_seq = -1
         self._tails: dict[str, str] = {}  # tag -> doc id that was context tail
+        # Seed the forward-context tails from the writer's persisted state:
+        # snapshot-covered tail docs must reload on their NEXT mutation too,
+        # not only tails the follower itself applied.
+        for tag, raw in self.system.storage.kv.scan_prefix("ctxtail", ""):
+            self._tails[tag] = raw.decode()
         self._graph_refresh_every = max(1, graph_refresh_every)
         self._refreshes = 0
-        # The index snapshot loaded at open (if the writer ever saved one)
-        # already covers its memories; fast-forward the seq cursor past
-        # everything whose rows are inside the loaded index.
+        self._bootstrap()
+
+    def _bootstrap(self) -> None:
+        """Fast-forward the seq cursor past the loaded index snapshot.
+
+        Sound only under the append-only invariant: walking seq in order,
+        each covered memory's writer rows must be exactly the next
+        contiguous block. The first deviation (writer compacted/rebuilt
+        since the snapshot) stops coverage and falls back to a full
+        row-aligned resync — a max() check alone would silently skip
+        post-compaction memories forever."""
+        sys_ = self.system
+        storage = sys_.storage
+        snapshot_rows = len(sys_.index)
+        expected = 0
+        with sys_._lock:
+            for key, val in list(storage.kv.scan_range(NS_SEQ, "0" * 14, "9" * 14)):
+                mid = val.decode()
+                writer_rows = storage.get_vector_map(mid).get("text", [])
+                if not writer_rows:
+                    if storage.get(mid) is None:
+                        self._last_seq = int(key)  # deleted memory: its rows
+                        continue  # remain as a (soft-deleted) gap
+                    break
+                # Monotone-ascending rows (gaps = deleted memories are fine);
+                # rows going BACKWARDS means the writer compacted since the
+                # snapshot — the shared row map no longer matches it.
+                if writer_rows[0] < expected or writer_rows != list(
+                    range(writer_rows[0], writer_rows[0] + len(writer_rows))
+                ):
+                    self.resync()
+                    return
+                if max(writer_rows) >= snapshot_rows:
+                    break  # first entry past the snapshot — refresh() takes over
+                expected = writer_rows[-1] + 1
+                self._last_seq = int(key)
         self.refresh(catch_up_only=True)
 
     # -- catch-up ---------------------------------------------------------------
@@ -67,38 +110,45 @@ class FollowerReader:
         return int(last) - self._last_seq
 
     def refresh(self, catch_up_only: bool = False) -> int:
-        """Apply new writer commits; returns memories applied."""
+        """Apply new writer commits; returns memories applied.
+
+        Serializes on the engine lock: recall() holds it too, so in-memory
+        index/BM25/graph mutation never races a concurrent recall."""
         sys_ = self.system
         storage = sys_.storage
         applied = 0
         touched_tags: set[str] = set()
-        lo = f"{self._last_seq + 1:014d}"
-        for key, val in list(storage.kv.scan_range(NS_SEQ, lo, "9" * 14)):
-            self._last_seq = int(key)
-            mid = val.decode()
-            mem = storage.get(mid)
-            if mem is None:
-                continue  # deleted after being logged
-            writer_rows = storage.get_vector_map(mid).get("text", [])
-            if writer_rows and max(writer_rows) < len(sys_.index):
-                continue  # already covered by the loaded snapshot
-            applied += self._apply(mem, writer_rows)
-            touched_tags.update(t.lower() for t in mem.experience.tags or ())
-        if applied and not catch_up_only:
-            # forward dialogue context mutated the previous tail docs of the
-            # touched tags — reload them from the writer's persisted state
+        with sys_._lock:
+            lo = f"{self._last_seq + 1:014d}"
+            try:
+                for key, val in list(storage.kv.scan_range(NS_SEQ, lo, "9" * 14)):
+                    self._last_seq = int(key)
+                    mid = val.decode()
+                    mem = storage.get(mid)
+                    if mem is None:
+                        continue  # deleted after being logged
+                    writer_rows = storage.get_vector_map(mid).get("text", [])
+                    applied += self._apply(mem, writer_rows)
+                    touched_tags.update(t.lower() for t in mem.experience.tags or ())
+            except _Resynced:
+                # the resync consumed the whole log; stale iteration aborted
+                applied += 1
+                touched_tags.clear()
+            if applied and not catch_up_only:
+                # forward dialogue context mutated the previous tail docs of
+                # the touched tags — reload them from the writer's state
+                for tag in touched_tags:
+                    old_tail = self._tails.get(tag)
+                    if old_tail:
+                        sys_.bm25.load_doc(old_tail)
             for tag in touched_tags:
-                old_tail = self._tails.get(tag)
-                if old_tail:
-                    sys_.bm25.load_doc(old_tail)
-        for tag in touched_tags:
-            raw = storage.kv.get("ctxtail", tag)
-            if raw is not None:
-                self._tails[tag] = raw.decode()
-        if applied:
-            sys_.index.flush()
-            if sys_._device_funnel is not None:
-                sys_._device_funnel.invalidate()
+                raw = storage.kv.get("ctxtail", tag)
+                if raw is not None:
+                    self._tails[tag] = raw.decode()
+            if applied:
+                sys_.index.flush()
+                if sys_._device_funnel is not None:
+                    sys_._device_funnel.invalidate()
         self._refreshes += 1
         if not catch_up_only and self._refreshes % self._graph_refresh_every == 0:
             self.refresh_graph()
@@ -112,32 +162,64 @@ class FollowerReader:
         vecs = sys_.embedder.encode_batch(chunks)
         rows = sys_.index.add(vecs)
         if writer_rows and rows != writer_rows:
-            # row drift (writer compacted/rebuilt): full resync is the only
-            # safe answer — rebuild the local index in seq order
+            # row drift (writer compacted/rebuilt): full row-aligned resync
             self.resync()
-            return 1
+            raise _Resynced()
         if sys_.bm25 is not None:
             sys_.bm25.load_doc(mem.id)
         return 1
 
     def resync(self) -> None:
-        """Rebuild the local index from scratch in seq order."""
+        """Rebuild the local index ROW-ALIGNED to the writer's vecmap.
+
+        After a writer compaction/rebuild the shared row map is the source
+        of truth: memories append in ascending writer-row order so the
+        follower's assigned rows equal the writer's. BM25 docs reload
+        wholesale (the in-memory postings may predate the drift)."""
         from shodh_tpu.index.device_index import DeviceVectorIndex
         from shodh_tpu.models.chunking import chunk_content
 
         sys_ = self.system
-        new_index = DeviceVectorIndex(dim=sys_.embedder.dimension, dtype=sys_.index.dtype)
         storage = sys_.storage
-        self._last_seq = -1
+        entries: list[tuple[int, object, list[int]]] = []
+        last = self._last_seq
         for key, val in list(storage.kv.scan_range(NS_SEQ, "0" * 14, "9" * 14)):
-            self._last_seq = int(key)
+            last = max(last, int(key))
             mem = storage.get(val.decode())
             if mem is None:
                 continue
+            rows = storage.get_vector_map(mem.id).get("text", [])
+            if rows:
+                entries.append((rows[0], mem, rows))
+        entries.sort(key=lambda e: e[0])
+        import numpy as np
+
+        new_index = DeviceVectorIndex(dim=sys_.embedder.dimension, dtype=sys_.index.dtype)
+        expected = 0
+        for start, mem, rows in entries:
+            if start > expected:
+                # gap = rows of memories deleted since: reproduce as
+                # soft-deleted padding so downstream rows stay aligned
+                pad = new_index.add(np.zeros((start - expected, sys_.embedder.dimension), np.float32))
+                new_index.delete_rows(pad)
+            elif start < expected:
+                # overlapping rows: writer mid-rebuild; retry next refresh
+                return
             vecs = sys_.embedder.encode_batch(chunk_content(mem.experience.content))
-            new_index.add(vecs)
+            got = new_index.add(vecs)
+            if got != rows:
+                # writer mid-rebuild: its row map is not yet self-consistent.
+                # Keep serving the current index; the next refresh retries.
+                return
+            expected = rows[-1] + 1
         new_index.flush()
         sys_.index = new_index
+        self._last_seq = last
+        if sys_.bm25 is not None:
+            for _, mem, _rows in entries:
+                sys_.bm25.load_doc(mem.id)
+        if sys_._device_funnel is not None:
+            sys_._device_funnel.invalidate()
 
     def refresh_graph(self) -> None:
         """Reload the graph from the writer's persisted state."""
@@ -150,8 +232,9 @@ class FollowerReader:
             fresh = GraphMemory(self.data_dir / "graph")
         except Exception:
             return  # writer mid-commit: keep serving the stale graph
-        old = sys_.graph
-        sys_.graph = fresh
+        with sys_._lock:
+            old = sys_.graph
+            sys_.graph = fresh
         try:
             old.close()
         except Exception:

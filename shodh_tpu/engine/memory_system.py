@@ -1420,11 +1420,13 @@ class MemorySystem:
 
         # The program bakes FLAT calibrated-max fusion with vec_raw and
         # vec_trust=1; any env/experiment that changes fusion math falls
-        # through to the staged funnel.
+        # through to the staged funnel. MUST use the same env_flag parser
+        # as fusion.py — a spelling the host accepts ("true"/"on") but this
+        # gate missed would silently serve a diverged ranking.
         if (
-            os.environ.get("SHODH_FUSION_RRF", "") == "1"
-            or os.environ.get("SHODH_FLAT_ADAPTIVE", "") == "1"
-            or os.environ.get("SHODH_FLAT_VEC_RAW", "1") in ("0", "false")
+            C.env_flag("SHODH_FUSION_RRF", False)
+            or C.env_flag("SHODH_FLAT_ADAPTIVE", False)
+            or not C.env_flag("SHODH_FLAT_VEC_RAW", True)
             or C.env_float("SHODH_FLAT_VEC_TRUST", 1.0) != 1.0
         ):
             return None
@@ -1988,6 +1990,7 @@ class MemorySystem:
                 adjacency_pairs,
             )
 
+            prev_metric = base._adj_metric
             base.set_adjacency_metric(None, 0.0)  # fit in the RAW space
             raw_vecs = base.encode_batch(texts)
             metric = AdjacencyMetric.fit(
@@ -2000,6 +2003,11 @@ class MemorySystem:
                 metric.save(self.data_dir / "adjacency_metric")
                 base.set_adjacency_metric(metric, adj_alpha)
                 need_rebuild = True
+            elif prev_metric is not None:
+                # refit sample too small: KEEP the attached metric — the
+                # stored vectors are in its space; detaching would make
+                # queries embed unwarped against a warped index
+                base.set_adjacency_metric(prev_metric, adj_alpha)
             if hasattr(self.embedder, "refresh_inner"):
                 self.embedder.refresh_inner()
         if need_rebuild:
@@ -2050,7 +2058,9 @@ class MemorySystem:
                     w = weight * sim
                     if w > extra.get(t, 0.0):
                         extra[t] = w
-            if extra:
+            if extra or self.bm25.has_expansion(mem.id):
+                # empty extra still REPLACES a previous refit's expansion —
+                # skipping would bake stale derived terms in forever
                 self.bm25.set_expansion_terms(mem.id, extra)
 
     def _reload_semantic_model(self) -> None:

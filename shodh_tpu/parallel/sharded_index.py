@@ -24,6 +24,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from shodh_tpu.ops.distance import NEG_INF, masked_scores
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _scatter_rows(corpus, updates, rows):
+    """In-place (donated) row scatter; preserves the input's sharding."""
+    return corpus.at[rows].set(updates.astype(corpus.dtype))
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _scatter_vals(vec, updates, rows):
+    return vec.at[rows].set(updates)
+
+
 def _local_topk(queries, corpus_shard, valid_shard, scales_shard, k, axis):
     """Per-shard partial top-k + ICI all-gather merge. Runs inside shard_map."""
     rows_per_shard = corpus_shard.shape[0]
@@ -99,6 +110,32 @@ class ShardedVectorIndex:
         self._scales = jax.device_put(scales_np, row_sharding)
         self._valid = jax.device_put(valid, row_sharding)
 
+    def _update_rows(self, rows: list[int], vectors: np.ndarray) -> None:
+        """Incremental device update: ship ONLY the new rows and scatter
+        them in place on the mesh (a full re-quantize + re-device_put per
+        delta append was O(N·D) host→device traffic per call — the very
+        cost the 'delta append into spare capacity' design exists to
+        avoid). The donated .at[].set keeps the row sharding and moves
+        bytes at HBM speed, not tunnel speed."""
+        if self.dtype == "int8":
+            from shodh_tpu.index.device_index import _quantize_int8_np
+
+            q, s = _quantize_int8_np(vectors)
+        else:
+            q, s = vectors.astype(np.float32), np.ones(len(vectors), np.float32)
+        idx = np.asarray(rows, np.int32)
+        self._corpus = _scatter_rows(self._corpus, jnp.asarray(q), jnp.asarray(idx))
+        self._scales = _scatter_vals(self._scales, jnp.asarray(s), jnp.asarray(idx))
+        self._valid = _scatter_vals(
+            self._valid, jnp.ones(len(idx), jnp.float32), jnp.asarray(idx)
+        )
+
+    def _update_valid(self, rows: list[int], value: float) -> None:
+        idx = np.asarray(rows, np.int32)
+        self._valid = _scatter_vals(
+            self._valid, jnp.full(len(idx), value, jnp.float32), jnp.asarray(idx)
+        )
+
     # -- mutation (config 5 scale-out lifecycle: delta append, soft delete,
     # -- compaction; mirrors index/device_index.py single-chip semantics) --
 
@@ -107,6 +144,7 @@ class ShardedVectorIndex:
         Grows capacity (with re-shard) when headroom runs out."""
         vectors = np.atleast_2d(np.asarray(vectors, np.float32))
         count = len(vectors)
+        grew = False
         if self.n + count > self.capacity:
             grow = max(self.capacity, self.n + count)
             padded = ((grow + self.n_shards - 1) // self.n_shards) * self.n_shards
@@ -116,21 +154,29 @@ class ShardedVectorIndex:
             valid[: len(self._host_valid)] = self._host_valid
             self._host_vectors, self._host_valid = buf, valid
             self.capacity = padded
+            grew = True
         rows = list(range(self.n, self.n + count))
         self._host_vectors[self.n : self.n + count] = vectors
         self._host_valid[self.n : self.n + count] = 1.0
         self.n += count
-        self._upload(self._host_vectors, self._host_valid)
+        if grew:
+            # shape change: the mesh allocation must rebuild wholesale
+            self._upload(self._host_vectors, self._host_valid)
+        else:
+            self._update_rows(rows, vectors)
         return rows
 
     def delete(self, rows: list[int]) -> None:
         """Soft delete: rows stop matching immediately; space reclaims at
         compaction."""
+        hit = []
         for r in rows:
             if 0 <= r < self.n and self._host_valid[r] > 0:
                 self._host_valid[r] = 0.0
                 self._deleted += 1
-        self._upload(self._host_vectors, self._host_valid)
+                hit.append(r)
+        if hit:
+            self._update_valid(hit, 0.0)
 
     def compact(self) -> dict[int, int]:
         """Drop soft-deleted rows and repack; returns old->new row map."""

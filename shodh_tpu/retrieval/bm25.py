@@ -35,13 +35,20 @@ _WORD_RE = re.compile(r"[a-z0-9][a-z0-9_\-./]*")
 # conversational turns rarely repeat terms, so a faster-saturating tf
 # (k1=0.6) lets idf and field boosts decide — full r@10 .6675->.6772,
 # gate .6277->.6423, every aggregate up. (Reference: textbook 1.2.)
-K1 = float(os.environ.get("SHODH_BM25_K1", "0.6"))
-# Param class 1: prose/notes documents. The 0.6/0.3 retune was measured on
-# dialogue turns; the smoke (notes-domain) suite lost r@10/map under it
-# (round-2 weak #5). Non-conversation experiences score under Okapi
-# defaults instead — per-document, in the same index.
-K1_NOTES = float(os.environ.get("SHODH_BM25_K1_NOTES", "1.2"))
-B_NOTES = float(os.environ.get("SHODH_BM25_B_NOTES", "0.75"))
+# Per-domain Okapi parameters live in constants.py (repo convention:
+# every scoring tunable there, with the reference citation). Class 1
+# (prose/notes) exists because the dialogue retune was measured on turns
+# and cost the notes-domain smoke suite (round-2 weak #5).
+from shodh_tpu.constants import (  # noqa: E402
+    BM25_B_DIALOGUE,
+    BM25_B_NOTES,
+    BM25_K1_DIALOGUE,
+    BM25_K1_NOTES,
+)
+
+K1 = BM25_K1_DIALOGUE
+K1_NOTES = BM25_K1_NOTES
+B_NOTES = BM25_B_NOTES
 CLASS_DIALOGUE = 0
 CLASS_NOTES = 1
 # Length normalization swept on locomo-full (0.75/.6/.5/.4/.3/.2/0):
@@ -50,7 +57,7 @@ CLASS_NOTES = 1
 # stems), so Okapi's default b=0.75 over-penalizes exactly the docs that
 # matter. b=0.3 peaks p@1/mrr/map (full r@10 .6567->.6675, gate ->.6277);
 # the reference keeps the textbook 0.75 (hybrid_search.rs).
-B = float(os.environ.get("SHODH_BM25_B", "0.3"))
+B = BM25_B_DIALOGUE
 TAG_BOOST = float(os.environ.get("SHODH_BM25_TAG_BOOST", "1.5"))
 ENTITY_BOOST = float(os.environ.get("SHODH_BM25_ENTITY_BOOST", "1.3"))
 
@@ -276,6 +283,11 @@ class BM25Index:
         if self.kv is not None:
             self.kv.put("bm25doc", doc_id, encode(weighted))
 
+    def has_expansion(self, doc_id: str) -> bool:
+        if self.kv is not None:
+            return self.kv.get("bm25exp", doc_id) is not None
+        return doc_id in getattr(self, "_expansion", {})
+
     def set_expansion_terms(self, doc_id: str, extra: dict[str, float]) -> None:
         """Attach model-derived terms to an existing doc, REPLACING any
         previous expansion (round-3 document-side semantic expansion: each
@@ -315,11 +327,17 @@ class BM25Index:
         self._insert(doc_id, new_effective)
         if self.kv is not None:
             self.kv.put("bm25doc", doc_id, encode(new_effective))
-            self.kv.put("bm25exp", doc_id, encode(extra))
+            if extra:
+                self.kv.put("bm25exp", doc_id, encode(extra))
+            else:
+                self.kv.delete("bm25exp", doc_id)
         else:
             if not hasattr(self, "_expansion"):
                 self._expansion = {}
-            self._expansion[doc_id] = dict(extra)
+            if extra:
+                self._expansion[doc_id] = dict(extra)
+            else:
+                self._expansion.pop(doc_id, None)
 
     def load_doc(self, doc_id: str) -> bool:
         """(Re)load one doc's persisted postings + param class from kv —

@@ -59,8 +59,10 @@ from shodh_tpu.constants import (
 # while locomo is conversation-majority and keeps 0.4). The engine passes
 # the store-majority default via fuse_legs(consensus=...); these constants
 # are the two endpoints.
-FLAT_CONSENSUS = 0.4
-FLAT_CONSENSUS_NOTES = 0.5
+from shodh_tpu.constants import FLAT_CONSENSUS_DIALOGUE, FLAT_CONSENSUS_NOTES_V
+
+FLAT_CONSENSUS = FLAT_CONSENSUS_DIALOGUE
+FLAT_CONSENSUS_NOTES = FLAT_CONSENSUS_NOTES_V
 ADAPT_TRUST_MAX = 2.0
 ADAPT_AGREE_K = 10
 ADAPT_AGREE_LO = 0.1

@@ -20,11 +20,19 @@ _tried = False
 
 
 def _build() -> bool:
+    """Run make under an exclusive file lock: concurrently starting
+    processes (writer + replicas + bench subprocesses) must not dlopen a
+    half-rewritten .so or race two compiler invocations."""
     try:
-        subprocess.run(
-            ["make", "-C", str(_NATIVE_DIR)],
-            check=True, capture_output=True, timeout=120,
-        )
+        import fcntl
+
+        lock_path = _NATIVE_DIR / ".build.lock"
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            subprocess.run(
+                ["make", "-C", str(_NATIVE_DIR)],
+                check=True, capture_output=True, timeout=120,
+            )
         return _LIB_PATH.exists()
     except Exception:
         return False

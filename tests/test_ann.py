@@ -184,6 +184,26 @@ class TestShardedIndex:
         _, rows = idx.search(extra[2][None, :], k=1)
         assert rows[0, 0] == mapping[22]
 
+    def test_int8_delta_append_matches_rebuild(self):
+        """Incremental int8 append (per-row quantization) must rank
+        identically to a from-scratch build of the same corpus."""
+        rng = np.random.default_rng(21)
+        d = 24
+        base = rng.standard_normal((12, d)).astype(np.float32)
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        extra = rng.standard_normal((5, d)).astype(np.float32)
+        extra /= np.linalg.norm(extra, axis=1, keepdims=True)
+        mesh = make_mesh(8)
+        inc = ShardedVectorIndex(base, mesh, dtype="int8", spare_capacity=8)
+        inc.add(extra)
+        full = ShardedVectorIndex(np.vstack([base, extra]), mesh, dtype="int8",
+                                  spare_capacity=8 - 5)
+        q = extra[:3]
+        vi, ri = inc.search(q, k=5)
+        vf, rf = full.search(q, k=5)
+        np.testing.assert_array_equal(ri, rf)
+        np.testing.assert_allclose(vi, vf, rtol=1e-5)
+
     def test_sharded_eval_suite_parity(self):
         """Mini retrieval suite through the mesh index: every query's full
         ranking must equal the single-chip reference ranking (the 8-device

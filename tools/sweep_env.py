@@ -52,14 +52,38 @@ def evaluate(system, id_map, cases):
     return out
 
 
+def _constants_attr_for(env_name: str):
+    """Map an env var to its constants.py module attribute (many tunables
+    are read ONCE at import — `X = env_float("ENV", d)` — so sweeping the
+    env var alone is a silent no-op; the attribute must be patched too)."""
+    import re
+    from pathlib import Path
+
+    src = (Path(__file__).parent.parent / "shodh_tpu" / "constants.py").read_text()
+    m = re.search(
+        rf'^([A-Z_0-9]+)\s*=\s*env_(?:float|int)\("{env_name}"', src, re.M
+    )
+    return m.group(1) if m else None
+
+
 def main() -> None:
     knob = sys.argv[1]
     values = sys.argv[2:]
     system, id_map = build_system()
     cases = list(load_cases(CASES))
-    print(f"{len(cases)} cases; sweeping {knob} over {values}", file=sys.stderr)
+    from shodh_tpu import constants as C
+
+    attr = _constants_attr_for(knob)
+    print(
+        f"{len(cases)} cases; sweeping {knob} over {values}"
+        + (f" (patching constants.{attr})" if attr else ""),
+        file=sys.stderr,
+    )
     for v in values:
         os.environ[knob] = v
+        if attr is not None:
+            cast = int if isinstance(getattr(C, attr), int) else float
+            setattr(C, attr, cast(float(v)))
         res = evaluate(system, id_map, cases)
         print(json.dumps({knob: v, **res}), flush=True)
 
