@@ -558,9 +558,9 @@ TEMPORAL_DIVERSITY_CAP = env_int("SHODH_DIVERSITY_CAP", 0)
 # temporal expressions get this multiplicative boost — golds carry
 # temporal_refs at 0.54 vs 0.10 for non-golds (locomo-full measurement).
 # Family "seek_temporal_refs".
-SEEK_TEMPORAL_REFS_BOOST = env_float("SHODH_SEEK_TREFS_BOOST", 0.3)  # saturates by 0.3; full suite all-metrics-up
+SEEK_TEMPORAL_REFS_BOOST = env_float("SHODH_SEEK_TREFS_BOOST", 0.45)  # r2 landed 0.3; r3 joint re-sweep with ANSWER_TYPE 0.4 lifts every full aggregate (r@10 .6860->.6869) — alone it traded r@10 for precision, composed it does not
 # Answer-type matching for where/why questions (family "answer_type"):
 # where -> toponym-bearing candidates, why -> causal-marker-bearing ones.
 # Measured lifts 0.20-vs-0.08 / 0.18-vs-0.07 (weaker than the temporal
 # signal; boost kept moderate).
-ANSWER_TYPE_BOOST = env_float("SHODH_ANSWER_TYPE_BOOST", 0.25)  # full r@10 +0.22pp, gate p@1/mrr/map/ndcg all up
+ANSWER_TYPE_BOOST = env_float("SHODH_ANSWER_TYPE_BOOST", 0.4)  # r2 landed 0.25; r3 re-sweep .15/.25/.4/.55 — 0.4 peaks r@10 (+0.16pp), 0.55 overshoots; ships jointly with SEEK_TREFS 0.45 (all-aggregates-up combo)
