@@ -1,21 +1,37 @@
 """Offline toponym gazetteer: place name -> coordinates.
 
 Reference: ``src/gazetteer/mod.rs`` — GeoNames-derived toponym resolution
-with population-weighted homonym disambiguation, filling
-``Experience.toponyms`` (deliberately NOT the geo index — textual place
-mentions are weaker evidence than GPS).
+with population-weighted homonym disambiguation (mod.rs:25-27: "London is
+the one in England"), filling ``Experience.toponyms`` (deliberately NOT the
+geo index — mod.rs:10-15: a note *mentioning* Baltimore must never surface
+for "within 5km of Baltimore").
 
-Data: loads a GeoNames-format TSV when provided (``load_tsv``: name, lat,
-lon, population columns); ships with a small built-in list of major world
-cities so the subsystem works offline out of the box.
+Data: ships the full GeoNames ``cities15000`` subset (~34k places over
+15,000 inhabitants — the same public CC BY 4.0 dataset the reference embeds,
+mod.rs:34-40) as ``nlp/data/geonames_cities.tsv.gz``, built by
+``tools/build_gazetteer.py``; loaded lazily on first use. A small built-in
+seed list keeps the subsystem working even without the artifact, and
+``load_tsv`` accepts user-provided GeoNames TSVs.
+
+Resolution is case-insensitive exact match with population-weighted argmax
+(mod.rs:18-31: no fuzzy matching — a wrong-but-plausible link is worse than
+no link). Free-text extraction, which the reference does not attempt (its
+gazetteer only resolves NER LOC entities, mod.rs:166-177), additionally
+guards against city names that are common English words ("split", "nice",
+"mobile", "of" — all real cities15000 rows): non-builtin single-token names
+need capitalization evidence at a non-sentence-initial position, or a
+metropolis-scale population.
 """
 
 from __future__ import annotations
 
+import gzip
 import re
 from dataclasses import dataclass
 from pathlib import Path
-from typing import Optional
+from typing import Iterable, Optional
+
+from shodh_tpu.nlp.stopwords import STOPWORDS
 
 # (name, lat, lon, population) rows. Built-in seed (public-knowledge data,
 # coords city-center approximate): major world cities, countries (anchored
@@ -276,10 +292,38 @@ _BUILTIN: dict[str, tuple[float, float, int]] = {
 
 @dataclass
 class Toponym:
-    name: str
+    name: str  # lowercase matched form (the Experience.toponyms key)
     lat: float
     lon: float
     population: int
+    country: str = ""  # ISO 3166-1 alpha-2 (empty for builtin seed rows)
+    canonical: str = ""  # GeoNames casing ("Baltimore"); name if unset
+    mention: str = ""  # the surface form as it appeared (types.rs:931-935)
+
+    def __post_init__(self) -> None:
+        if not self.canonical:
+            self.canonical = self.name
+        if not self.mention:
+            self.mention = self.name
+
+
+# Shipped artifact (tools/build_gazetteer.py): form \t canonical \t lat \t
+# lon \t country \t population, one row per lowercased name form.
+_FULL_DATA = Path(__file__).parent / "data" / "geonames_cities.tsv.gz"
+
+# Words the free-text scanner never matches, whatever the casing — question
+# openers and function words that double as city names ("Of", "To", "Most").
+_NEVER_MATCH = STOPWORDS | {"most", "come", "along", "deal", "best", "date"}
+
+# Tokens: word chars plus inner apostrophes/hyphens ("'s-hertogenbosch").
+_TOKEN_RE = re.compile(r"[^\W_]+(?:['’’-][^\W_]+)*", re.UNICODE)
+_SENTENCE_BREAK_RE = re.compile(r"[.!?\n\r;:]")
+
+# A single-token non-builtin name matched WITHOUT capitalization evidence
+# must resolve to a metropolis: famous cities read unambiguously even in
+# lowercase chat ("flying to mumbai"), small homonyms don't ("split the
+# bill" — Split, HR, pop 150k).
+_LOWERCASE_MIN_POPULATION = 1_000_000
 
 
 class Gazetteer:
@@ -288,47 +332,187 @@ class Gazetteer:
         self._places: dict[str, list[Toponym]] = {}
         for name, lat, lon, pop in _BUILTIN_ROWS:
             self._places.setdefault(name, []).append(Toponym(name, lat, lon, pop))
+        self._builtin_names = frozenset(self._places)
+        # form -> population-argmax place from the shipped GeoNames artifact
+        # (mod.rs:120-133 applies the argmax while indexing; so do we).
+        self._full: Optional[dict[str, Toponym]] = None
+        self._max_ngram = 4
         if tsv_path is not None:
             self.load_tsv(tsv_path)
 
+    # -- data loading ---------------------------------------------------------
+
+    def _full_index(self) -> dict[str, Toponym]:
+        """Lazy-load the shipped GeoNames artifact (first call ~100 ms)."""
+        if self._full is None:
+            index: dict[str, Toponym] = {}
+            from shodh_tpu import constants as C
+
+            if C.GAZETTEER_FULL and _FULL_DATA.exists():
+                with gzip.open(_FULL_DATA, "rt", encoding="utf-8") as fh:
+                    for line in fh:
+                        if line.startswith("#"):
+                            continue
+                        parts = line.rstrip("\n").split("\t")
+                        if len(parts) != 6:
+                            continue
+                        form, canonical, lat, lon, country, pop = parts
+                        try:
+                            top = Toponym(
+                                form, float(lat), float(lon), int(pop), country, canonical
+                            )
+                        except ValueError:
+                            continue
+                        prev = index.get(form)
+                        if prev is None or top.population > prev.population:
+                            index[form] = top
+            self._full = index
+        return self._full
+
     def load_tsv(self, path: str | Path) -> int:
-        """GeoNames cities TSV: columns name, lat, lon, population (tab)."""
+        """Load a user-provided GeoNames-style TSV.
+
+        Accepts both the 4-column legacy layout (name, lat, lon, population)
+        and the 6-column cities15000 layout (name, asciiname, lat, lon,
+        country, population — asciiname empty when identical to name).
+        """
         n = 0
         for line in Path(path).read_text(encoding="utf-8", errors="replace").splitlines():
             parts = line.split("\t")
-            if len(parts) < 4:
-                continue
+            tops: list[Toponym] = []
             try:
-                top = Toponym(parts[0].lower(), float(parts[1]), float(parts[2]), int(float(parts[3])))
+                if len(parts) >= 6:
+                    name, asciiname, lat, lon, country, pop = parts[:6]
+                    for form in {name.strip().lower(), asciiname.strip().lower()}:
+                        if form:
+                            tops.append(
+                                Toponym(
+                                    form,
+                                    float(lat),
+                                    float(lon),
+                                    int(float(pop)),
+                                    country,
+                                    name.strip(),
+                                )
+                            )
+                elif len(parts) >= 4:
+                    tops.append(
+                        Toponym(
+                            parts[0].lower(), float(parts[1]), float(parts[2]), int(float(parts[3]))
+                        )
+                    )
             except ValueError:
                 continue
-            self._places.setdefault(top.name, []).append(top)
-            n += 1
+            for top in tops:
+                self._places.setdefault(top.name, []).append(top)
+                n += 1
         return n
 
+    # -- resolution (mod.rs:148-158) ------------------------------------------
+
     def resolve(self, name: str) -> Optional[Toponym]:
-        """Population-weighted homonym resolution: biggest place wins."""
-        candidates = self._places.get(name.strip().lower())
-        if not candidates:
-            return None
-        return max(candidates, key=lambda t: t.population)
+        """Population-weighted homonym resolution: biggest place wins.
+
+        Case-insensitive exact match only — no fuzzy/prefix matching
+        (mod.rs:19-23). Considers the builtin seed, ``load_tsv`` rows, and
+        the shipped GeoNames artifact together.
+        """
+        key = name.strip().lower()
+        best: Optional[Toponym] = None
+        candidates = self._places.get(key)
+        if candidates:
+            best = max(candidates, key=lambda t: t.population)
+        full = self._full_index().get(key)
+        if full is not None and (best is None or full.population > best.population):
+            best = full
+        return best
+
+    def resolve_ner_locations(self, mentions: Iterable[str]) -> list[Toponym]:
+        """Resolve NER location mentions into coordinate-bearing toponyms.
+
+        The reference's single remember-path entry point for turning place
+        mentions into coordinates (mod.rs:166-206): only location entities
+        are offered (the caller filters), unresolved mentions are dropped
+        (not an error), repeated mentions collapse to one toponym.
+        """
+        out: list[Toponym] = []
+        seen: set[str] = set()
+        for mention in mentions:
+            key = mention.strip().lower()
+            if not key or key in seen:
+                continue
+            seen.add(key)
+            top = self.resolve(key)
+            if top is not None:
+                out.append(
+                    Toponym(
+                        top.name,
+                        top.lat,
+                        top.lon,
+                        top.population,
+                        top.country,
+                        top.canonical,
+                        mention.strip(),
+                    )
+                )
+        return out
+
+    # -- free-text extraction (repo extension; the reference resolves NER
+    #    LOC spans only, so it never faces common-word city names) -----------
 
     def extract_toponyms(self, text: str) -> list[Toponym]:
-        """Longest-match scan for known places in the text."""
-        lowered = " " + re.sub(r"[^a-z0-9 ]", " ", text.lower()) + " "
-        found: dict[str, Toponym] = {}
-        for name in self._places:
-            if f" {name} " in lowered:
-                top = self.resolve(name)
-                if top is not None:
-                    found[name] = top
-        # drop places contained in longer matches ("york" in "new york")
-        names = sorted(found, key=len, reverse=True)
+        """Longest-match n-gram scan for known places in free text.
+
+        O(tokens) dict lookups: at each token position the 4..1-gram joins
+        are tried longest-first, and a match advances past its span (so
+        "york" never fires inside "new york"). Builtin seed names match in
+        any case (pre-artifact behavior, kept); artifact-only names are
+        guarded against English homonyms — multi-token forms match in any
+        case, single-token forms need either a capitalized surface at a
+        non-sentence-initial position or metropolis-scale population.
+        """
+        tokens = list(_TOKEN_RE.finditer(text))
+        if not tokens:
+            return []
+        lowered = [t.group(0).lower() for t in tokens]
+        full = self._full_index()
         out: list[Toponym] = []
-        taken: list[str] = []
-        for n in names:
-            if any(n in t for t in taken):
-                continue
-            taken.append(n)
-            out.append(found[n])
+        seen: set[str] = set()
+        i = 0
+        while i < len(tokens):
+            matched_len = 0
+            for n in range(min(self._max_ngram, len(tokens) - i), 0, -1):
+                form = " ".join(lowered[i : i + n])
+                top: Optional[Toponym] = None
+                if form in self._places:
+                    top = self.resolve(form)
+                elif form in full:
+                    top = full[form]
+                if top is not None and n == 1:
+                    # The guard applies to builtin names too: "nice to meet
+                    # you" matched Nice, FR under the unguarded scan.
+                    initial = i == 0 or bool(
+                        _SENTENCE_BREAK_RE.search(
+                            text[tokens[i - 1].end() : tokens[i].start()]
+                        )
+                    )
+                    if not self._single_token_ok(tokens[i].group(0), initial, top):
+                        top = None
+                if top is not None:
+                    if top.name not in seen:
+                        seen.add(top.name)
+                        out.append(top)
+                    matched_len = n
+                    break
+            i += matched_len or 1
         return out
+
+    def _single_token_ok(self, surface: str, sentence_initial: bool, top: Toponym) -> bool:
+        form = surface.lower()
+        if form in _NEVER_MATCH or len(form) < 3:
+            return False
+        # Capitalization only counts mid-sentence: "Nice to meet you"
+        # capitalizes Nice, FR (pop 342k) by position alone.
+        if surface[0].isupper() and not sentence_initial:
+            return True
+        return top.population >= _LOWERCASE_MIN_POPULATION and len(form) >= 4

@@ -72,10 +72,65 @@ class TestGazetteer:
 
     def test_tsv_load(self, tmp_path):
         tsv = tmp_path / "cities.tsv"
-        tsv.write_text("springfield\t39.8\t-89.6\t110000\nspringfield\t42.1\t-72.6\t155000\n")
+        # synthetic name so the shipped GeoNames artifact can't outrank it
+        tsv.write_text("zorgburg\t39.8\t-89.6\t110000\nzorgburg\t42.1\t-72.6\t155000\n")
         g = Gazetteer(tsv)
-        top = g.resolve("springfield")
+        top = g.resolve("zorgburg")
         assert top.population == 155000  # population-weighted homonym pick
+
+    def test_tsv_load_geonames_layout(self, tmp_path):
+        # 6-column cities15000 layout: name, asciiname, lat, lon, country, pop
+        tsv = tmp_path / "cities6.tsv"
+        tsv.write_text("Zürgville\tZurgville\t47.0\t8.0\tCH\t50000\n")
+        g = Gazetteer(tsv)
+        for form in ("zürgville", "Zurgville"):
+            top = g.resolve(form)
+            assert top is not None and top.country == "CH" and top.population == 50000
+
+    def test_full_artifact_resolution(self):
+        # gazetteer/mod.rs:210-215 — Baltimore's source-row coordinates
+        g = Gazetteer()
+        top = g.resolve("Baltimore")
+        assert top is not None and top.country == "US"
+        assert abs(top.lat - 39.29038) < 1e-5 and abs(top.lon - -76.61219) < 1e-5
+        # case-insensitive + trimmed (mod.rs:218-226)
+        assert g.resolve("  bAlTiMoRe  ").canonical == top.canonical
+        # homonym argmax: London, England (8.9M) over London, Ontario
+        assert g.resolve("london").population > 8_000_000
+
+    def test_extract_guards_common_word_cities(self):
+        g = Gazetteer()
+        # "split" (Split, HR), "nice" (Nice, FR), "mobile" (Mobile, AL) are
+        # all cities15000 rows; lowercase common-word usage must not match
+        assert g.extract_toponyms("we should split the bill") == []
+        assert g.extract_toponyms("Nice to meet you!") == []
+        assert g.extract_toponyms("most of my mobile photos") == []
+        # capitalized mid-sentence is place evidence
+        assert [t.name for t in g.extract_toponyms("the ferry to Split departs")] == ["split"]
+        # metropolis-scale population reads unambiguously even lowercase
+        assert [t.name for t in g.extract_toponyms("my flight to mumbai")] == ["mumbai"]
+
+    def test_build_tool_reproducible(self, tmp_path):
+        # tools/build_gazetteer.py: byte-stable output (mtime=0 gzip,
+        # sorted rows) regardless of input ordering
+        import importlib
+
+        bg = importlib.import_module("tools.build_gazetteer")
+        a = tmp_path / "a.tsv"
+        b = tmp_path / "b.tsv"
+        rows = ["Xville\t\t1.0\t2.0\tAA\t20000\n", "Yville\tYvil\t3.0\t4.0\tBB\t30000\n"]
+        a.write_text("".join(rows))
+        b.write_text("".join(reversed(rows)))
+        out_a, out_b = tmp_path / "a.gz", tmp_path / "b.gz"
+        assert bg.build(a, out_a) == bg.build(b, out_b) == 3  # Yville+yvil forms
+        assert out_a.read_bytes() == out_b.read_bytes()
+
+    def test_resolve_ner_locations(self):
+        # mod.rs:166-206 — resolve LOC mentions, drop unresolved, dedup
+        g = Gazetteer()
+        tops = g.resolve_ner_locations(["Baltimore", "baltimore", "the dog park", "Kyoto"])
+        assert [t.canonical for t in tops] == ["Baltimore", "Kyoto"]
+        assert tops[0].mention == "Baltimore"
 
 
 class TestFleet:
