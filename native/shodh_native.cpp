@@ -194,6 +194,22 @@ static const std::unordered_set<std::string>& stopwords() {
     return s;
 }
 
+// Irregular-lemma fold table, pushed once at library load from
+// nlp/data/lemma_exceptions.tsv.gz (see nlp/lemmas.py — "went" -> "go";
+// Porter only folds regular inflection). Load happens before any index
+// exists and never again, so no locking is needed on the read path.
+static std::unordered_map<std::string, std::string>& lemma_table() {
+    static std::unordered_map<std::string, std::string> m;
+    return m;
+}
+
+// Mirrors nlp/stemmer.py stem(): lemma fold, then Porter.
+static std::string fold_stem(const std::string& w) {
+    auto& m = lemma_table();
+    auto it = m.find(w);
+    return porter::stem(it == m.end() ? w : it->second);
+}
+
 static std::vector<std::string> tokenize(const char* text) {
     std::vector<std::string> out;
     std::string cur;
@@ -212,7 +228,7 @@ static std::vector<std::string> tokenize(const char* text) {
             cur += lc;
             started = true;
         } else if (started) {
-            if (cur.size() > 1 && !stopwords().count(cur)) out.push_back(porter::stem(cur));
+            if (cur.size() > 1 && !stopwords().count(cur)) out.push_back(fold_stem(cur));
             cur.clear();
             started = false;
         }
@@ -403,8 +419,24 @@ char* shodh_tokenize(const char* text) {
     return out;
 }
 
+// Load the irregular-lemma fold table: "form\tlemma\n" lines. Called by
+// the Python binding right after dlopen, before any tokenization.
+void shodh_lemma_load(const char* tsv) {
+    auto& m = lemma_table();
+    m.clear();
+    const char* p = tsv;
+    while (*p) {
+        const char* tab = strchr(p, '\t');
+        if (!tab) break;
+        const char* nl = strchr(tab + 1, '\n');
+        if (!nl) nl = tab + 1 + strlen(tab + 1);
+        m.emplace(std::string(p, tab), std::string(tab + 1, nl));
+        p = (*nl) ? nl + 1 : nl;
+    }
+}
+
 char* shodh_stem(const char* word) {
-    std::string s = porter::stem(std::string(word));
+    std::string s = fold_stem(std::string(word));
     char* out = (char*)malloc(s.size() + 1);
     memcpy(out, s.c_str(), s.size() + 1);
     return out;

@@ -564,3 +564,17 @@ SEEK_TEMPORAL_REFS_BOOST = env_float("SHODH_SEEK_TREFS_BOOST", 0.45)  # r2 lande
 # Measured lifts 0.20-vs-0.08 / 0.18-vs-0.07 (weaker than the temporal
 # signal; boost kept moderate).
 ANSWER_TYPE_BOOST = env_float("SHODH_ANSWER_TYPE_BOOST", 0.4)  # r2 landed 0.25; r3 re-sweep .15/.25/.4/.55 — 0.4 peaks r@10 (+0.16pp), 0.55 overshoots; ships jointly with SEEK_TREFS 0.45 (all-aggregates-up combo)
+# Full GeoNames cities15000 gazetteer (gazetteer/mod.rs:34-40; artifact
+# built by tools/build_gazetteer.py). Off -> 239-entry builtin seed only.
+# Free-text extraction guards single-token common-word homonyms ("split",
+# "nice") behind capitalization evidence or metropolis population
+# (nlp/gazetteer.py). locomo-full: all five aggregates up (p@1
+# .4069->.4082), gate bit-identical, smoke within contract.
+GAZETTEER_FULL = env_flag("SHODH_GAZETTEER_FULL", True)
+# Irregular-lemma folding before Porter ("went"->"go"; nlp/lemmas.py,
+# table distilled from the spaCy en_core_web_sm lemmatizer exceptions the
+# reference embeds for parsing, dep_parser/en_core_web_sm/NOTICE). The
+# reference bridges these forms with its MiniLM dense leg instead; a
+# weight-blocked build closes the gap lexically. Resolved at import —
+# never flips mid-process (stored postings would split).
+LEMMA_FOLD = env_flag("SHODH_LEMMA_FOLD", True)

@@ -24,9 +24,26 @@ _BACKEND = os.environ.get("SHODH_STEMMER", "porter1")
 
 @lru_cache(maxsize=65536)
 def stem(word: str) -> str:
+    # Irregular forms fold to their lemma first ("went" -> "go",
+    # "children" -> "child") — Porter only handles regular inflection.
+    # Table fixed at import (nlp/lemmas.py), same no-mid-process-change
+    # contract as the backend choice above.
+    word = _lemma_fold(word)
     if _BACKEND == "porter2":
         return _porter2(word.lower())
     return _porter1(word)
+
+
+@lru_cache(maxsize=1)
+def _lemma_table() -> dict:
+    from shodh_tpu.nlp.lemmas import LEMMA_EXCEPTIONS
+
+    return LEMMA_EXCEPTIONS
+
+
+def _lemma_fold(word: str) -> str:
+    table = _lemma_table()
+    return table.get(word) or table.get(word.lower(), word)
 
 
 @lru_cache(maxsize=1)

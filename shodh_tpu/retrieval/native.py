@@ -81,6 +81,19 @@ def load() -> Optional[ctypes.CDLL]:
     lib.shodh_stem.argtypes = [ctypes.c_char_p]
     lib.shodh_stem.restype = ctypes.c_void_p
     lib.shodh_free.argtypes = [ctypes.c_void_p]
+    # Sync the irregular-lemma fold table so native tokenization mirrors
+    # nlp/stemmer.py exactly (same pattern as the k1/b param sync).
+    from shodh_tpu.nlp.lemmas import LEMMA_EXCEPTIONS
+
+    if LEMMA_EXCEPTIONS:
+        try:
+            lib.shodh_lemma_load.argtypes = [ctypes.c_char_p]
+        except AttributeError:
+            # A prebuilt lib without the symbol would tokenize differently
+            # from Python — silently-wrong scores. Fall back to pure Python.
+            return None
+        buf = "".join(f"{f}\t{l}\n" for f, l in LEMMA_EXCEPTIONS.items())
+        lib.shodh_lemma_load(buf.encode())
     _lib = lib
     return _lib
 

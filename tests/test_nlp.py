@@ -33,6 +33,41 @@ class TestStemmer:
         assert stem("deployed") == stem("deploying") == stem("deploys")
         assert stem("migration") == stem("migrations")
 
+    def test_irregular_lemma_fold(self):
+        # nlp/lemmas.py: irregular forms fold to their lemma BEFORE Porter
+        # ("went" never reaches "go" by suffix stripping). Table from the
+        # spaCy en_core_web_sm lemmatizer exceptions (MIT).
+        assert stem("went") == stem("go")
+        assert stem("took") == stem("take") == stem("taking")
+        assert stem("children") == stem("child")
+        assert stem("ate") == stem("eat")
+        assert stem("thought") == stem("think")
+
+    def test_ambiguous_forms_keep_porter(self):
+        # POS-ambiguous forms were conflict-filtered at build time:
+        # "best" is good(adj)/well(adv) — a POS-free fold must not guess
+        from shodh_tpu.nlp.lemmas import LEMMA_EXCEPTIONS
+
+        assert LEMMA_EXCEPTIONS  # artifact shipped and loaded
+        for ambiguous in ("best", "better", "leaves"):
+            assert ambiguous not in LEMMA_EXCEPTIONS
+        # stopword-target folds dropped too (would index under noise terms)
+        assert "got" not in LEMMA_EXCEPTIONS
+
+    def test_native_tokenizer_fold_parity(self):
+        # retrieval/native.py pushes the fold table into the C++ tokenizer
+        # at dlopen; both legs must produce identical terms
+        from shodh_tpu.retrieval import native
+        from shodh_tpu.retrieval.bm25 import tokenize
+
+        if not native.available():
+            import pytest
+
+            pytest.skip("native library unavailable")
+        q = "Where did Melanie go after she went out with the children"
+        assert tokenize(q) == native.native_tokenize(q)
+        assert native.native_stem("went") == stem("went") == "go"
+
     def test_porter2_backend(self):
         # the reference's algorithm (rust-stemmers Snowball English);
         # selectable via SHODH_STEMMER=porter2 — measured 2pp WORSE on the
