@@ -203,11 +203,88 @@ static std::unordered_map<std::string, std::string>& lemma_table() {
     return m;
 }
 
-// Mirrors nlp/stemmer.py stem(): lemma fold, then Porter.
-static std::string fold_stem(const std::string& w) {
+// Norm-fold tables, pushed once at library load from
+// nlp/data/norm_folds.tsv.gz (see nlp/norms.py): spaCy StringStore hash
+// (MurmurHash64A seed 1) -> canonical word, plus contraction surface ->
+// norm piece list ("gonna" -> going to). Same load-before-use contract
+// as the lemma table.
+static std::unordered_map<uint64_t, std::string>& norm_hash_table() {
+    static std::unordered_map<uint64_t, std::string> m;
+    return m;
+}
+
+static std::unordered_map<std::string, std::vector<std::string>>& contraction_table() {
+    static std::unordered_map<std::string, std::vector<std::string>> m;
+    return m;
+}
+
+// MurmurHash64A — spaCy's StringStore hash (nlp/norms.py murmur64a).
+static uint64_t murmur64a(const std::string& s, uint64_t seed = 1) {
+    const uint64_t mul = 0xc6a4a7935bd1e995ULL;
+    const int r = 47;
+    const unsigned char* data = (const unsigned char*)s.data();
+    size_t len = s.size();
+    uint64_t h = seed ^ (len * mul);
+    size_t nblocks = len / 8;
+    for (size_t i = 0; i < nblocks; i++) {
+        uint64_t k;
+        memcpy(&k, data + i * 8, 8);  // little-endian host assumed (x86/ARM)
+        k *= mul; k ^= k >> r; k *= mul;
+        h ^= k; h *= mul;
+    }
+    const unsigned char* tail = data + nblocks * 8;
+    uint64_t k = 0;
+    for (size_t i = len & 7; i > 0; i--) k = (k << 8) | tail[i - 1];
+    if (len & 7) { h ^= k; h *= mul; }
+    h ^= h >> r; h *= mul; h ^= h >> r;
+    return h;
+}
+
+// Mirrors nlp/stemmer.py stem(): norm fold, lemma fold, then Porter.
+static std::string fold_stem(std::string w) {
+    for (auto& c : w)
+        if (c >= 'A' && c <= 'Z') c = c - 'A' + 'a';
+    auto& nm = norm_hash_table();
+    if (!nm.empty()) {
+        auto it = nm.find(murmur64a(w));
+        if (it != nm.end()) w = it->second;
+    }
     auto& m = lemma_table();
     auto it = m.find(w);
     return porter::stem(it == m.end() ? w : it->second);
+}
+
+static void emit_token(const std::string& w, std::vector<std::string>& out) {
+    if (w.size() > 1 && !stopwords().count(w)) out.push_back(fold_stem(w));
+}
+
+// Finish one raw word (lowercase, may contain apostrophes): contraction
+// expansion first, else the historical apostrophe-splitting behavior.
+// Mirrors retrieval/bm25.py tokenize().
+static void flush_raw_word(std::string& cur, std::vector<std::string>& out) {
+    std::string key = cur;
+    while (!key.empty() && key.back() == '\'') key.pop_back();
+    auto& ct = contraction_table();
+    auto cit = ct.find(key);
+    if (cit != ct.end()) {
+        for (const auto& piece : cit->second) emit_token(piece, out);
+    } else if (cur.find('\'') != std::string::npos) {
+        size_t i = 0;
+        while (i <= cur.size()) {
+            size_t j = cur.find('\'', i);
+            if (j == std::string::npos) j = cur.size();
+            // trim leading non-alnum (mirrors _WORD_RE's first-char class)
+            size_t k = i;
+            while (k < j && !((cur[k] >= 'a' && cur[k] <= 'z') ||
+                              (cur[k] >= '0' && cur[k] <= '9')))
+                k++;
+            if (k < j) emit_token(cur.substr(k, j - k), out);
+            i = j + 1;
+        }
+    } else {
+        emit_token(cur, out);
+    }
+    cur.clear();
 }
 
 static std::vector<std::string> tokenize(const char* text) {
@@ -216,20 +293,25 @@ static std::vector<std::string> tokenize(const char* text) {
     bool started = false;
     for (const char* p = text; ; p++) {
         char c = *p;
+        // curly apostrophes (U+2019/U+2018, UTF-8 e2 80 99/98) behave as '
+        if ((unsigned char)c == 0xe2 && (unsigned char)p[1] == 0x80 &&
+            ((unsigned char)p[2] == 0x99 || (unsigned char)p[2] == 0x98)) {
+            c = '\'';
+            p += 2;
+        }
         char lc = (c >= 'A' && c <= 'Z') ? c - 'A' + 'a' : c;
         bool word_char;
         if (!started) {
             word_char = (lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9');
         } else {
             word_char = (lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9') ||
-                        lc == '_' || lc == '-' || lc == '.' || lc == '/';
+                        lc == '_' || lc == '-' || lc == '.' || lc == '/' || lc == '\'';
         }
         if (c != '\0' && word_char) {
             cur += lc;
             started = true;
         } else if (started) {
-            if (cur.size() > 1 && !stopwords().count(cur)) out.push_back(fold_stem(cur));
-            cur.clear();
+            flush_raw_word(cur, out);
             started = false;
         }
         if (c == '\0') break;
@@ -432,6 +514,43 @@ void shodh_lemma_load(const char* tsv) {
         if (!nl) nl = tab + 1 + strlen(tab + 1);
         m.emplace(std::string(p, tab), std::string(tab + 1, nl));
         p = (*nl) ? nl + 1 : nl;
+    }
+}
+
+// Load the norm-fold tables: "H\t<hash>\t<norm>\n" and
+// "C\t<surface>\t<piece piece ...>\n" lines (nlp/data/norm_folds.tsv.gz).
+// Called by the Python binding right after dlopen, with shodh_lemma_load.
+void shodh_norm_load(const char* tsv) {
+    auto& nm = norm_hash_table();
+    auto& ct = contraction_table();
+    nm.clear();
+    ct.clear();
+    const char* p = tsv;
+    while (*p) {
+        const char* nl = strchr(p, '\n');
+        if (!nl) nl = p + strlen(p);
+        std::string line(p, nl);
+        p = (*nl) ? nl + 1 : nl;
+        size_t t1 = line.find('\t');
+        if (t1 == std::string::npos) continue;
+        size_t t2 = line.find('\t', t1 + 1);
+        if (t2 == std::string::npos) continue;
+        std::string kind = line.substr(0, t1);
+        std::string key = line.substr(t1 + 1, t2 - t1 - 1);
+        std::string value = line.substr(t2 + 1);
+        if (kind == "H") {
+            nm.emplace(strtoull(key.c_str(), nullptr, 10), value);
+        } else if (kind == "C") {
+            std::vector<std::string> pieces;
+            size_t i = 0;
+            while (i <= value.size()) {
+                size_t j = value.find(' ', i);
+                if (j == std::string::npos) j = value.size();
+                if (j > i) pieces.push_back(value.substr(i, j - i));
+                i = j + 1;
+            }
+            if (!pieces.empty()) ct.emplace(key, std::move(pieces));
+        }
     }
 }
 

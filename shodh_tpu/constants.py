@@ -523,6 +523,14 @@ def prf_enabled() -> bool:
     # = ~1 case). Ungated PRF measured NEGATIVE (temporal -1.7pp) — the
     # question-type gate is what makes it shippable.
     return env_flag("SHODH_PRF", True)
+
+
+def prf_ungated() -> bool:
+    # CI re-measurement leg (exp-prf-gate-ab): drops the question-type
+    # gate entirely. Ships FALSE — ungated PRF measured temporal −1.7pp.
+    return env_flag("SHODH_PRF_UNGATED", False)
+
+
 # Recency scale for time-seeking queries ("when did X") — the event's age
 # carries no relevance signal there; boost family "seek_recency_mute".
 TEMPORAL_SEEK_RECENCY_SCALE = env_float("SHODH_SEEK_RECENCY_SCALE", 0.0)
@@ -578,3 +586,19 @@ GAZETTEER_FULL = env_flag("SHODH_GAZETTEER_FULL", True)
 # weight-blocked build closes the gap lexically. Resolved at import —
 # never flips mid-process (stored postings would split).
 LEMMA_FOLD = env_flag("SHODH_LEMMA_FOLD", True)
+# Norm folding (nlp/norms.py, table from the same spaCy en_core_web_sm
+# manifest): single-word canonicalization ("favourite"/"fave"->"favorite",
+# "plz"->"please") inside stem(), and optionally contraction expansion
+# in tokenize() ("gonna"->"going to", "can't"->"can not"). The reference
+# carries spaCy NORM attrs through its parse features (hash.rs,
+# tokenizer.rs rules); here the same data heals BM25 token mismatches.
+# Resolved at import — never flips mid-process (stored postings).
+# Mode sweep on the held-out full suite (BENCHMARKS "lexical
+# canonicalization campaign"): hash-only beat both both-on and off on
+# ALL FIVE aggregates (r@10 .6933 vs .6918/.6922); the contraction leg
+# alone measured a uniform small negative (r@10 .6910) — expanding
+# "can't"->can not deletes the token entirely once stopwords filter the
+# pieces, a net information loss on this corpus. So "hash" ships as the
+# default; "1" arms both legs, "contr" the expansion leg alone.
+NORM_FOLD_MODE = os.environ.get("SHODH_NORM_FOLD", "hash").strip().lower()
+NORM_FOLD = env_flag("SHODH_NORM_FOLD", True) or NORM_FOLD_MODE in ("hash", "contr")

@@ -880,10 +880,18 @@ class MemorySystem:
             # (open_domain r@10 +5pp) and hurts factual ones (temporal
             # -1.7pp, multi_hop -1pp) — so it only arms for polar and
             # why/how questions that carry no date anchor.
-            and _prf_open_ended
-            and (analysis is None or analysis.date_range is None)
-            and (analysis is None or not analysis.is_temporal_seeking)
-            and (analysis is None or not analysis.multihop)
+            and (
+                # SHODH_PRF_UNGATED=1 drops the question-type gate (CI
+                # re-measurement leg — ungated PRF measured temporal
+                # −1.7pp; the gate stays until that stops reproducing)
+                C.prf_ungated()
+                or (
+                    _prf_open_ended
+                    and (analysis is None or analysis.date_range is None)
+                    and (analysis is None or not analysis.is_temporal_seeking)
+                    and (analysis is None or not analysis.multihop)
+                )
+            )
         ):
             feedback = self._prf_feedback_terms(fused, query.query_text)
             if feedback:

@@ -24,10 +24,12 @@ _BACKEND = os.environ.get("SHODH_STEMMER", "porter1")
 
 @lru_cache(maxsize=65536)
 def stem(word: str) -> str:
-    # Irregular forms fold to their lemma first ("went" -> "go",
-    # "children" -> "child") — Porter only handles regular inflection.
-    # Table fixed at import (nlp/lemmas.py), same no-mid-process-change
-    # contract as the backend choice above.
+    # Variant spellings canonicalize first ("favourite" -> "favorite",
+    # "plz" -> "please"; nlp/norms.py), then irregular forms fold to
+    # their lemma ("went" -> "go", "children" -> "child") — Porter only
+    # handles regular inflection. Both tables fixed at import, same
+    # no-mid-process-change contract as the backend choice above.
+    word = _norm_fold(word)
     word = _lemma_fold(word)
     if _BACKEND == "porter2":
         return _porter2(word.lower())
@@ -44,6 +46,12 @@ def _lemma_table() -> dict:
 def _lemma_fold(word: str) -> str:
     table = _lemma_table()
     return table.get(word) or table.get(word.lower(), word)
+
+
+def _norm_fold(word: str) -> str:
+    from shodh_tpu.nlp.norms import norm_fold
+
+    return norm_fold(word.lower())
 
 
 @lru_cache(maxsize=1)

@@ -30,6 +30,11 @@ from shodh_tpu.storage.kv import KvStore
 from shodh_tpu.storage.serialization import decode, encode
 
 _WORD_RE = re.compile(r"[a-z0-9][a-z0-9_\-./]*")
+# First-pass scan keeps word-internal apostrophes so contraction folding
+# ("gonna", "can't", "doin'") sees the intact surface form; unfolded
+# words are re-scanned with _WORD_RE, which reproduces the historical
+# apostrophe-splitting behavior exactly.
+_RAW_WORD_RE = re.compile(r"[a-z0-9][a-z0-9_\-./']*")
 
 # tf saturation swept on locomo-full (1.6/1.2/1.0/0.8/0.6/0.4): short
 # conversational turns rarely repeat terms, so a faster-saturating tf
@@ -64,9 +69,23 @@ ENTITY_BOOST = float(os.environ.get("SHODH_BM25_ENTITY_BOOST", "1.3"))
 
 def tokenize(text: str) -> list[str]:
     from shodh_tpu.nlp.normalize import fold_abbreviations
+    from shodh_tpu.nlp.norms import expand_contraction
 
-    words = _WORD_RE.findall(fold_abbreviations(text).lower())
-    return [stem(w) for w in words if w not in STOPWORDS and len(w) > 1]
+    text = fold_abbreviations(text).lower()
+    if "’" in text or "‘" in text:
+        text = text.replace("’", "'").replace("‘", "'")
+    out: list[str] = []
+    for raw in _RAW_WORD_RE.findall(text):
+        expansion = expand_contraction(raw.rstrip("'"))
+        if expansion is None:
+            words = _WORD_RE.findall(raw) if "'" in raw else (raw,)
+        else:
+            # "gonna" -> ("going", "to"); norm pieces are plain words
+            words = expansion
+        for w in words:
+            if w not in STOPWORDS and len(w) > 1:
+                out.append(stem(w))
+    return out
 
 
 class BM25Index:

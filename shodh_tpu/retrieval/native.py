@@ -94,6 +94,19 @@ def load() -> Optional[ctypes.CDLL]:
             return None
         buf = "".join(f"{f}\t{l}\n" for f, l in LEMMA_EXCEPTIONS.items())
         lib.shodh_lemma_load(buf.encode())
+    # Same sync for the norm-fold tables (nlp/norms.py): hash-keyed
+    # canonicalization + contraction expansion must match Python exactly
+    # or native scores silently diverge from persisted postings.
+    from shodh_tpu.nlp.norms import CONTRACTIONS, NORM_BY_HASH
+
+    if NORM_BY_HASH or CONTRACTIONS:
+        try:
+            lib.shodh_norm_load.argtypes = [ctypes.c_char_p]
+        except AttributeError:
+            return None  # stale lib: fall back to pure Python
+        buf = "".join(f"H\t{h}\t{n}\n" for h, n in NORM_BY_HASH.items())
+        buf += "".join(f"C\t{k}\t{' '.join(p)}\n" for k, p in CONTRACTIONS.items())
+        lib.shodh_norm_load(buf.encode())
     _lib = lib
     return _lib
 

@@ -50,6 +50,10 @@ def _live_default(flag: str) -> float:
         m = re.search(r'SHODH_NEIGHBOR_INHERIT",\s*"([0-9.]+)"', src)
         assert m, "SHODH_NEIGHBOR_INHERIT read site not found"
         return float(m.group(1))
+    # env_flag-backed booleans in constants.py resolve generically
+    name = flag.removeprefix("SHODH_")
+    if hasattr(constants, name):
+        return float(getattr(constants, name))
     raise AssertionError(f"no live-default resolver for {flag} — add one here")
 
 

@@ -2,6 +2,7 @@
 appositives, entity resolution, FS matcher, contrastive projector,
 query parser details."""
 
+import os
 from datetime import datetime, timezone
 
 import numpy as np
@@ -67,6 +68,81 @@ class TestStemmer:
         q = "Where did Melanie go after she went out with the children"
         assert tokenize(q) == native.native_tokenize(q)
         assert native.native_stem("went") == stem("went") == "go"
+
+    def test_norm_fold_spelling_variants(self):
+        # nlp/norms.py: variant spellings canonicalize before stemming
+        # (spaCy norm_exceptions, MurmurHash64A-keyed — hash.rs:13).
+        assert stem("favourite") == stem("fave") == stem("favorite")
+        assert stem("colour") == stem("color")
+        assert stem("organise") == stem("organize")
+        assert stem("theatre") == stem("theater")
+        assert stem("plz") == stem("please")
+        assert stem("thx") == stem("thanks")
+
+    def test_contraction_expansion_opt_in(self):
+        # tokenizer.rules-derived: one raw word -> norm token sequence;
+        # stopword pieces vanish instead of leaving noise tokens. The
+        # expansion leg measured net-negative on the held-out full suite
+        # (constants.NORM_FOLD_MODE), so it is opt-in via
+        # SHODH_NORM_FOLD=1 — tables load at import, so exercise it in a
+        # subprocess with the env set.
+        import subprocess
+        import sys
+
+        script = (
+            "from shodh_tpu.nlp.stemmer import stem\n"
+            "from shodh_tpu.retrieval.bm25 import tokenize\n"
+            "assert tokenize(\"I'm gonna go\") == [stem('go'), stem('go')]\n"
+            "assert tokenize(\"gotta see y'all\") == [stem('see')]\n"
+            "assert tokenize(\"don't can't won't\") == []\n"
+            "assert tokenize('I\\u2019m gonna go') == tokenize(\"I'm gonna go\")\n"
+            "bridge = set(tokenize(\"we're gonna watch my fave film\")) & set(\n"
+            "    tokenize('What film are they going to watch, their favorite?'))\n"
+            "assert bridge >= {stem('go'), stem('favorite'), stem('film')}, bridge\n"
+        )
+        env = dict(os.environ, SHODH_NORM_FOLD="1", JAX_PLATFORMS="cpu")
+        r = subprocess.run(
+            [sys.executable, "-c", script], env=env, capture_output=True, text=True
+        )
+        assert r.returncode == 0, r.stderr
+
+    def test_default_mode_is_hash_only(self):
+        # shipping default: spelling canonicalization on, contraction
+        # expansion off (leg sweep in BENCHMARKS — hash-only all-5-best)
+        from shodh_tpu.nlp.norms import CONTRACTIONS, NORM_BY_HASH
+
+        assert os.environ.get("SHODH_NORM_FOLD") is None
+        assert len(NORM_BY_HASH) > 3000
+        assert not CONTRACTIONS
+        # contractions fall back to the historical apostrophe-split path
+        from shodh_tpu.retrieval.bm25 import tokenize
+
+        assert tokenize("I'm gonna go") == [stem("gonna"), stem("go")]
+
+    def test_norm_homonym_safety(self):
+        # apostrophe-less keys colliding with real tokens were dropped at
+        # build time: "user id" must not become "i would"
+        from shodh_tpu.retrieval.bm25 import tokenize
+
+        toks = tokenize("the user id and the em dash, we wed in June")
+        assert stem("id") in toks and stem("em") in toks and stem("wed") in toks
+
+    def test_native_norm_parity(self):
+        from shodh_tpu.retrieval import native
+        from shodh_tpu.retrieval.bm25 import tokenize
+
+        if not native.available():  # pragma: no cover
+            import pytest
+
+            pytest.skip("native lib unavailable")
+        for q in (
+            "I'm gonna visit my fave theatre tomorrow",
+            "can't won't don't it's doin' lovin'",
+            "y'all gotta see Joanna's new pics",
+            "I’m gonna go ‘quoted’ rock'n'roll 80's",
+        ):
+            assert tokenize(q) == native.native_tokenize(q)
+        assert native.native_stem("favourite") == stem("favourite") == "favorit"
 
     def test_porter2_backend(self):
         # the reference's algorithm (rust-stemmers Snowball English);

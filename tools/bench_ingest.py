@@ -53,6 +53,14 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--items", type=int, default=2000)
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    # CI perf-contract floors (exp-ingest-sustained workflow): exit
+    # non-zero when the measured numbers fall below them. Thresholds sit
+    # below the recorded BENCHMARKS values to absorb CI jitter while
+    # still catching complexity-class regressions.
+    ap.add_argument("--assert-fast-floor", type=float, default=None,
+                    help="min acceptable fast-path items/s")
+    ap.add_argument("--assert-recall-p50-ms", type=float, default=None,
+                    help="max acceptable concurrent-recall p50 (ms)")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -202,6 +210,15 @@ def main() -> int:
         "vs_baseline": round(pure_rate / 18.0, 1),  # reference ~18/s core pipeline
     }))
     sys_.close()
+    if args.assert_fast_floor is not None and fast_rate < args.assert_fast_floor:
+        print(f"FAIL: fast-path {fast_rate:.1f} items/s < floor "
+              f"{args.assert_fast_floor}", file=sys.stderr)
+        return 1
+    if (args.assert_recall_p50_ms is not None
+            and fast_conc_p50 > args.assert_recall_p50_ms):
+        print(f"FAIL: concurrent recall p50 {fast_conc_p50:.1f} ms > bound "
+              f"{args.assert_recall_p50_ms}", file=sys.stderr)
+        return 1
     return 0
 
 
