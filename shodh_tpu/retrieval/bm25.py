@@ -24,8 +24,10 @@ from collections import Counter, defaultdict
 from pathlib import Path
 from typing import Optional
 
+from shodh_tpu import constants as C
 from shodh_tpu.nlp.stemmer import stem
 from shodh_tpu.nlp.stopwords import STOPWORDS
+from shodh_tpu.retrieval.spellfix import SpellFix
 from shodh_tpu.storage.kv import KvStore
 from shodh_tpu.storage.serialization import decode, encode
 
@@ -99,6 +101,7 @@ class BM25Index:
         # ~10x faster scoring loop. Python postings stay authoritative for
         # persistence; the native engine mirrors them.
         self._native = None
+        self._spellfix = SpellFix()
         self._handle_of: dict[str, int] = {}
         self._id_of: dict[int, str] = {}
         self._next_handle = 1
@@ -231,15 +234,29 @@ class BM25Index:
         n_docs = len(self._doc_len)
         if n_docs == 0:
             return []
+        # OOV spell correction (retrieval/spellfix.py): terms with zero
+        # postings may map to a Damerau-Levenshtein-1 vocab stem. Gated
+        # on emptiness, so clean queries are untouched; when a fix fires
+        # (rare) the query runs on the host scorer so both paths score
+        # the same corrected term set.
+        fixes: dict[str, str] = {}
+        q_terms = tokenize(query)
+        if C.SPELLFIX and q_terms:
+            for t in dict.fromkeys(q_terms):
+                if t not in self._postings:
+                    fixed = self._spellfix.fix(t, self._postings)
+                    if fixed is not None:
+                        fixes[t] = fixed
+            if fixes:
+                q_terms = [fixes.get(t, t) for t in q_terms]
         # Native scorer fast path (identical math; phrase boost needs the
         # Python per-doc term sets, so phrase queries stay on the host impl)
-        if self._native is not None and not phrase_terms:
+        if self._native is not None and not phrase_terms and not fixes:
             hits = self._native.search(query, limit=limit, term_weights=term_weights)
             out = [(self._id_of[h], s) for h, s in hits if h in self._id_of]
             out.sort(key=lambda kv: (-kv[1], kv[0]))  # doc-id tie-break parity
             return out
         avg_len = self._total_len / n_docs
-        q_terms = tokenize(query)
         if not q_terms:
             return []
         scores: dict[str, float] = defaultdict(float)
