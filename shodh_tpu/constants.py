@@ -601,6 +601,19 @@ LEMMA_FOLD = env_flag("SHODH_LEMMA_FOLD", True)
 # pieces, a net information loss on this corpus. So "hash" ships as the
 # default; "1" arms both legs, "contr" the expansion leg alone.
 NORM_FOLD_MODE = os.environ.get("SHODH_NORM_FOLD", "hash").strip().lower()
+# A mistyped value ("both", "hashs") must NOT fail open into folds-off:
+# the fold feeds persisted postings, so a silent tokenization change
+# splits old documents from new queries. Unrecognized -> warn + the
+# documented 'hash' default.
+_NORM_KNOWN = {"hash", "contr", "1", "true", "yes", "on", "0", "false", "no", "off", ""}
+if NORM_FOLD_MODE not in _NORM_KNOWN:
+    import warnings
+
+    warnings.warn(
+        f"SHODH_NORM_FOLD={NORM_FOLD_MODE!r} is not a recognized mode; "
+        "using the 'hash' default (recognized: hash, contr, 1/on, 0/off)"
+    )
+    NORM_FOLD_MODE = "hash"
 NORM_FOLD = env_flag("SHODH_NORM_FOLD", True) or NORM_FOLD_MODE in ("hash", "contr")
 # OOV query-term spell correction (retrieval/spellfix.py): a query stem
 # with ZERO postings may be replaced by an in-vocabulary stem at

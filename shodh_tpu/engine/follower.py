@@ -51,7 +51,7 @@ class FollowerReader:
         from shodh_tpu.engine.memory_system import MemorySystem
 
         self.data_dir = Path(data_dir)
-        self.system = MemorySystem(self.data_dir)
+        self.system = MemorySystem(self.data_dir, readonly=True)
         self.system.follower_readonly = True  # suppress usage/coactivation writes
         self._last_seq = -1
         self._tails: dict[str, str] = {}  # tag -> doc id that was context tail

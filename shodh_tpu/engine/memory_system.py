@@ -134,7 +134,13 @@ class MemorySystem:
         data_dir: str | Path,
         embedder=None,
         index_dtype: str = "float32",
+        readonly: bool = False,
     ):
+        # Reader processes (follower replicas) must never write: the WAL
+        # contract is one writer. ``readonly`` suppresses open-time
+        # migrations; the follower also sets ``follower_readonly`` after
+        # construction to suppress usage/coactivation writes.
+        self._readonly_open = readonly
         self.data_dir = Path(data_dir)
         self.data_dir.mkdir(parents=True, exist_ok=True)
         self.storage = MemoryStorage(self.data_dir)
@@ -254,6 +260,7 @@ class MemorySystem:
         except ImportError:
             self.todos = self.sessions = self.files = None
         self._reload_semantic_model()
+        self._maybe_migrate_lexical()
 
     # ------------------------------------------------------------------
     # Properties
@@ -388,7 +395,6 @@ class MemorySystem:
         if self.bm25 is not None:
             ctx_w = C.context_index_weight()
             fwd_w = C.context_forward_weight()
-            context_content = None
             prev = None
             # Dialogue-context semantics apply to dialogue only: for
             # topic-tagged note stores the previous same-tag memory is
@@ -400,31 +406,7 @@ class MemorySystem:
                 and experience.experience_type == ExperienceType.CONVERSATION
             ):
                 prev = self._context_prev(experience.tags)
-                if prev is not None:
-                    context_content = prev.experience.content if ctx_w > 0.0 else None
-            if prev is not None and fwd_w > 0.0:
-                # forward context: the predecessor gains this turn's terms
-                # exactly once (the tail moves to this memory below)
-                self.bm25.add_context_terms(prev.id, experience.content, fwd_w)
-            # Per-domain Okapi params: the k1=0.6/b=0.3 retune was measured
-            # on dialogue; prose notes keep classic Okapi (round-3 scoping —
-            # the global retune cost the notes-domain smoke suite r@10/map).
-            from shodh_tpu.retrieval.bm25 import CLASS_DIALOGUE, CLASS_NOTES
-
-            param_class = (
-                CLASS_DIALOGUE
-                if experience.experience_type == ExperienceType.CONVERSATION
-                else CLASS_NOTES
-            )
-            self.bm25.upsert(
-                mem.id,
-                experience.content,
-                experience.tags,
-                experience.entities,
-                context_content=context_content,
-                context_weight=ctx_w,
-                param_class=param_class,
-            )
+            self._index_lexical(mem.id, experience, prev)
             for t in experience.tags or ():
                 key = t.lower()
                 self._context_tail[key] = mem.id
@@ -1216,6 +1198,128 @@ class MemorySystem:
                 "layers": query.layers.report_key,
             }
         return result
+
+    def _index_lexical(self, mem_id: str, experience: Experience, prev: Optional[Memory]) -> None:
+        """BM25 leg of ingest: context-augmented upsert + per-domain Okapi
+        class. Shared by :meth:`remember` and :meth:`migrate_lexical` so the
+        live path and the fold-drift replay cannot diverge."""
+        ctx_w = C.context_index_weight()
+        fwd_w = C.context_forward_weight()
+        context_content = None
+        if prev is not None:
+            if fwd_w > 0.0:
+                # forward context: the predecessor gains this turn's terms
+                # exactly once (the caller moves the tail to this memory)
+                self.bm25.add_context_terms(prev.id, experience.content, fwd_w)
+            if ctx_w > 0.0:
+                context_content = prev.experience.content
+        # Per-domain Okapi params: the k1=0.6/b=0.3 retune was measured
+        # on dialogue; prose notes keep classic Okapi (round-3 scoping —
+        # the global retune cost the notes-domain smoke suite r@10/map).
+        from shodh_tpu.retrieval.bm25 import CLASS_DIALOGUE, CLASS_NOTES
+
+        param_class = (
+            CLASS_DIALOGUE
+            if experience.experience_type == ExperienceType.CONVERSATION
+            else CLASS_NOTES
+        )
+        self.bm25.upsert(
+            mem_id,
+            experience.content,
+            experience.tags,
+            experience.entities,
+            context_content=context_content,
+            context_weight=ctx_w,
+            param_class=param_class,
+        )
+
+    def _maybe_migrate_lexical(self) -> None:
+        """Detect fold-table drift between this build and the persisted
+        store, and re-derive stem-dependent artifacts when they differ.
+
+        Stored BM25 postings and hash-embedder vectors keep the stems they
+        were written with; after an upgrade that changes ``stem()`` (new
+        lemma/norm fold entries, backend flip) every fold-affected term in
+        old documents silently stops matching live queries. The fingerprint
+        (retrieval.bm25.lexical_fingerprint) makes the drift explicit and
+        the replay closes it once, at open.
+        """
+        from shodh_tpu.retrieval.bm25 import lexical_fingerprint
+
+        if self.bm25 is None or self.bm25.kv is None:
+            return  # bare-core test builds: nothing persisted to migrate
+        fp = lexical_fingerprint()
+        stored = self.storage.kv.get("meta", "lexical_fp")
+        if stored is not None and stored.decode() == fp:
+            return
+        if self._readonly_open or C.recall_readonly():
+            # One writer only (WAL discipline): readers serve the store
+            # as written; the writer migrates and readers restart after.
+            return
+        if stored is None and next(self.storage.iter_ids(), None) is None:
+            self.storage.kv.put("meta", "lexical_fp", fp.encode())
+            return
+        import sys
+
+        from shodh_tpu.utils.tracing import span
+
+        with span("lexical_migration", fingerprint=fp[:12]):
+            n = self.migrate_lexical(fp)
+        sys.stderr.write(
+            f"shodh: lexical fold tables changed since this store was written; "
+            f"re-derived postings/vectors for {n} memories (one-time)\n"
+        )
+
+    def migrate_lexical(self, fingerprint: Optional[str] = None) -> int:
+        """Re-derive every stem-dependent artifact from stored content under
+        the CURRENT fold tables, then stamp the store. Returns the number of
+        memories reprocessed.
+
+        Rebuilds: hash-embedder vectors (engine-embedded content only —
+        caller-precomputed ``experience.embeddings`` are not stem-derived
+        and stay), and BM25 postings with the ingest-order context
+        inheritance replayed over a local tail map (the persisted
+        ``ctxtail`` is the FINAL tail state, not the per-step history).
+        Known drift accepted: antecedents deleted since original ingest no
+        longer contribute inherited terms, and temporal-fact ``event_stems``
+        keep their original stems (tiny future-cue vocabulary, fold-stable).
+        """
+        from shodh_tpu.retrieval.bm25 import lexical_fingerprint
+
+        fp = fingerprint or lexical_fingerprint()
+        mems = sorted(self.storage.iter_memories(), key=lambda m: (m.created_at, m.id))
+        ctx_w = C.context_index_weight()
+        fwd_w = C.context_forward_weight()
+        tails: dict[str, Memory] = {}
+        for mem in mems:
+            exp = mem.experience
+            if exp.embeddings is None:
+                old_rows = self.storage.get_vector_map(mem.id).get("text") or []
+                if old_rows:
+                    self.index.delete_rows(old_rows)
+                vectors = self.embedder.encode_batch(chunk_content(exp.content))
+                rows = self.index.add(vectors)
+                mem.vector_row = rows[0]
+                self.storage.set_vector_rows(mem.id, rows)
+                self.storage.update(mem)
+            if self.bm25 is not None:
+                prev = None
+                if (
+                    (ctx_w > 0.0 or fwd_w > 0.0)
+                    and exp.tags
+                    and exp.experience_type == ExperienceType.CONVERSATION
+                ):
+                    for t in exp.tags:
+                        cand = tails.get(t.lower())
+                        if cand is not None and (
+                            prev is None or (cand.created_at, cand.id) > (prev.created_at, prev.id)
+                        ):
+                            prev = cand
+                self._index_lexical(mem.id, exp, prev)
+            for t in exp.tags or ():
+                tails[t.lower()] = mem
+        self.storage.kv.put("meta", "lexical_fp", fp.encode())
+        return len(mems)
 
     def _context_prev(self, tags: list[str]) -> Optional[Memory]:
         """Most recent stored memory sharing a tag (the dialogue

@@ -465,11 +465,13 @@ class Gazetteer:
 
         O(tokens) dict lookups: at each token position the 4..1-gram joins
         are tried longest-first, and a match advances past its span (so
-        "york" never fires inside "new york"). Builtin seed names match in
-        any case (pre-artifact behavior, kept); artifact-only names are
-        guarded against English homonyms — multi-token forms match in any
-        case, single-token forms need either a capitalized surface at a
-        non-sentence-initial position or metropolis-scale population.
+        "york" never fires inside "new york"). Homonym guard: multi-token
+        forms match in any case; single-token forms — builtin seeds
+        included ("nice to meet you" matched Nice, FR under the unguarded
+        scan) — need either a capitalized surface at a non-sentence-initial
+        position or metropolis-scale population. The accepted precision
+        tradeoff: an all-lowercase sub-1M single-token city ("going to
+        oslo") is dropped unless capitalized mid-sentence.
         """
         tokens = list(_TOKEN_RE.finditer(text))
         if not tokens:

@@ -32,3 +32,9 @@ def fold_abbreviations(text: str) -> str:
     for pat, rep in _FOLDS:
         text = pat.sub(rep, text)
     return text
+
+
+def abbreviation_table() -> list[list[str]]:
+    """Serializable view of the fold rules (lexical fingerprint input —
+    see retrieval.bm25.lexical_fingerprint)."""
+    return [[pat.pattern, rep] for pat, rep in _FOLDS]

@@ -22,6 +22,12 @@ from functools import lru_cache
 _BACKEND = os.environ.get("SHODH_STEMMER", "porter1")
 
 
+def backend_name() -> str:
+    """Resolved stemmer backend (part of the store's lexical fingerprint —
+    see retrieval.bm25.lexical_fingerprint)."""
+    return _BACKEND
+
+
 @lru_cache(maxsize=65536)
 def stem(word: str) -> str:
     # Variant spellings canonicalize first ("favourite" -> "favorite",

@@ -90,6 +90,49 @@ def tokenize(text: str) -> list[str]:
     return out
 
 
+def lexical_fingerprint() -> str:
+    """Hash of every input that determines a token's indexed identity:
+    stemmer backend, lemma/norm fold tables, contraction expansions,
+    abbreviation folds, stopwords, plus a tokenizer canary probing the
+    composed behavior. The engine stamps this into the store (meta key
+    ``lexical_fp``); a mismatch at open means persisted postings and
+    hash-embedder vectors were stemmed under DIFFERENT rules than live
+    queries will be — every fold-affected term would silently stop
+    matching old documents — so the engine re-derives them from content
+    (``MemorySystem.migrate_lexical``). The reference never needs this
+    (its rust-stemmers build is fixed at compile time,
+    query_parser.rs); ours does because fold tables ship in-tree and
+    default-on (round-3 lexical campaign), so an upgrade can change
+    ``stem()`` over an existing store.
+    """
+    import hashlib
+    import json
+
+    from shodh_tpu.nlp.lemmas import LEMMA_EXCEPTIONS
+    from shodh_tpu.nlp.normalize import abbreviation_table
+    from shodh_tpu.nlp.norms import CONTRACTIONS, NORM_BY_HASH
+    from shodh_tpu.nlp.stemmer import backend_name
+
+    h = hashlib.sha256()
+    h.update(f"tok1|{backend_name()}".encode())
+    for table in (
+        LEMMA_EXCEPTIONS,
+        NORM_BY_HASH,
+        {k: list(v) for k, v in CONTRACTIONS.items()},
+        abbreviation_table(),
+    ):
+        h.update(json.dumps(table, sort_keys=True).encode())
+    h.update(json.dumps(sorted(STOPWORDS)).encode())
+    # Canary: catches tokenizer-shape changes the tables can't (regex,
+    # apostrophe handling, stopword filtering, length floor).
+    canary = (
+        "Dr. Smith's children went to the theatre tonite -- gonna watch "
+        "their favourite movies; she doesn't mind the u.s. co-op 3.14"
+    )
+    h.update("|".join(tokenize(canary)).encode())
+    return h.hexdigest()
+
+
 class BM25Index:
     def __init__(self, path: str | Path | None = None, use_native: bool = True):
         self._postings: dict[str, dict[str, float]] = defaultdict(dict)  # term -> {doc: tf}
@@ -238,10 +281,13 @@ class BM25Index:
         # postings may map to a Damerau-Levenshtein-1 vocab stem. Gated
         # on emptiness, so clean queries are untouched; when a fix fires
         # (rare) the query runs on the host scorer so both paths score
-        # the same corrected term set.
+        # the same corrected term set. Tokenization stays inside the flag
+        # check so the native fast path pays no host tokenize cost when
+        # spellfix is disabled.
         fixes: dict[str, str] = {}
-        q_terms = tokenize(query)
-        if C.SPELLFIX and q_terms:
+        q_terms: Optional[list[str]] = None
+        if C.SPELLFIX:
+            q_terms = tokenize(query)
             for t in dict.fromkeys(q_terms):
                 if t not in self._postings:
                     fixed = self._spellfix.fix(t, self._postings)
@@ -249,6 +295,16 @@ class BM25Index:
                         fixes[t] = fixed
             if fixes:
                 q_terms = [fixes.get(t, t) for t in q_terms]
+                if term_weights:
+                    # Corrected terms keep their IC weight: the contract is
+                    # "typo query ranks like the clean query", which needs
+                    # the weight to follow the term through the fix. Two
+                    # sources folding onto one stem keep the stronger weight.
+                    remapped: dict[str, float] = {}
+                    for t, w in term_weights.items():
+                        key = fixes.get(t, t)
+                        remapped[key] = max(w, remapped.get(key, 0.0))
+                    term_weights = remapped
         # Native scorer fast path (identical math; phrase boost needs the
         # Python per-doc term sets, so phrase queries stay on the host impl)
         if self._native is not None and not phrase_terms and not fixes:
@@ -257,6 +313,8 @@ class BM25Index:
             out.sort(key=lambda kv: (-kv[1], kv[0]))  # doc-id tie-break parity
             return out
         avg_len = self._total_len / n_docs
+        if q_terms is None:
+            q_terms = tokenize(query)
         if not q_terms:
             return []
         scores: dict[str, float] = defaultdict(float)

@@ -88,6 +88,24 @@ class TestBM25Integration:
         ix = self._index()
         assert ix.search("zzzzqqq") == []
 
+    def test_term_weights_follow_the_fix(self):
+        # the engine keys term_weights by stemmed query terms; a corrected
+        # term must keep its IC weight or typo queries rank differently
+        # from clean ones (the documented contract)
+        from shodh_tpu.retrieval.bm25 import tokenize
+
+        ix = self._index()
+        clean_terms = tokenize("received warehouse")
+        weights = dict(zip(clean_terms, (2.5, 1.3)))
+        clean = ix.search("received warehouse", term_weights=dict(weights))
+        typo_terms = tokenize("received warehouze")  # stem 'warehouz', ED1
+        assert typo_terms != clean_terms  # the fix genuinely fires below
+        typo_weights = dict(zip(typo_terms, (2.5, 1.3)))
+        typo = ix.search("received warehouze", term_weights=typo_weights)
+        assert [d for d, _ in clean] == [d for d, _ in typo]
+        for (_, s1), (_, s2) in zip(clean, typo):
+            assert s1 == pytest.approx(s2)
+
     def test_flag_off_restores_token_loss(self, monkeypatch):
         from shodh_tpu import constants as C
 
