@@ -44,9 +44,16 @@ class Memory:
         if embedded:
             from shodh_tpu.engine.memory_system import MemorySystem
 
-            self._system = MemorySystem(
-                Path(data_dir or "~/.shodh-tpu-embedded").expanduser() / user_id
-            )
+            # Same layout as the server (state.py: data_dir/users/<id>) so
+            # `serve --data-dir X` finds stores written by Memory(embedded=True,
+            # data_dir=X) and vice versa. Stores created by the pre-harmonized
+            # embedded layout (data_dir/<id>) keep working.
+            base = Path(data_dir or "~/.shodh-tpu-embedded").expanduser()
+            store = base / "users" / user_id
+            legacy = base / user_id
+            if legacy.exists() and not store.exists():
+                store = legacy
+            self._system = MemorySystem(store)
         elif ipc or os.environ.get("SHODH_IPC_ENDPOINT"):
             # IPC beats HTTP when configured (the reference client's
             # SHODH_IPC_ENDPOINT resolution): UDS + HMAC handshake, no API key

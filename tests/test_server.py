@@ -193,6 +193,35 @@ class TestClientSDK:
             assert m.stats()["total_memories"] == 1
             assert m.delete(mid)
 
+    def test_embedded_store_layout_matches_server(self, tmp_path):
+        # Memory(embedded=True, data_dir=X) and `serve --data-dir X` must
+        # resolve the same store (state.py: data_dir/users/<id>); a layout
+        # fork silently serves an empty store when switching transports.
+        from shodh_tpu.clients.client import Memory
+        from shodh_tpu.server.state import MultiUserMemoryManager
+
+        d = tmp_path / "shared"
+        with Memory(embedded=True, data_dir=str(d)) as m:
+            m.add("written through the embedded client", tags=["interop"])
+        manager = MultiUserMemoryManager(d)
+        sys_ = manager.get_user_memory("default")
+        assert sys_.stats().total_memories == 1
+        manager.close()
+
+    def test_embedded_legacy_layout_still_opens(self, tmp_path):
+        # stores created by the pre-harmonized embedded layout
+        # (data_dir/<id>) keep working
+        from shodh_tpu.clients.client import Memory
+        from shodh_tpu.engine.memory_system import MemorySystem
+
+        legacy = tmp_path / "old" / "default"
+        s = MemorySystem(legacy)
+        s.remember({"content": "legacy layout data"})
+        s.close()
+        with Memory(embedded=True, data_dir=str(tmp_path / "old")) as m:
+            hits = m.search("legacy layout data", limit=1)
+            assert hits and "legacy" in hits[0]["experience"]["content"]
+
 
 class TestMultiUserManager:
     def test_lru_user_eviction(self, tmp_path):
