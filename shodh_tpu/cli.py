@@ -67,6 +67,11 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--data-dir", default="~/.shodh-tpu")
     m.add_argument("--backup-dir", default=None)
 
+    f = sub.add_parser("fsck", help="store integrity check (+ --repair)")
+    f.add_argument("--data-dir", required=True)
+    f.add_argument("--user", default="default")
+    f.add_argument("--repair", action="store_true")
+
     i = sub.add_parser("init", help="scaffold a data dir + API key")
     i.add_argument("--data-dir", default="~/.shodh-tpu")
 
@@ -176,6 +181,33 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(json.dumps(report, indent=1))
         return 0
+
+    if args.cmd == "fsck":
+        from pathlib import Path
+
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")  # integrity work never needs the TPU
+        from shodh_tpu.engine.memory_system import MemorySystem
+        from shodh_tpu.storage.fsck import check_store, repair_store
+
+        base = Path(args.data_dir).expanduser()
+        store = base / "users" / args.user
+        if not store.exists() and (base / args.user).exists():
+            store = base / args.user  # pre-harmonized embedded layout
+        # readonly unless repairing: fsck of a live writer's store must
+        # not itself write (WAL single-writer discipline)
+        system = MemorySystem(store, readonly=not args.repair)
+        try:
+            report = check_store(system)
+            if args.repair and not report["ok"]:
+                report = repair_store(system, report)
+                report["repaired"] = True
+        finally:
+            system.close()
+        report.pop("_tfact_dangling_ids", None)
+        print(json.dumps(report, indent=1))
+        return 0 if report["ok"] else 1
 
     if args.cmd == "init":
         import secrets

@@ -379,6 +379,16 @@ class McpMemoryServer:
             lambda a: json.dumps(self._repair_index()),
         )
         reg(
+            _tool(
+                "fsck",
+                "Full store integrity check across every derived structure "
+                "(hash map, secondary index, vector rows, BM25 docs, temporal "
+                "facts, lexical stamp); pass repair=true to fix findings.",
+                {"repair": {"type": "boolean"}},
+            ),
+            lambda a: json.dumps(self._fsck(bool(a.get("repair")))),
+        )
+        reg(
             _tool("token_status", "Token budget status for memory injections this session.", {}),
             lambda a: json.dumps({
                 "tokens": self._tokens_emitted,
@@ -441,6 +451,16 @@ class McpMemoryServer:
         p.status = status
         self.system.todos.kv.put(NS_PROJECT, p.id, encode(p.to_dict()))
         return f"Project {p.name} -> {status}."
+
+    def _fsck(self, repair: bool = False) -> dict:
+        from shodh_tpu.storage.fsck import check_store, repair_store
+
+        report = check_store(self.system)
+        if repair and not report["ok"]:
+            report = repair_store(self.system, report)
+            report["repaired"] = True
+        report.pop("_tfact_dangling_ids", None)
+        return report
 
     def _repair_index(self) -> dict:
         report = self._verify_index()

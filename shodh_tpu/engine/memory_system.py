@@ -2229,7 +2229,10 @@ class MemorySystem:
 
     @_locked
     def close(self) -> None:
-        self.save()
+        if not self._readonly_open:
+            # readonly opens (follower replicas, check-only fsck) must not
+            # clobber the writer's index snapshots on the way out
+            self.save()
         self.storage.close()
         if self.graph is not None:
             self.graph.close()

@@ -1765,6 +1765,26 @@ def make_app(manager: MultiUserMemoryManager) -> web.Application:
 
     app.router.add_post("/api/index/repair", index_repair)
 
+    async def store_fsck(request):
+        """Full store integrity check across every derived structure
+        (storage/fsck.py); body {"repair": true} fixes findings."""
+        body = await body_json(request)
+        uid = user_of(request, body)
+        sys_ = mgr(request).get_user_memory(uid)
+        from shodh_tpu.storage.fsck import check_store, repair_store
+
+        def work():
+            rep = check_store(sys_)
+            if body.get("repair") and not rep["ok"]:
+                rep = repair_store(sys_, rep)
+                rep["repaired"] = True
+            rep.pop("_tfact_dangling_ids", None)
+            return rep
+
+        return web.json_response(await run(work))
+
+    app.router.add_post("/api/store/fsck", store_fsck)
+
     # -- backups tail (consolidation.rs) ----------------------------------------
     async def backup_purge(request):
         from shodh_tpu.storage.backup import purge_backups

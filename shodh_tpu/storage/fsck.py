@@ -1,0 +1,205 @@
+"""Offline store integrity check + repair.
+
+One entry point for what the reference spreads across consolidation's
+verify/rebuild and storage's cleanup (consolidation.rs repair = verify +
+conditional rebuild; storage.rs:2975 cleanup_corrupted): decode every
+record, then cross-check each derived structure against the memory set —
+content-hash dedup map, secondary index keys, vector row maps, BM25
+posting docs, temporal-fact sources, and the lexical fingerprint stamp
+(retrieval.bm25.lexical_fingerprint).
+
+``check_store`` is read-only and returns a structured report;
+``repair_store`` fixes what the report found, preferring re-derivation
+from stored content (the same replay machinery as the fold-drift
+migration) over surgical patching, then re-checks.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from shodh_tpu.storage.store import (
+    NS_HASH,
+    NS_IDX,
+    NS_MEM,
+)
+
+NS_TFACT = "tfact"
+NS_TFACT_ENT = "tfactent"
+
+
+def check_store(system) -> dict[str, Any]:
+    """Read-only integrity report for an open MemorySystem."""
+    from shodh_tpu.retrieval.bm25 import lexical_fingerprint
+    from shodh_tpu.storage.serialization import CorruptRecordError, decode
+
+    kv = system.storage.kv
+    report: dict[str, Any] = {}
+
+    # 1. Record decode + the live id set everything else is checked against
+    ids: set[str] = set()
+    corrupt = 0
+    mems = {}
+    for k, v in kv.scan_prefix(NS_MEM, ""):
+        try:
+            from shodh_tpu.types import Memory
+
+            mems[k] = Memory.from_dict(decode(v))
+            ids.add(k)
+        except CorruptRecordError:
+            corrupt += 1
+    report["memories"] = len(ids)
+    report["corrupt_records"] = corrupt
+
+    # 2. Content-hash dedup map: bijective with live records
+    hash_dangling = []
+    hashed_ids = set()
+    for chash, raw in kv.scan_prefix(NS_HASH, ""):
+        mid = raw.decode()
+        if mid not in ids:
+            hash_dangling.append(chash)
+        else:
+            hashed_ids.add(mid)
+    hash_missing = [
+        mid for mid, m in mems.items() if m.content_hash and mid not in hashed_ids
+    ]
+    report["hash_index"] = {"dangling": len(hash_dangling), "missing": len(hash_missing)}
+
+    # 3. Secondary index keys: every live memory's keys present, none dangling
+    expected_keys: set[str] = set()
+    for m in mems.values():
+        expected_keys |= system.storage._index_keys(m)
+    actual_keys = {k for k, _ in kv.scan_prefix(NS_IDX, "")}
+    report["secondary_index"] = {
+        "missing": len(expected_keys - actual_keys),
+        "dangling": len(actual_keys - expected_keys),
+    }
+
+    # 4. Vector row maps: row -> memory inverse agrees (index repair route
+    # check, app.py index_repair) and every live memory has text rows
+    row_mismatch = 0
+    missing_maps = 0
+    for mid in ids:
+        vm = system.storage.get_vector_map(mid)
+        if "text" not in vm or not vm["text"]:
+            missing_maps += 1
+            continue
+        for modality, rows in vm.items():
+            for r in rows:
+                if system.storage.memory_for_row(r, modality) != mid:
+                    row_mismatch += 1
+    report["vector_map"] = {"row_mismatches": row_mismatch, "missing": missing_maps}
+
+    # 5. BM25 posting docs: live memories indexed, no orphan docs
+    if system.bm25 is not None and system.bm25.kv is not None:
+        bm25_ids = {doc_id for doc_id, _ in system.bm25.kv.scan_prefix("bm25doc", "")}
+        report["bm25"] = {
+            "missing": len(ids - bm25_ids),
+            "orphans": len(bm25_ids - ids),
+        }
+    else:
+        report["bm25"] = {"missing": 0, "orphans": 0}
+
+    # 6. Temporal facts: sources must exist
+    tfact_dangling = []
+    for fid, raw in kv.scan_prefix(NS_TFACT, ""):
+        try:
+            fact = decode(raw)
+        except CorruptRecordError:
+            tfact_dangling.append(fid)
+            continue
+        if fact.get("source_memory") not in ids:
+            tfact_dangling.append(fid)
+    report["temporal_facts"] = {"dangling": len(tfact_dangling)}
+    report["_tfact_dangling_ids"] = tfact_dangling
+
+    # 7. Lexical stamp: stored postings/vectors stemmed under current rules
+    stamp = kv.get("meta", "lexical_fp")
+    report["lexical_stamp"] = {
+        "present": stamp is not None,
+        "current": stamp is not None and stamp.decode() == lexical_fingerprint(),
+    }
+
+    report["ok"] = (
+        corrupt == 0
+        and not hash_dangling
+        and not hash_missing
+        and report["secondary_index"]["missing"] == 0
+        and report["secondary_index"]["dangling"] == 0
+        and row_mismatch == 0
+        and missing_maps == 0
+        and report["bm25"]["missing"] == 0
+        and report["bm25"]["orphans"] == 0
+        and not tfact_dangling
+        and report["lexical_stamp"]["current"]
+    )
+    return report
+
+
+def repair_store(system, report: dict[str, Any] | None = None) -> dict[str, Any]:
+    """Fix what ``check_store`` found; returns the post-repair report.
+
+    Strategy: drop undecodable records first, then re-derive every
+    derived structure from the surviving content — hash map and secondary
+    index keys by re-putting each record through the storage update path,
+    postings/vectors via the fold-drift replay (migrate_lexical, which
+    also restamps), and orphan cleanup by deletion.
+    """
+    report = report or check_store(system)
+    if report["ok"]:
+        return report
+
+    kv = system.storage.kv
+    system.storage.cleanup_corrupted()
+    live = set(system.storage.iter_ids())
+
+    # hash map: drop dangling, re-put missing
+    ops = []
+    for chash, raw in kv.scan_prefix(NS_HASH, ""):
+        if raw.decode() not in live:
+            ops.append(("del", NS_HASH, chash, None))
+    for mem in system.storage.iter_memories():
+        if mem.content_hash:
+            ops.append(("put", NS_HASH, mem.content_hash, mem.id.encode()))
+    if ops:
+        kv.write_batch(ops)
+
+    # secondary index: drop dangling keys, then re-put every record's keys
+    expected: set[str] = set()
+    for mem in system.storage.iter_memories():
+        expected |= system.storage._index_keys(mem)
+    ops = [
+        ("del", NS_IDX, k, None)
+        for k, _ in kv.scan_prefix(NS_IDX, "")
+        if k not in expected
+    ]
+    ops.extend(("put", NS_IDX, k, b"") for k in expected)
+    kv.write_batch(ops)
+
+    # orphan bm25 docs
+    if system.bm25 is not None and system.bm25.kv is not None:
+        for doc_id, _ in list(system.bm25.kv.scan_prefix("bm25doc", "")):
+            if doc_id not in live:
+                system.bm25.delete(doc_id)
+
+    # dangling temporal facts (+ their entity keys)
+    for fid in report.get("_tfact_dangling_ids", []):
+        ops = [("del", NS_TFACT, fid, None)]
+        ops.extend(
+            ("del", NS_TFACT_ENT, key, None)
+            for key, _ in kv.scan_prefix(NS_TFACT_ENT, "")
+            if key.endswith(f":{fid}")
+        )
+        kv.write_batch(ops)
+
+    # postings + vectors + row maps + stamp: full content replay
+    vec = report["vector_map"]
+    if (
+        not report["lexical_stamp"]["current"]
+        or report["bm25"]["missing"]
+        or vec["row_mismatches"]
+        or vec["missing"]
+    ):
+        system.migrate_lexical()
+
+    return check_store(system)

@@ -1,0 +1,121 @@
+"""Store integrity check + repair (storage/fsck.py; consolidation.rs
+verify/repair analog). Builds a real store, breaks each derived
+structure in turn, and asserts check_store sees it and repair_store
+restores a clean report with recall still working."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from shodh_tpu.engine.memory_system import MemorySystem
+from shodh_tpu.storage.fsck import check_store, repair_store
+from shodh_tpu.storage.store import NS_HASH, NS_IDX, NS_MEM
+from shodh_tpu.types import Experience, ExperienceType, Query
+
+
+@pytest.fixture()
+def system(tmp_path):
+    s = MemorySystem(tmp_path / "users" / "default")
+    s.remember(
+        Experience(
+            content="Alice will present the roadmap next Friday",
+            experience_type=ExperienceType.CONVERSATION,
+            tags=["planning"],
+        )
+    )
+    s.remember(
+        Experience(
+            content="The deployment pipeline broke on the staging cluster",
+            tags=["ops"],
+        )
+    )
+    yield s
+    s.close()
+
+
+class TestCheck:
+    def test_clean_store_is_ok(self, system):
+        report = check_store(system)
+        assert report["ok"], report
+        assert report["memories"] == 2
+
+    def test_detects_dangling_hash_entry(self, system):
+        system.storage.kv.put(NS_HASH, "deadbeef" * 8, b"no-such-memory")
+        report = check_store(system)
+        assert not report["ok"] and report["hash_index"]["dangling"] == 1
+
+    def test_detects_missing_secondary_index_key(self, system):
+        key, _ = next(iter(system.storage.kv.scan_prefix(NS_IDX, "")))
+        system.storage.kv.delete(NS_IDX, key)
+        report = check_store(system)
+        assert not report["ok"] and report["secondary_index"]["missing"] >= 1
+
+    def test_detects_corrupt_record(self, system):
+        mid = next(system.storage.iter_ids())
+        system.storage.kv.put(NS_MEM, mid + "-junk", b"\x00not-msgpack")
+        report = check_store(system)
+        assert report["corrupt_records"] == 1 and not report["ok"]
+
+    def test_detects_orphan_bm25_doc(self, system):
+        system.bm25.upsert("ghost-doc", "content of a deleted memory")
+        report = check_store(system)
+        assert not report["ok"] and report["bm25"]["orphans"] == 1
+
+    def test_detects_stale_lexical_stamp(self, system):
+        system.storage.kv.put("meta", "lexical_fp", b"stale")
+        report = check_store(system)
+        assert not report["ok"] and not report["lexical_stamp"]["current"]
+
+
+class TestRepair:
+    def _break_everything(self, system):
+        system.storage.kv.put(NS_HASH, "deadbeef" * 8, b"no-such-memory")
+        key, _ = next(iter(system.storage.kv.scan_prefix(NS_IDX, "")))
+        system.storage.kv.delete(NS_IDX, key)
+        system.storage.kv.put(NS_MEM, "junk-id", b"\x00not-msgpack")
+        system.bm25.upsert("ghost-doc", "orphan postings")
+        system.storage.kv.put("meta", "lexical_fp", b"stale")
+
+    def test_repair_restores_clean_report_and_recall(self, system):
+        want = system.recall(Query(query_text="roadmap presentation", max_results=2)).ids
+        self._break_everything(system)
+        report = repair_store(system)
+        assert report["ok"], report
+        assert system.recall(Query(query_text="roadmap presentation", max_results=2)).ids == want
+
+    def test_repair_is_idempotent(self, system):
+        self._break_everything(system)
+        first = repair_store(system)
+        second = repair_store(system)
+        assert first["ok"] and second["ok"]
+
+
+class TestCli:
+    def test_fsck_exit_codes(self, tmp_path):
+        store = tmp_path / "users" / "default"
+        s = MemorySystem(store)
+        s.remember(Experience(content="cli fsck target memory"))
+        s.storage.kv.put(NS_HASH, "deadbeef" * 8, b"no-such-memory")
+        s.close()
+
+        def run_fsck(*extra):
+            return subprocess.run(
+                [sys.executable, "-m", "shodh_tpu.cli", "fsck",
+                 "--data-dir", str(tmp_path), *extra],
+                capture_output=True, text=True, timeout=120,
+                env={"PATH": "/usr/bin:/bin", "PYTHONPATH": "/root/repo",
+                     "SHODH_OFFLINE": "1"},
+            )
+
+        bad = run_fsck()
+        assert bad.returncode == 1, bad.stdout + bad.stderr
+        assert json.loads(bad.stdout)["hash_index"]["dangling"] == 1
+
+        fixed = run_fsck("--repair")
+        assert fixed.returncode == 0, fixed.stdout + fixed.stderr
+        assert json.loads(fixed.stdout)["ok"] is True
+
+        clean = run_fsck()
+        assert clean.returncode == 0

@@ -435,6 +435,14 @@ class TestRound2Routes:
         status, body = client.request("POST", "/api/index/repair", {})
         assert status == 200 and body["was_healthy"] is True
 
+    def test_store_fsck(self, client):
+        client.request("POST", "/api/remember", {"content": "fsck route subject"})
+        status, body = client.request("POST", "/api/store/fsck", {})
+        assert status == 200 and body["ok"] is True and body["memories"] >= 1
+        # repair=true on a clean store is a no-op report
+        status, body = client.request("POST", "/api/store/fsck", {"repair": True})
+        assert status == 200 and body["ok"] is True and "repaired" not in body
+
     def test_pull_sync_with_injected_transport(self, client, monkeypatch):
         from shodh_tpu.server import integrations_sync as isync
 
