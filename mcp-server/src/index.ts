@@ -541,6 +541,13 @@ function buildTools(http: HttpClient, userId: string, tracker: TokenTracker): Ma
   reg("repair_index", "Verify the index and rebuild it when inconsistent.", {}, [], async () =>
     JSON.stringify(await http.call("POST", "/api/index/repair", {})),
   );
+  reg(
+    "fsck",
+    "Full store integrity check across every derived structure (hash map, secondary index, vector rows, BM25 docs, temporal facts, lexical stamp); pass repair=true to fix findings.",
+    { repair: B },
+    [],
+    async (a) => JSON.stringify(await http.call("POST", "/api/store/fsck", { repair: !!a.repair })),
+  );
   reg("token_status", "Token accounting for tool output this session.", {}, [], async () =>
     JSON.stringify({ tokens: tracker.total, per_tool: tracker.perTool }),
   );

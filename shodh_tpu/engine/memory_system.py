@@ -186,6 +186,7 @@ class MemorySystem:
         # One reentrant lock per system gives the same safety under the
         # server's thread pool; users parallelize across systems.
         self._lock = threading.RLock()
+        self._maybe_recover_index()
         self._init_subsystems()
 
     def _init_subsystems(self) -> None:
@@ -1233,6 +1234,80 @@ class MemorySystem:
             param_class=param_class,
         )
 
+    def _maybe_recover_index(self) -> None:
+        """Crash recovery for the text vector index.
+
+        The kv store commits every write batch; the index snapshot persists
+        only at save()/close()/compaction — the durability tradeoff that
+        buys the config-5 streaming ingest rate (the reference's Vamana
+        mmaps per insert, vamana.rs, and never faces this). A hard kill can
+        therefore leave:
+
+        (a) mapped rows past the snapshot tail (ingests since the last
+            save) — detected by the ``text_rows`` allocation counter the
+            storage commits with every row batch; healed by re-embedding
+            exactly the affected memories.
+        (b) a kv row remap from a compaction the snapshot never saw (or
+            vice versa) — detected by the index epoch, which compaction
+            commits to the kv in the SAME batch as the remap; healed by a
+            full rebuild (a mismatch means row ids may point at the wrong
+            vectors, so nothing targeted is trustworthy).
+
+        Writer-only (readers serve what the writer persisted). Modality
+        indexes re-derive trivially from the persisted per-experience
+        embeddings at fsck/repair; the text leg is the one that needs
+        open-time healing because queries hit it immediately.
+        """
+        if self._readonly_open:
+            return
+        import sys as _sys
+
+        kv = self.storage.kv
+        kv_epoch = int((kv.get("meta", "index_epoch") or b"0").decode())
+        if kv_epoch != self.index.epoch:
+            n = self.rebuild_index()
+            kv.put("meta", "index_epoch", str(self.index.epoch).encode())
+            self.storage.set_text_rows_hwm(len(self.index))
+            self.index.save(self.data_dir / "index" / "text")
+            _sys.stderr.write(
+                f"shodh: index snapshot epoch {self.index.epoch} != kv epoch "
+                f"{kv_epoch} (crash during compaction); rebuilt {n} memories' vectors\n"
+            )
+            return
+        alloc = self.storage.text_rows_hwm
+        if alloc <= len(self.index):
+            return
+        affected: dict[str, None] = {}
+        for r in range(len(self.index), alloc):
+            mid = self.storage.memory_for_row(r)
+            if mid is not None:
+                affected[mid] = None
+        healed = 0
+        for mid in affected:
+            mem = self.storage.get(mid)
+            if mem is None:
+                continue
+            old_rows = self.storage.get_vector_map(mid).get("text") or []
+            self.index.delete_rows([r for r in old_rows if r < len(self.index)])
+            if mem.experience.embeddings is not None:
+                vecs = np.asarray([mem.experience.embeddings], np.float32)
+                norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+                vecs = vecs / np.maximum(norms, 1e-12)
+            else:
+                vecs = self.embedder.encode_batch(chunk_content(mem.experience.content))
+            rows = self.index.add(vecs)
+            mem.vector_row = rows[0]
+            self.storage.set_vector_rows(mid, rows)
+            self.storage.update(mem)
+            healed += 1
+        self.storage.set_text_rows_hwm(len(self.index))
+        if healed:
+            self.index.save(self.data_dir / "index" / "text")
+            _sys.stderr.write(
+                f"shodh: unclean shutdown — re-derived vectors for {healed} "
+                f"memories past the index snapshot tail\n"
+            )
+
     def _maybe_migrate_lexical(self) -> None:
         """Detect fold-table drift between this build and the persisted
         store, and re-derive stem-dependent artifacts when they differ.
@@ -1293,11 +1368,21 @@ class MemorySystem:
         tails: dict[str, Memory] = {}
         for mem in mems:
             exp = mem.experience
+            old_rows = self.storage.get_vector_map(mem.id).get("text") or []
             if exp.embeddings is None:
-                old_rows = self.storage.get_vector_map(mem.id).get("text") or []
                 if old_rows:
                     self.index.delete_rows(old_rows)
                 vectors = self.embedder.encode_batch(chunk_content(exp.content))
+            elif not old_rows or not all(self.index.row_active(r) for r in old_rows):
+                # caller-precomputed vectors are not stem-derived — they
+                # only re-add when their rows are gone (fsck's fresh-index
+                # rebuild), never on pure fold drift
+                vectors = np.asarray([exp.embeddings], np.float32)
+                norms = np.linalg.norm(vectors, axis=1, keepdims=True)
+                vectors = vectors / np.maximum(norms, 1e-12)
+            else:
+                vectors = None
+            if vectors is not None:
                 rows = self.index.add(vectors)
                 mem.vector_row = rows[0]
                 self.storage.set_vector_rows(mem.id, rows)
@@ -2003,10 +2088,14 @@ class MemorySystem:
         if self.temporal_facts is not None:
             report["temporal_facts_pruned"] = self.temporal_facts.prune(now=now)
 
-        # 7. Index compaction
+        # 7. Index compaction. The remap + epoch bump commit in ONE kv
+        # batch, then the snapshot persists immediately: a crash on either
+        # side leaves kv-epoch != snapshot-epoch, which open-time recovery
+        # detects and rebuilds (never a silent wrong-vector mapping).
         mapping = self.index.maybe_compact()
         if mapping is not None:
-            self.storage.remap_rows(mapping)
+            self.storage.remap_rows(mapping, epoch=self.index.epoch)
+            self.index.save(self.data_dir / "index" / "text")
             report["index_compacted"] = True
 
         return report

@@ -85,6 +85,13 @@ class DeviceVectorIndex:
         # exact deterministic cross-engine merge in search().
         self._device_start = 0
         self._n_deleted = 0
+        # Compaction epoch: bumped on every maybe_compact, persisted in the
+        # snapshot AND (by the engine, in the same write batch as the row
+        # remap) in the kv store. A mismatch at open means the on-disk
+        # snapshot and the kv row maps describe different row layouts — the
+        # crash window between a compaction and the next save() — and the
+        # engine rebuilds (memory_system._maybe_recover_index).
+        self.epoch = 0
 
     @staticmethod
     def _hbm_budget() -> int:
@@ -123,6 +130,12 @@ class DeviceVectorIndex:
     @property
     def n_active(self) -> int:
         return self._count - self._n_deleted
+
+    def row_active(self, row: int) -> bool:
+        """True when ``row`` exists and is not soft-deleted (crash-recovery
+        and fsck validity probe)."""
+        self.flush()
+        return 0 <= row < self._count and self._valid_np[row] == 1.0
 
     # -- ingest -------------------------------------------------------------
 
@@ -226,6 +239,7 @@ class DeviceVectorIndex:
         """
         if self._count == 0 or self._n_deleted / max(1, self._count) < _COMPACT_DELETED_FRACTION:
             return None
+        self.epoch += 1
         self.flush()
         keep = np.nonzero(self._valid_np[: self._count] == 1.0)[0]
         mapping = {int(old): new for new, old in enumerate(keep)}
@@ -395,6 +409,7 @@ class DeviceVectorIndex:
             "dtype": self.dtype,
             "count": self._count,
             "n_deleted": self._n_deleted,
+            "epoch": self.epoch,
             "sha256": hashlib.sha256(payload).hexdigest(),
         }
         path.with_suffix(".json").write_text(json.dumps(meta))
@@ -419,4 +434,5 @@ class DeviceVectorIndex:
             idx._valid_np[:count] = data["valid"]
         idx._count = count
         idx._n_deleted = int(meta["n_deleted"])
+        idx.epoch = int(meta.get("epoch", 0))
         return idx

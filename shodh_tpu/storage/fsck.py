@@ -79,6 +79,9 @@ def check_store(system) -> dict[str, Any]:
     # check, app.py index_repair) and every live memory has text rows
     row_mismatch = 0
     missing_maps = 0
+    stale_rows = 0  # mapped text rows absent/deleted in the loaded index
+    mapped_text: set[int] = set()
+    system.index.flush()
     for mid in ids:
         vm = system.storage.get_vector_map(mid)
         if "text" not in vm or not vm["text"]:
@@ -88,7 +91,25 @@ def check_store(system) -> dict[str, Any]:
             for r in rows:
                 if system.storage.memory_for_row(r, modality) != mid:
                     row_mismatch += 1
+                if modality == "text":
+                    mapped_text.add(r)
+                    if not system.index.row_active(r):
+                        stale_rows += 1
     report["vector_map"] = {"row_mismatches": row_mismatch, "missing": missing_maps}
+
+    # 4.5 Device index vs kv: epoch agreement (compaction crash window),
+    # no mapped row missing from the index, no active row unmapped
+    kv_epoch = int((kv.get("meta", "index_epoch") or b"0").decode())
+    orphan_rows = sum(
+        1
+        for r in range(len(system.index))
+        if system.index.row_active(r) and r not in mapped_text
+    )
+    report["index"] = {
+        "epoch_ok": kv_epoch == system.index.epoch,
+        "stale_mapped_rows": stale_rows,
+        "orphan_active_rows": orphan_rows,
+    }
 
     # 5. BM25 posting docs: live memories indexed, no orphan docs
     if system.bm25 is not None and system.bm25.kv is not None:
@@ -128,6 +149,9 @@ def check_store(system) -> dict[str, Any]:
         and report["secondary_index"]["dangling"] == 0
         and row_mismatch == 0
         and missing_maps == 0
+        and report["index"]["epoch_ok"]
+        and stale_rows == 0
+        and orphan_rows == 0
         and report["bm25"]["missing"] == 0
         and report["bm25"]["orphans"] == 0
         and not tfact_dangling
@@ -192,14 +216,32 @@ def repair_store(system, report: dict[str, Any] | None = None) -> dict[str, Any]
         )
         kv.write_batch(ops)
 
-    # postings + vectors + row maps + stamp: full content replay
+    # postings + vectors + row maps + index + stamp: full content replay.
+    # Index problems (epoch mismatch, stale/orphan rows) rebuild into a
+    # FRESH index — a layout mismatch means existing row ids may point at
+    # the wrong vectors, so nothing targeted is trustworthy — and the same
+    # replay re-derives postings and restamps, one pass for everything.
     vec = report["vector_map"]
+    idx = report["index"]
     if (
         not report["lexical_stamp"]["current"]
         or report["bm25"]["missing"]
         or vec["row_mismatches"]
         or vec["missing"]
+        or not idx["epoch_ok"]
+        or idx["stale_mapped_rows"]
+        or idx["orphan_active_rows"]
     ):
+        from shodh_tpu.index.device_index import DeviceVectorIndex
+
+        fresh = DeviceVectorIndex(dim=system.embedder.dimension, dtype=system.index.dtype)
+        fresh.epoch = system.index.epoch
+        system.index = fresh
+        if system._device_funnel is not None:
+            system._device_funnel.invalidate()
         system.migrate_lexical()
+        kv.put("meta", "index_epoch", str(system.index.epoch).encode())
+        system.storage.set_text_rows_hwm(len(system.index))
+        system.index.save(system.data_dir / "index" / "text")
 
     return check_store(system)

@@ -73,6 +73,7 @@ class MemoryStorage:
         self._cache_lock = threading.RLock()
         self._count: Optional[int] = None
         self._next_seq: Optional[int] = None
+        self._text_rows_hwm: Optional[int] = None  # lazy; see text_rows_hwm
 
     def _cache_put(self, mem: Memory, keys: frozenset[str]) -> None:
         with self._cache_lock:
@@ -221,7 +222,29 @@ class MemoryStorage:
         ops = [("put", NS_VECMAP, memory_id, encode(cur))]
         for r in rows:
             ops.append(("put", NS_ROWMAP, f"{modality}:{r}", memory_id.encode()))
+        # Text-row allocation high-water mark, committed in the same batch:
+        # the index snapshot only persists at save(), so after a hard kill
+        # this counter tells the engine exactly which row tail to re-derive
+        # (memory_system._maybe_recover_index).
+        if modality == "text" and rows:
+            hi = max(rows) + 1
+            if hi > self.text_rows_hwm:
+                self._text_rows_hwm = hi
+                ops.append(("put", NS_META, "text_rows", str(hi).encode()))
         self.kv.write_batch(ops)
+
+    @property
+    def text_rows_hwm(self) -> int:
+        if self._text_rows_hwm is None:
+            raw = self.kv.get(NS_META, "text_rows")
+            self._text_rows_hwm = int(raw.decode()) if raw else 0
+        return self._text_rows_hwm
+
+    def set_text_rows_hwm(self, n: int) -> None:
+        """Reset the allocation counter (after rebuild/compaction the row
+        space shrinks; the monotonic ingest-path guard must not hold it up)."""
+        self._text_rows_hwm = n
+        self.kv.put(NS_META, "text_rows", str(n).encode())
 
     def get_vector_map(self, memory_id: str) -> dict:
         raw = self.kv.get(NS_VECMAP, memory_id)
@@ -231,8 +254,15 @@ class MemoryStorage:
         raw = self.kv.get(NS_ROWMAP, f"{modality}:{row}")
         return raw.decode() if raw else None
 
-    def remap_rows(self, mapping: dict[int, int], modality: str = "text") -> None:
-        """Apply an index-compaction row remap to all stored mappings."""
+    def remap_rows(
+        self, mapping: dict[int, int], modality: str = "text", epoch: int | None = None
+    ) -> None:
+        """Apply an index-compaction row remap to all stored mappings.
+
+        ``epoch`` (the index's post-compaction epoch) commits in the SAME
+        batch as the remap: a crash on either side of this batch leaves the
+        kv epoch and the index-snapshot epoch disagreeing, which is exactly
+        the signal open-time recovery rebuilds on."""
         ops: list[tuple[str, str, str, bytes | None]] = []
         for key, val in list(self.kv.scan_prefix(NS_ROWMAP, f"{modality}:")):
             old_row = int(key.split(":", 1)[1])
@@ -244,6 +274,12 @@ class MemoryStorage:
             if modality in vm:
                 vm[modality] = [mapping[r] for r in vm[modality] if r in mapping]
                 ops.append(("put", NS_VECMAP, mem_id, encode(vm)))
+        if modality == "text":
+            hi = max(mapping.values()) + 1 if mapping else 0
+            self._text_rows_hwm = hi
+            ops.append(("put", NS_META, "text_rows", str(hi).encode()))
+        if epoch is not None:
+            ops.append(("put", NS_META, "index_epoch", str(epoch).encode()))
         self.kv.write_batch(ops)
 
     # -- search ---------------------------------------------------------------
