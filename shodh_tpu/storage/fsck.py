@@ -80,34 +80,47 @@ def check_store(system) -> dict[str, Any]:
     row_mismatch = 0
     missing_maps = 0
     stale_rows = 0  # mapped text rows absent/deleted in the loaded index
-    mapped_text: set[int] = set()
+    stale_modality = 0  # same, for image/audio/video indexes
+    mapped: dict[str, set[int]] = {}
     system.index.flush()
+
+    def _index_of(modality):
+        return system.index if modality == "text" else system.modality_indexes.get(modality)
+
     for mid in ids:
         vm = system.storage.get_vector_map(mid)
         if "text" not in vm or not vm["text"]:
             missing_maps += 1
-            continue
         for modality, rows in vm.items():
-            for r in rows:
-                if system.storage.memory_for_row(r, modality) != mid:
-                    row_mismatch += 1
-                if modality == "text":
-                    mapped_text.add(r)
-                    if not system.index.row_active(r):
-                        stale_rows += 1
+            if not (modality == "text" and not rows):  # counted above
+                idx_obj = _index_of(modality)
+                for r in rows:
+                    if system.storage.memory_for_row(r, modality) != mid:
+                        row_mismatch += 1
+                    mapped.setdefault(modality, set()).add(r)
+                    if idx_obj is None or not idx_obj.row_active(r):
+                        if modality == "text":
+                            stale_rows += 1
+                        else:
+                            stale_modality += 1
     report["vector_map"] = {"row_mismatches": row_mismatch, "missing": missing_maps}
 
-    # 4.5 Device index vs kv: epoch agreement (compaction crash window),
-    # no mapped row missing from the index, no active row unmapped
+    # 4.5 Device indexes vs kv: epoch agreement (compaction crash window),
+    # no mapped row missing from its index, no active row unmapped
     kv_epoch = int((kv.get("meta", "index_epoch") or b"0").decode())
-    orphan_rows = sum(
-        1
-        for r in range(len(system.index))
-        if system.index.row_active(r) and r not in mapped_text
-    )
+    orphan_rows = 0
+    for modality in ("text", *system.modality_indexes.keys()):
+        idx_obj = _index_of(modality)
+        if idx_obj is None:
+            continue
+        seen = mapped.get(modality, set())
+        orphan_rows += sum(
+            1 for r in range(len(idx_obj)) if idx_obj.row_active(r) and r not in seen
+        )
     report["index"] = {
         "epoch_ok": kv_epoch == system.index.epoch,
         "stale_mapped_rows": stale_rows,
+        "stale_modality_rows": stale_modality,
         "orphan_active_rows": orphan_rows,
     }
 
@@ -151,6 +164,7 @@ def check_store(system) -> dict[str, Any]:
         and missing_maps == 0
         and report["index"]["epoch_ok"]
         and stale_rows == 0
+        and stale_modality == 0
         and orphan_rows == 0
         and report["bm25"]["missing"] == 0
         and report["bm25"]["orphans"] == 0
@@ -243,5 +257,32 @@ def repair_store(system, report: dict[str, Any] | None = None) -> dict[str, Any]
         kv.put("meta", "index_epoch", str(system.index.epoch).encode())
         system.storage.set_text_rows_hwm(len(system.index))
         system.index.save(system.data_dir / "index" / "text")
+
+    # modality rows re-add from the persisted per-experience embeddings
+    if idx["stale_modality_rows"] or idx["orphan_active_rows"]:
+        import numpy as np
+
+        from shodh_tpu.index.device_index import DeviceVectorIndex
+
+        rebuilt: dict[str, DeviceVectorIndex] = {}
+        for mem in sorted(system.storage.iter_memories(), key=lambda m: (m.created_at, m.id)):
+            exp = mem.experience
+            for modality, emb in (
+                ("image", exp.image_embeddings),
+                ("audio", exp.audio_embeddings),
+                ("video", exp.video_embeddings),
+            ):
+                if emb is None:
+                    continue
+                vec = np.asarray(emb, np.float32)
+                vec = vec / max(float(np.linalg.norm(vec)), 1e-12)
+                midx = rebuilt.get(modality)
+                if midx is None:
+                    midx = rebuilt[modality] = DeviceVectorIndex(dim=vec.shape[0])
+                rows = midx.add(vec[None, :])
+                system.storage.set_vector_rows(mem.id, rows, modality=modality)
+        for modality, midx in rebuilt.items():
+            system.modality_indexes[modality] = midx
+            midx.save(system.data_dir / "index" / modality)
 
     return check_store(system)

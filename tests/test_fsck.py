@@ -85,6 +85,25 @@ class TestRepair:
         assert report["ok"], report
         assert system.recall(Query(query_text="roadmap presentation", max_results=2)).ids == want
 
+    def test_modality_rows_rederive_from_persisted_embeddings(self, system):
+        import numpy as np
+
+        system.remember(
+            Experience(
+                content="robot camera frame of the loading dock",
+                image_embeddings=np.arange(1, 9, dtype=np.float32).tolist(),
+            )
+        )
+        # simulate the crash: modality index snapshot never persisted
+        system.modality_indexes.clear()
+        report = check_store(system)
+        assert not report["ok"] and report["index"]["stale_modality_rows"] >= 1
+        report = repair_store(system, report)
+        assert report["ok"], report
+        # the rebuilt modality index serves the vector again
+        midx = system.modality_indexes["image"]
+        assert midx.n_active == 1
+
     def test_repair_is_idempotent(self, system):
         self._break_everything(system)
         first = repair_store(system)
