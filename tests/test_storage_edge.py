@@ -128,3 +128,59 @@ class TestKvEdges:
         store = MemoryStorage(tmp_path / "g")
         assert store.search(SearchCriteria(geo=(37.0, -122.0, 500.0), limit=10)) == []
         store.close()
+
+
+class TestSerializationFuzz:
+    """The codec's contract: corruption RAISES CorruptRecordError — never a
+    hang, a crash, or silently deserialized garbage (serialization.rs:1-12
+    frame-and-checksum contract)."""
+
+    def test_every_single_bitflip_raises(self):
+        # crc32 is linear: any single-bit payload flip changes the checksum,
+        # and header flips break magic/version/crc — so EVERY position must
+        # raise, exhaustively
+        rec = encode({"id": "x", "content": "fuzz target", "n": 7, "v": [1.5, 2.5]})
+        for byte in range(len(rec)):
+            for bit in range(8):
+                mutated = bytearray(rec)
+                mutated[byte] ^= 1 << bit
+                with pytest.raises(CorruptRecordError):
+                    decode(bytes(mutated))
+
+    def test_every_truncation_raises(self):
+        rec = encode({"k": "truncation target", "list": list(range(50))})
+        for cut in range(len(rec)):
+            with pytest.raises(CorruptRecordError):
+                decode(rec[:cut])
+
+    def test_random_garbage_never_crashes(self):
+        import random
+
+        rng = random.Random(0xC0FFEE)
+        for _ in range(300):
+            blob = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 256)))
+            with pytest.raises(CorruptRecordError):
+                decode(blob)
+
+    def test_roundtrip_property(self):
+        import random
+
+        rng = random.Random(1234)
+
+        def gen(depth=0):
+            kind = rng.randrange(6 if depth < 3 else 4)
+            if kind == 0:
+                return rng.randrange(-(2**40), 2**40)
+            if kind == 1:
+                return rng.random() * 10**rng.randrange(-3, 6)
+            if kind == 2:
+                return "".join(chr(rng.randrange(32, 0x2FFF)) for _ in range(rng.randrange(20)))
+            if kind == 3:
+                return bytes(rng.randrange(256) for _ in range(rng.randrange(20)))
+            if kind == 4:
+                return [gen(depth + 1) for _ in range(rng.randrange(5))]
+            return {f"k{i}": gen(depth + 1) for i in range(rng.randrange(5))}
+
+        for _ in range(200):
+            obj = {f"f{i}": gen() for i in range(rng.randrange(1, 6))}
+            assert decode(encode(obj)) == obj
