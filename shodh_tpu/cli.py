@@ -67,7 +67,11 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--data-dir", default="~/.shodh-tpu")
     m.add_argument("--backup-dir", default=None)
 
-    f = sub.add_parser("fsck", help="store integrity check (+ --repair)")
+    f = sub.add_parser(
+        "fsck",
+        help="store integrity check (+ --repair; repairing takes the "
+        "writer role — stop the writer process first)",
+    )
     f.add_argument("--data-dir", required=True)
     f.add_argument("--user", default="default")
     f.add_argument("--repair", action="store_true")
@@ -195,8 +199,14 @@ def main(argv: list[str] | None = None) -> int:
         store = base / "users" / args.user
         if not store.exists() and (base / args.user).exists():
             store = base / args.user  # pre-harmonized embedded layout
+        if not store.exists():
+            # a typo'd --data-dir/--user must not mkdir an empty store and
+            # then "fail" it for the missing stamp
+            print(json.dumps({"error": f"no store at {store}"}), file=sys.stderr)
+            return 2
         # readonly unless repairing: fsck of a live writer's store must
-        # not itself write (WAL single-writer discipline)
+        # not itself write (WAL single-writer discipline). --repair takes
+        # the writer role: stop the writer process first.
         system = MemorySystem(store, readonly=not args.repair)
         try:
             report = check_store(system)

@@ -455,10 +455,11 @@ class McpMemoryServer:
     def _fsck(self, repair: bool = False) -> dict:
         from shodh_tpu.storage.fsck import check_store, repair_store
 
-        report = check_store(self.system)
-        if repair and not report["ok"]:
-            report = repair_store(self.system, report)
-            report["repaired"] = True
+        with self.system._lock:
+            report = check_store(self.system)
+            if repair and not report["ok"]:
+                report = repair_store(self.system, report)
+                report["repaired"] = True
         report.pop("_tfact_dangling_ids", None)
         return report
 

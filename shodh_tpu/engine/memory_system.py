@@ -104,6 +104,13 @@ def _temporal_context_match(a: "Memory", b: "Memory") -> bool:
     return True
 
 
+def _normalized_rows(embeddings) -> np.ndarray:
+    """Caller-precomputed embedding -> one L2-normalized index row."""
+    vectors = np.asarray([embeddings], np.float32)
+    norms = np.linalg.norm(vectors, axis=1, keepdims=True)
+    return vectors / np.maximum(norms, 1e-12)
+
+
 def _locked(fn):
     """Serialize an engine entry point on the per-system lock."""
 
@@ -1258,19 +1265,22 @@ class MemorySystem:
         embeddings at fsck/repair; the text leg is the one that needs
         open-time healing because queries hit it immediately.
         """
-        if self._readonly_open:
+        if self._readonly_open or C.recall_readonly():
+            # readonly opens AND readonly-pinned harness runs serve the
+            # store as written; the writer heals on its next normal open
             return
         import sys as _sys
 
         kv = self.storage.kv
         kv_epoch = int((kv.get("meta", "index_epoch") or b"0").decode())
         if kv_epoch != self.index.epoch:
+            snapshot_epoch = self.index.epoch
+            # rebuild_index keeps caller-precomputed embeddings, carries the
+            # epoch forward, and re-syncs the kv epoch + text_rows invariants
             n = self.rebuild_index()
-            kv.put("meta", "index_epoch", str(self.index.epoch).encode())
-            self.storage.set_text_rows_hwm(len(self.index))
             self.index.save(self.data_dir / "index" / "text")
             _sys.stderr.write(
-                f"shodh: index snapshot epoch {self.index.epoch} != kv epoch "
+                f"shodh: index snapshot epoch {snapshot_epoch} != kv epoch "
                 f"{kv_epoch} (crash during compaction); rebuilt {n} memories' vectors\n"
             )
             return
@@ -1345,10 +1355,13 @@ class MemorySystem:
             f"re-derived postings/vectors for {n} memories (one-time)\n"
         )
 
-    def migrate_lexical(self, fingerprint: Optional[str] = None) -> int:
+    def migrate_lexical(self, fingerprint: Optional[str] = None, fresh_index: bool = False) -> int:
         """Re-derive every stem-dependent artifact from stored content under
         the CURRENT fold tables, then stamp the store. Returns the number of
-        memories reprocessed.
+        memories reprocessed. ``fresh_index=True`` declares that the caller
+        replaced ``self.index`` with an empty one (fsck repair, epoch-mismatch
+        recovery): stale row ids are never trusted and every memory re-adds,
+        including caller-precomputed embeddings.
 
         Rebuilds: hash-embedder vectors (engine-embedded content only —
         caller-precomputed ``experience.embeddings`` are not stem-derived
@@ -1369,17 +1382,26 @@ class MemorySystem:
         for mem in mems:
             exp = mem.experience
             old_rows = self.storage.get_vector_map(mem.id).get("text") or []
-            if exp.embeddings is None:
+            if fresh_index:
+                # The caller replaced self.index with an EMPTY one: stale
+                # row ids may alias rows just assigned to earlier-replayed
+                # memories (replay order is (created_at, id), which is NOT
+                # row-allocation order under caller-supplied created_at) —
+                # never delete by stale id, and re-add unconditionally.
+                vectors = (
+                    self.embedder.encode_batch(chunk_content(exp.content))
+                    if exp.embeddings is None
+                    else _normalized_rows(exp.embeddings)
+                )
+            elif exp.embeddings is None:
                 if old_rows:
                     self.index.delete_rows(old_rows)
                 vectors = self.embedder.encode_batch(chunk_content(exp.content))
             elif not old_rows or not all(self.index.row_active(r) for r in old_rows):
                 # caller-precomputed vectors are not stem-derived — they
-                # only re-add when their rows are gone (fsck's fresh-index
-                # rebuild), never on pure fold drift
-                vectors = np.asarray([exp.embeddings], np.float32)
-                norms = np.linalg.norm(vectors, axis=1, keepdims=True)
-                vectors = vectors / np.maximum(norms, 1e-12)
+                # only re-add when their rows are gone, never on pure
+                # fold drift
+                vectors = _normalized_rows(exp.embeddings)
             else:
                 vectors = None
             if vectors is not None:
@@ -2291,20 +2313,34 @@ class MemorySystem:
 
     @_locked
     def rebuild_index(self) -> int:
-        """Re-embed + re-index every stored memory from scratch
-        (consolidation.rs rebuild_index). Returns memory count."""
+        """Re-index every stored memory from scratch (consolidation.rs
+        rebuild_index): caller-precomputed embeddings are kept verbatim
+        (they are the caller's ranking contract), everything else
+        re-embeds from content. Carries the index epoch forward and
+        resets the text_rows high-water mark so the crash-recovery
+        invariants (kv epoch == snapshot epoch; hwm == allocation tail)
+        survive every caller — the rebuild route, MCP repair, and the
+        adaptive-semantics refit all land here. Returns memory count."""
         from shodh_tpu.index.device_index import DeviceVectorIndex
         from shodh_tpu.models.chunking import chunk_content
 
         new_index = DeviceVectorIndex(dim=self.embedder.dimension, dtype=self.index.dtype)
+        new_index.epoch = self.index.epoch
+        self.index = new_index
         n = 0
         for mem in self.storage.iter_memories():
-            chunks = chunk_content(mem.experience.content)
-            vecs = self.embedder.encode_batch(chunks)
+            exp = mem.experience
+            if exp.embeddings is not None:
+                vecs = _normalized_rows(exp.embeddings)
+            else:
+                vecs = self.embedder.encode_batch(chunk_content(exp.content))
             rows = new_index.add(vecs)
+            mem.vector_row = rows[0]
             self.storage.set_vector_rows(mem.id, rows)
+            self.storage.update(mem)
             n += 1
-        self.index = new_index
+        self.storage.kv.put("meta", "index_epoch", str(new_index.epoch).encode())
+        self.storage.set_text_rows_hwm(len(new_index))
         if self._device_funnel is not None:
             self._device_funnel.invalidate()
         return n

@@ -1774,10 +1774,14 @@ def make_app(manager: MultiUserMemoryManager) -> web.Application:
         from shodh_tpu.storage.fsck import check_store, repair_store
 
         def work():
-            rep = check_store(sys_)
-            if body.get("repair") and not rep["ok"]:
-                rep = repair_store(sys_, rep)
-                rep["repaired"] = True
+            # under the engine lock like every other mutating path: repair
+            # swaps indexes and replays content, which must not race a
+            # concurrent remember/recall on this user's system
+            with sys_._lock:
+                rep = check_store(sys_)
+                if body.get("repair") and not rep["ok"]:
+                    rep = repair_store(sys_, rep)
+                    rep["repaired"] = True
             rep.pop("_tfact_dangling_ids", None)
             return rep
 

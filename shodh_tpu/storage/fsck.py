@@ -18,14 +18,12 @@ from __future__ import annotations
 
 from typing import Any
 
+from shodh_tpu.engine.temporal_facts import NS_TFACT, NS_TFACT_ENT
 from shodh_tpu.storage.store import (
     NS_HASH,
     NS_IDX,
     NS_MEM,
 )
-
-NS_TFACT = "tfact"
-NS_TFACT_ENT = "tfactent"
 
 
 def check_store(system) -> dict[str, Any]:
@@ -253,12 +251,16 @@ def repair_store(system, report: dict[str, Any] | None = None) -> dict[str, Any]
         system.index = fresh
         if system._device_funnel is not None:
             system._device_funnel.invalidate()
-        system.migrate_lexical()
+        # fresh_index: stale row ids must never be trusted against the new
+        # index (they can alias just-assigned rows) — every memory re-adds
+        system.migrate_lexical(fresh_index=True)
         kv.put("meta", "index_epoch", str(system.index.epoch).encode())
         system.storage.set_text_rows_hwm(len(system.index))
         system.index.save(system.data_dir / "index" / "text")
 
-    # modality rows re-add from the persisted per-experience embeddings
+    # modality indexes rebuild wholesale from the persisted per-experience
+    # embeddings; modalities with no surviving sources are DROPPED (index
+    # object + snapshot files), else an orphan-only index reloads forever
     if idx["stale_modality_rows"] or idx["orphan_active_rows"]:
         import numpy as np
 
@@ -281,8 +283,13 @@ def repair_store(system, report: dict[str, Any] | None = None) -> dict[str, Any]
                     midx = rebuilt[modality] = DeviceVectorIndex(dim=vec.shape[0])
                 rows = midx.add(vec[None, :])
                 system.storage.set_vector_rows(mem.id, rows, modality=modality)
+        for dropped in set(system.modality_indexes) - set(rebuilt):
+            for suffix in (".json", ".npz"):
+                path = (system.data_dir / "index" / dropped).with_suffix(suffix)
+                if path.exists():
+                    path.unlink()
+        system.modality_indexes = rebuilt
         for modality, midx in rebuilt.items():
-            system.modality_indexes[modality] = midx
             midx.save(system.data_dir / "index" / modality)
 
     return check_store(system)

@@ -14,8 +14,11 @@ import os
 import signal
 import subprocess
 import sys
+from pathlib import Path
 
 import pytest
+
+REPO_ROOT = str(Path(__file__).resolve().parents[1])
 
 from shodh_tpu.engine.memory_system import MemorySystem
 from shodh_tpu.storage.fsck import check_store
@@ -39,7 +42,7 @@ def _crash_mid_ingest(store, after: int = 25) -> int:
         [sys.executable, "-u", "-c", CHILD, str(store)],
         stdout=subprocess.PIPE,
         text=True,
-        env={**os.environ, "PYTHONPATH": "/root/repo"},
+        env={**os.environ, "PYTHONPATH": REPO_ROOT},
     )
     seen = 0
     for line in child.stdout:

@@ -110,6 +110,73 @@ class TestRepair:
         second = repair_store(system)
         assert first["ok"] and second["ok"]
 
+    def test_orphan_only_modality_index_dropped(self, tmp_path):
+        # Regression: an orphaned modality index with NO surviving source
+        # memories must be dropped (object + snapshot files) or repair
+        # never converges to ok
+        import numpy as np
+
+        s = MemorySystem(tmp_path / "om")
+        try:
+            m = s.remember(
+                Experience(
+                    content="only image memory",
+                    image_embeddings=np.arange(1, 9, dtype=np.float32).tolist(),
+                )
+            )
+            s.save()
+            s.forget(m.id)
+            s.remember(Experience(content="plain survivor"))
+            # crash simulation: reload the pre-forget image snapshot
+            from shodh_tpu.index.device_index import DeviceVectorIndex
+
+            s.modality_indexes["image"] = DeviceVectorIndex.load(
+                (tmp_path / "om") / "index" / "image"
+            )
+            report = check_store(s)
+            assert report["index"]["orphan_active_rows"] >= 1 and not report["ok"]
+            report = repair_store(s, report)
+            assert report["ok"], report
+            assert "image" not in s.modality_indexes
+            assert not ((tmp_path / "om") / "index" / "image.json").exists()
+        finally:
+            s.close()
+
+    def test_fresh_index_repair_with_out_of_order_created_at(self, tmp_path):
+        # Regression: replay order is (created_at, id), which diverges from
+        # row-allocation order when created_at is caller-supplied (historical
+        # import). Stale row ids must never be deleted against the fresh
+        # index — they alias rows just assigned to earlier-replayed memories.
+        import numpy as np
+        from datetime import datetime, timezone
+
+        s = MemorySystem(tmp_path / "ooo")
+        try:
+            t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+            t1 = datetime(2026, 6, 1, tzinfo=timezone.utc)
+            # ingested LATER but created EARLIER -> replays FIRST
+            s.remember(Experience(content="newest rows oldest clock"), created_at=t1)
+            s.remember(Experience(content="oldest rows newest clock"), created_at=t0)
+            s.remember(
+                Experience(
+                    content="precomputed record",
+                    embeddings=np.full(s.embedder.dimension, 0.5, np.float32).tolist(),
+                ),
+                created_at=t0,
+            )
+            want = {m.id for m in s.storage.iter_memories()}
+            s.storage.kv.put("meta", "lexical_fp", b"stale")
+            s.bm25.upsert("ghost", "force a repair-worthy report")
+            report = repair_store(s)
+            assert report["ok"], report
+            # every memory's vectors live and correctly mapped
+            for mid in want:
+                rows = s.storage.get_vector_map(mid)["text"]
+                assert all(s.index.row_active(r) for r in rows), mid
+                assert all(s.storage.memory_for_row(r) == mid for r in rows)
+        finally:
+            s.close()
+
 
 class TestCli:
     def test_fsck_exit_codes(self, tmp_path):
