@@ -156,7 +156,18 @@ class MemorySystem:
         self._ab = None  # lazy ABTestManager (scoring-weight experiments)
         index_path = self.data_dir / "index" / "text"
         if index_path.with_suffix(".json").exists():
-            self.index = DeviceVectorIndex.load(index_path)
+            try:
+                self.index = DeviceVectorIndex.load(index_path)
+            except Exception as exc:  # torn/corrupt snapshot: rebuild, don't crash
+                import sys as _sys
+
+                _sys.stderr.write(
+                    f"shodh: index snapshot unreadable ({exc}); scheduling rebuild\n"
+                )
+                self.index = DeviceVectorIndex(dim=self.embedder.dimension, dtype=index_dtype)
+                # epoch -1 can never equal the kv epoch (>= 0), so
+                # _maybe_recover_index takes the full-rebuild branch
+                self.index.epoch = -1
         else:
             self.index = DeviceVectorIndex(dim=self.embedder.dimension, dtype=index_dtype)
         # Multimodal vector namespaces (storage.rs:3481-3711 modality mappings)
@@ -1275,8 +1286,11 @@ class MemorySystem:
         kv_epoch = int((kv.get("meta", "index_epoch") or b"0").decode())
         if kv_epoch != self.index.epoch:
             snapshot_epoch = self.index.epoch
-            # rebuild_index keeps caller-precomputed embeddings, carries the
-            # epoch forward, and re-syncs the kv epoch + text_rows invariants
+            # epochs stay monotonic through the rebuild (snapshot may be -1
+            # for an unreadable file); rebuild_index keeps caller-precomputed
+            # embeddings, carries the epoch forward, and re-syncs the kv
+            # epoch + text_rows invariants
+            self.index.epoch = max(kv_epoch, self.index.epoch, 0)
             n = self.rebuild_index()
             self.index.save(self.data_dir / "index" / "text")
             _sys.stderr.write(

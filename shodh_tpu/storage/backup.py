@@ -26,6 +26,25 @@ def _digest(path: Path) -> str:
     return h.hexdigest()
 
 
+def _snapshot_sqlite(src: Path, target: Path) -> None:
+    """Transactionally consistent copy via sqlite's online backup API.
+
+    A plain file copy of a WAL-mode database races concurrent writers two
+    ways: un-checkpointed commits live only in the skipped ``-wal`` file
+    (PASSIVE checkpoints don't drain it under active readers), and a
+    checkpoint during the copy tears the main file. ``Connection.backup``
+    snapshots a consistent point-in-time state regardless of either."""
+    import sqlite3
+
+    conn = sqlite3.connect(src, timeout=30.0)
+    out = sqlite3.connect(target)
+    try:
+        conn.backup(out)
+    finally:
+        out.close()
+        conn.close()
+
+
 def create_backup(data_dir: str | Path, backup_root: str | Path) -> str:
     """Snapshot ``data_dir`` into ``backup_root/<timestamp>``; returns the path."""
     data_dir = Path(data_dir)
@@ -41,7 +60,14 @@ def create_backup(data_dir: str | Path, backup_root: str | Path) -> str:
         rel = src.relative_to(data_dir)
         target = dest / rel
         target.parent.mkdir(parents=True, exist_ok=True)
-        shutil.copy2(src, target)
+        if src.suffix == ".db":
+            try:
+                _snapshot_sqlite(src, target)
+            except Exception:  # not actually sqlite: plain copy
+                target.unlink(missing_ok=True)
+                shutil.copy2(src, target)
+        else:
+            shutil.copy2(src, target)
         manifest[str(rel)] = _digest(target)
     (dest / MANIFEST).write_text(json.dumps({"created": stamp, "files": manifest}, indent=1))
     return str(dest)

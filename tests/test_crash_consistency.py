@@ -127,6 +127,28 @@ class TestCompactionEpochWindow:
             s.close()
 
 
+class TestTornSnapshot:
+    def test_corrupt_index_snapshot_rebuilds_instead_of_crashing(self, tmp_path):
+        store = tmp_path / "t"
+        s = MemorySystem(store)
+        s.remember(Experience(content="record behind a torn snapshot about sailing"))
+        s.remember(Experience(content="second record about astronomy"))
+        s.close()
+        # torn copy / bitrot: npz bytes no longer match the json checksum
+        npz = store / "index" / "text.npz"
+        npz.write_bytes(npz.read_bytes()[:-7] + b"garbage")
+
+        s = MemorySystem(store)
+        try:
+            assert s.index.n_active == 2  # rebuilt, not crashed
+            report = check_store(s)
+            assert report["ok"], report
+            res = s.recall(Query(query_text="sailing record", max_results=1))
+            assert "sailing" in res.memories[0].memory.experience.content
+        finally:
+            s.close()
+
+
 class TestFsckSeesWhatRecoverySkips:
     def test_orphan_active_rows_detected_and_repaired(self, tmp_path):
         from shodh_tpu.storage.fsck import repair_store

@@ -199,3 +199,39 @@ class TestBackup:
 
         (pathlib.Path(b2) / "file.db").write_bytes(b"tampered")
         assert not verify_backup(b2)
+
+    def test_live_backup_captures_unckeckpointed_commits(self, tmp_path):
+        # A WAL-mode store with commits still in the -wal file (PASSIVE
+        # checkpoints don't drain it under readers): a plain file copy of
+        # memories.db would miss them; the sqlite online-backup snapshot
+        # must not. The open reader connection pins the WAL like a live
+        # follower replica would.
+        from shodh_tpu.engine.memory_system import MemorySystem
+        from shodh_tpu.storage.backup import create_backup, restore_backup, verify_backup
+        from shodh_tpu.types import Experience, Query
+
+        data = tmp_path / "data"
+        s = MemorySystem(data)
+        s.remember(Experience(content="pre-backup durable record about gardening"))
+        import sqlite3
+
+        reader = sqlite3.connect(data / "memories.db")
+        reader.execute("BEGIN")
+        reader.execute("SELECT 1").fetchone()
+        try:
+            s.remember(Experience(content="wal-resident record about carpentry"))
+            backup = create_backup(data, tmp_path / "backups")
+            assert verify_backup(backup)
+        finally:
+            reader.close()
+        s.close()
+
+        restored = tmp_path / "restored"
+        restore_backup(backup, restored)
+        r = MemorySystem(restored)
+        try:
+            assert r.stats().total_memories == 2
+            hits = r.recall(Query(query_text="carpentry record", max_results=1))
+            assert "carpentry" in hits.memories[0].memory.experience.content
+        finally:
+            r.close()
