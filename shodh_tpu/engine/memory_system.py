@@ -2134,6 +2134,12 @@ class MemorySystem:
             self.index.save(self.data_dir / "index" / "text")
             report["index_compacted"] = True
 
+        # 8. Durability: persist buffered graph mutations so the crash-loss
+        # window for edges/entities is one maintenance interval, not the
+        # process lifetime
+        if self.graph is not None:
+            self.graph.flush()
+
         return report
 
     def distill_facts(self) -> int:
@@ -2166,6 +2172,11 @@ class MemorySystem:
             self.bm25.flush()
         if self.sessions is not None:
             self.sessions.flush()
+        if self.graph is not None:
+            # the graph buffers dirty entities/edges in memory; without
+            # this, a crash lost every edge since open (close() was the
+            # only unconditional flush)
+            self.graph.flush()
         self.adapt_semantics()
 
     # ------------------------------------------------------------------

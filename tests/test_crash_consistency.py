@@ -127,6 +127,28 @@ class TestCompactionEpochWindow:
             s.close()
 
 
+class TestGraphFlushWindow:
+    def test_flush_persists_graph_without_close(self, tmp_path):
+        # the graph buffers dirty entities/edges in memory; flush() (called
+        # by save/backup and every maintenance pass) must persist them so a
+        # crash loses at most one maintenance interval of graph mutations
+        store = tmp_path / "g"
+        s = MemorySystem(store)
+        s.remember(Experience(content="Alice met Bob at the Acme robotics lab"))
+        s.flush()
+        # simulate the crash: drop the process state without close()
+        entities_on_disk = sum(1 for _ in s.graph.kv.scan_prefix("gent", ""))
+        assert entities_on_disk >= 1  # flushed, not buffered
+        s.storage.close()
+        s.graph.kv.close()
+
+        s = MemorySystem(store)
+        try:
+            assert len(s.graph.entities) >= 1
+        finally:
+            s.close()
+
+
 class TestTornSnapshot:
     def test_corrupt_index_snapshot_rebuilds_instead_of_crashing(self, tmp_path):
         store = tmp_path / "t"
