@@ -193,7 +193,7 @@ def main(argv: list[str] | None = None) -> int:
 
         jax.config.update("jax_platforms", "cpu")  # integrity work never needs the TPU
         from shodh_tpu.engine.memory_system import MemorySystem
-        from shodh_tpu.storage.fsck import check_store, repair_store
+        from shodh_tpu.storage.fsck import check_store, public_report, repair_store
 
         base = Path(args.data_dir).expanduser()
         store = base / "users" / args.user
@@ -215,7 +215,7 @@ def main(argv: list[str] | None = None) -> int:
                 report["repaired"] = True
         finally:
             system.close()
-        report.pop("_tfact_dangling_ids", None)
+        report = public_report(report)
         print(json.dumps(report, indent=1))
         return 0 if report["ok"] else 1
 

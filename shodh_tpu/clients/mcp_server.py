@@ -453,15 +453,14 @@ class McpMemoryServer:
         return f"Project {p.name} -> {status}."
 
     def _fsck(self, repair: bool = False) -> dict:
-        from shodh_tpu.storage.fsck import check_store, repair_store
+        from shodh_tpu.storage.fsck import check_store, public_report, repair_store
 
         with self.system._lock:
             report = check_store(self.system)
             if repair and not report["ok"]:
                 report = repair_store(self.system, report)
                 report["repaired"] = True
-        report.pop("_tfact_dangling_ids", None)
-        return report
+        return public_report(report)
 
     def _repair_index(self) -> dict:
         report = self._verify_index()

@@ -57,6 +57,14 @@ def canonical_name(name: str) -> str:
     return " ".join(_WORD_RE.findall(name.lower()))
 
 
+def graph_eligible_name(name: str) -> bool:
+    """True when ``add_entity`` would mint/resolve a node for this surface
+    form — the same predicate, exposed so fsck's graph-coverage check never
+    flags memories whose entities are all filtered by design."""
+    canon = canonical_name(name)
+    return bool(canon) and len(canon) >= C.NER_ENTITY_MIN_LENGTH and canon not in ENTITY_BLOCKLIST
+
+
 @dataclass
 class EntityNode:
     id: str  # canonical name doubles as id
@@ -169,9 +177,7 @@ class GraphMemory:
     ) -> Optional[str]:
         now = now or scoring_now()
         canon = canonical_name(name)
-        if not canon or len(canon) < C.NER_ENTITY_MIN_LENGTH:
-            return None
-        if canon in ENTITY_BLOCKLIST:
+        if not graph_eligible_name(name):
             return None
         eid = self.alias_table.get(canon, canon)
         ent = self.entities.get(eid)

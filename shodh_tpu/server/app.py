@@ -1771,7 +1771,7 @@ def make_app(manager: MultiUserMemoryManager) -> web.Application:
         body = await body_json(request)
         uid = user_of(request, body)
         sys_ = mgr(request).get_user_memory(uid)
-        from shodh_tpu.storage.fsck import check_store, repair_store
+        from shodh_tpu.storage.fsck import check_store, public_report, repair_store
 
         def work():
             # under the engine lock like every other mutating path: repair
@@ -1782,8 +1782,7 @@ def make_app(manager: MultiUserMemoryManager) -> web.Application:
                 if body.get("repair") and not rep["ok"]:
                     rep = repair_store(sys_, rep)
                     rep["repaired"] = True
-            rep.pop("_tfact_dangling_ids", None)
-            return rep
+            return public_report(rep)
 
         return web.json_response(await run(work))
 

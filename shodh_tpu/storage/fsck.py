@@ -26,6 +26,11 @@ from shodh_tpu.storage.store import (
 )
 
 
+def public_report(report: dict[str, Any]) -> dict[str, Any]:
+    """Report without the underscore-prefixed repair worklists."""
+    return {k: v for k, v in report.items() if not k.startswith("_")}
+
+
 def check_store(system) -> dict[str, Any]:
     """Read-only integrity report for an open MemorySystem."""
     from shodh_tpu.retrieval.bm25 import lexical_fingerprint
@@ -145,6 +150,29 @@ def check_store(system) -> dict[str, Any]:
     report["temporal_facts"] = {"dangling": len(tfact_dangling)}
     report["_tfact_dangling_ids"] = tfact_dangling
 
+    # 6.5 Graph ingest coverage: an enriched memory with graph-eligible
+    # entities must appear in some entity's memory list (NS_ENTMEM) — the
+    # graph buffers mutations and flushes at maintenance/save, so a crash
+    # can lose ingests the kv store kept
+    graph_missing: list[str] = []
+    if system.graph is not None:
+        from shodh_tpu.graph.graph_memory import graph_eligible_name
+
+        ingested: set[str] = set()
+        for mem_list in system.graph.entity_memories.values():
+            ingested.update(mem_list)
+        for mid, m in mems.items():
+            exp = m.experience
+            if (
+                mid not in ingested
+                and exp.entities
+                and "_enrich_pending" not in exp.metadata
+                and any(graph_eligible_name(e) for e in exp.entities)
+            ):
+                graph_missing.append(mid)
+    report["graph"] = {"missing_ingests": len(graph_missing)}
+    report["_graph_missing_ids"] = graph_missing
+
     # 7. Lexical stamp: stored postings/vectors stemmed under current rules
     stamp = kv.get("meta", "lexical_fp")
     report["lexical_stamp"] = {
@@ -167,6 +195,7 @@ def check_store(system) -> dict[str, Any]:
         and report["bm25"]["missing"] == 0
         and report["bm25"]["orphans"] == 0
         and not tfact_dangling
+        and not graph_missing
         and report["lexical_stamp"]["current"]
     )
     return report
@@ -291,5 +320,38 @@ def repair_store(system, report: dict[str, Any] | None = None) -> dict[str, Any]
         system.modality_indexes = rebuilt
         for modality, midx in rebuilt.items():
             midx.save(system.data_dir / "index" / modality)
+
+    # graph ingests lost to the flush window: re-ingest structure from the
+    # record (NER labels re-derive deterministically from content). Learned
+    # plasticity state for the lost edges restarts from baseline — the
+    # record never stored it, so structure is what repair can promise.
+    if report.get("_graph_missing_ids") and system.graph is not None:
+        from shodh_tpu import constants as C
+
+        for mid in report["_graph_missing_ids"]:
+            mem = system.storage.get(mid)
+            if mem is None:
+                continue
+            labels: dict[str, str] = {}
+            fine: dict[str, str] = {}
+            if system.ner is not None:
+                try:
+                    mentions = system.ner.extract(mem.experience.content)
+                    labels = {
+                        m.text: m.label
+                        for m in mentions
+                        if m.confidence >= C.NER_GRAPH_CONFIDENCE_FLOOR
+                    }
+                    fine = {
+                        m.text: m.fine
+                        for m in mentions
+                        if m.fine and m.confidence >= C.NER_GRAPH_CONFIDENCE_FLOOR
+                    }
+                except Exception:  # rules fallback inside NER already guards; be safe
+                    pass
+            system.graph.ingest_experience(
+                mem, now=mem.created_at, entity_labels=labels, entity_fine=fine
+            )
+        system.graph.flush()
 
     return check_store(system)

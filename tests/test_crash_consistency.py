@@ -68,6 +68,13 @@ class TestSigkillMidIngest:
             # was 0 — recall silently degraded to the BM25 leg only)
             assert s.index.n_active >= stored
             report = check_store(s)
+            # graph ingests since the last maintenance flush are genuinely
+            # lost to the kill — fsck must SEE that, and repair must
+            # re-derive the structure from the records
+            assert report["graph"]["missing_ingests"] >= 1 and not report["ok"]
+            from shodh_tpu.storage.fsck import repair_store
+
+            report = repair_store(s, report)
             assert report["ok"], report
             res = s.recall(Query(query_text="crash torture topic3", max_results=5))
             assert len(res.memories) == 5
@@ -75,10 +82,13 @@ class TestSigkillMidIngest:
             s.close()
 
     def test_second_reopen_is_quiet(self, tmp_path):
+        from shodh_tpu.storage.fsck import repair_store
+
         store = tmp_path / "s"
         _crash_mid_ingest(store)
         s = MemorySystem(store)
         healed_rows = s.index.n_active
+        repair_store(s)  # graph re-derivation (vectors healed at open)
         s.close()  # clean close persists the snapshot
         s = MemorySystem(store)
         try:
