@@ -201,6 +201,20 @@ class Memory:
             return self._system.run_maintenance()
         return self._request("POST", "/api/consolidate", {})
 
+    def fsck(self, repair: bool = False) -> dict:
+        """Store integrity report (storage/fsck.py); ``repair=True`` fixes
+        findings by re-derivation from content."""
+        if self._system is not None:
+            from shodh_tpu.storage.fsck import check_store, public_report, repair_store
+
+            with self._system._lock:
+                rep = check_store(self._system)
+                if repair and not rep["ok"]:
+                    rep = repair_store(self._system, rep)
+                    rep["repaired"] = True
+            return public_report(rep)
+        return self._request("POST", "/api/store/fsck", {"repair": repair})
+
     def close(self) -> None:
         if self._system is not None:
             self._system.close()

@@ -193,6 +193,15 @@ class TestClientSDK:
             assert m.stats()["total_memories"] == 1
             assert m.delete(mid)
 
+    def test_embedded_fsck(self, tmp_path):
+        from shodh_tpu.clients.client import Memory
+
+        with Memory(embedded=True, data_dir=str(tmp_path / "f")) as m:
+            m.add("memory behind the fsck SDK surface")
+            rep = m.fsck()
+            assert rep["ok"] is True and rep["memories"] == 1
+            assert not any(k.startswith("_") for k in rep)
+
     def test_embedded_store_layout_matches_server(self, tmp_path):
         # Memory(embedded=True, data_dir=X) and `serve --data-dir X` must
         # resolve the same store (state.py: data_dir/users/<id>); a layout
