@@ -62,6 +62,13 @@ class FollowerReader:
             self._tails[tag] = raw.decode()
         self._graph_refresh_every = max(1, graph_refresh_every)
         self._refreshes = 0
+        # Writer-side bulk re-derivations (lexical migration, index
+        # rebuild, compaction) rewrite row maps and postings with NO seq
+        # entries; the generation pair below is how refresh() notices and
+        # row-align resyncs instead of serving stale mappings.
+        kv = self.system.storage.kv
+        self._lexical_fp = kv.get("meta", "lexical_fp") or b""
+        self._index_epoch = kv.get("meta", "index_epoch") or b"0"
         self._bootstrap()
 
     def _bootstrap(self) -> None:
@@ -119,6 +126,17 @@ class FollowerReader:
         applied = 0
         touched_tags: set[str] = set()
         with sys_._lock:
+            fp = storage.kv.get("meta", "lexical_fp") or b""
+            epoch = storage.kv.get("meta", "index_epoch") or b"0"
+            if fp != self._lexical_fp or epoch != self._index_epoch:
+                # writer bulk re-derivation (migration/rebuild/compaction):
+                # row maps moved without seq entries — resync now; the
+                # generation only advances once the resync actually swapped
+                # (a mid-rebuild writer makes resync bail and retry)
+                if self.resync():
+                    self._lexical_fp, self._index_epoch = fp, epoch
+                self._refreshes += 1
+                return 1
             lo = f"{self._last_seq + 1:014d}"
             try:
                 for key, val in list(storage.kv.scan_range(NS_SEQ, lo, "9" * 14)):
@@ -169,8 +187,10 @@ class FollowerReader:
             sys_.bm25.load_doc(mem.id)
         return 1
 
-    def resync(self) -> None:
+    def resync(self) -> bool:
         """Rebuild the local index ROW-ALIGNED to the writer's vecmap.
+        Returns True when the rebuilt index was swapped in, False when the
+        writer looked mid-rebuild and the next refresh should retry.
 
         After a writer compaction/rebuild the shared row map is the source
         of truth: memories append in ascending writer-row order so the
@@ -204,13 +224,13 @@ class FollowerReader:
                 new_index.delete_rows(pad)
             elif start < expected:
                 # overlapping rows: writer mid-rebuild; retry next refresh
-                return
+                return False
             vecs = sys_.embedder.encode_batch(chunk_content(mem.experience.content))
             got = new_index.add(vecs)
             if got != rows:
                 # writer mid-rebuild: its row map is not yet self-consistent.
                 # Keep serving the current index; the next refresh retries.
-                return
+                return False
             expected = rows[-1] + 1
         new_index.flush()
         sys_.index = new_index
@@ -220,6 +240,7 @@ class FollowerReader:
                 sys_.bm25.load_doc(mem.id)
         if sys_._device_funnel is not None:
             sys_._device_funnel.invalidate()
+        return True
 
     def refresh_graph(self) -> None:
         """Reload the graph from the writer's persisted state."""

@@ -1364,6 +1364,10 @@ class MemorySystem:
 
         with span("lexical_migration", fingerprint=fp[:12]):
             n = self.migrate_lexical(fp)
+        # persist the post-migration layout: snapshot matches the bumped
+        # epoch and the allocation tail, so the next open is quiet
+        self.storage.set_text_rows_hwm(len(self.index))
+        self.index.save(self.data_dir / "index" / "text")
         sys.stderr.write(
             f"shodh: lexical fold tables changed since this store was written; "
             f"re-derived postings/vectors for {n} memories (one-time)\n"
@@ -1440,6 +1444,10 @@ class MemorySystem:
             for t in exp.tags or ():
                 tails[t.lower()] = mem
         self.storage.kv.put("meta", "lexical_fp", fp.encode())
+        # rows moved (delete+add or fresh layout): bump the generation so
+        # attached followers resync instead of serving stale row mappings
+        self.index.epoch += 1
+        self.storage.kv.put("meta", "index_epoch", str(self.index.epoch).encode())
         return len(mems)
 
     def _context_prev(self, tags: list[str]) -> Optional[Memory]:
@@ -2350,7 +2358,9 @@ class MemorySystem:
         from shodh_tpu.models.chunking import chunk_content
 
         new_index = DeviceVectorIndex(dim=self.embedder.dimension, dtype=self.index.dtype)
-        new_index.epoch = self.index.epoch
+        # a rebuild is a bulk row remap with no seq entries: the epoch bump
+        # is what tells attached followers to row-align resync
+        new_index.epoch = self.index.epoch + 1
         self.index = new_index
         n = 0
         for mem in self.storage.iter_memories():

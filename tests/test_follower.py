@@ -118,3 +118,52 @@ class TestCatchUp:
         f.refresh()
         r = f.recall(Query(query_text="wildcat turbine", max_results=2))
         assert len(r.ids) == 2  # predecessor found via reloaded fwd-context doc
+
+
+class TestWriterBulkRederivations:
+    """Bulk row remaps (lexical migration, rebuild, compaction) rewrite the
+    shared row maps with NO seq entries — the follower must notice via the
+    generation pair (lexical_fp, index_epoch) and row-align resync instead
+    of serving stale mappings."""
+
+    def test_follower_resyncs_after_writer_rebuild(self, writer, tmp_path):
+        _ingest(writer, [f"pre-rebuild record {i} about system{i % 4}" for i in range(8)])
+        writer.flush()
+        f = FollowerReader(tmp_path / "store")
+        want = f.recall(Query(query_text="pre-rebuild system2", max_results=3)).ids
+
+        writer.rebuild_index()  # bulk remap, no seq entries
+        writer.flush()
+        assert f.refresh() == 1  # generation change detected -> resync
+        got = f.recall(Query(query_text="pre-rebuild system2", max_results=3))
+        assert got.ids == want
+        # and the mapping is genuinely row-aligned, not accidentally right:
+        for sm in got.memories:
+            rows = writer.storage.get_vector_map(sm.memory.id).get("text", [])
+            assert all(f.system.index.row_active(r) for r in rows)
+
+    def test_follower_resyncs_after_writer_lexical_migration(self, writer, tmp_path):
+        _ingest(writer, ["the greenhouse sensors went offline at dawn",
+                         "irrigation resumed after the valve replacement"])
+        writer.flush()
+        f = FollowerReader(tmp_path / "store")
+        base = f.recall(Query(query_text="greenhouse sensors offline", max_results=1))
+        assert base.memories
+
+        writer.migrate_lexical()  # rows move via delete+add; postings rewritten
+        writer.flush()
+        f.refresh()
+        got = f.recall(Query(query_text="greenhouse sensors offline", max_results=1))
+        assert got.ids == base.ids
+
+    def test_generation_does_not_advance_on_bailed_resync(self, writer, tmp_path, monkeypatch):
+        _ingest(writer, ["record alpha", "record beta"])
+        writer.flush()
+        f = FollowerReader(tmp_path / "store")
+        writer.rebuild_index()
+        writer.flush()
+        monkeypatch.setattr(FollowerReader, "resync", lambda self: False)
+        f.refresh()
+        monkeypatch.undo()
+        assert f.refresh() == 1  # retried and succeeded this time
+        assert f.recall(Query(query_text="record alpha", max_results=1)).memories
