@@ -181,6 +181,28 @@ EDGE_INITIAL_STRENGTH = 0.5
 EDGE_MIN_STRENGTH = 0.05
 EDGE_HALF_LIFE_HOURS = 24.0
 MAX_ENTITY_DEGREE = 500
+# PMI² edge gate (state.rs:3477-3499, default ON there since 2026-07: a
+# generic co-occurrence edge whose birth PMI = log2(N / (df_a * df_b)) is
+# below the floor is incidental — two frequent entities sharing a passage
+# by chance — and is never stored. Typed edges (cue/semantic/label-pair/
+# OpenIE) always survive. Reference A/B: −97.4% edges, recall unchanged;
+# their issue #90 measured 240k edges from 3k memories without it.
+# OUR default is OFF: this graph never had their bloat (label-pair typing
+# + 16-entity cap + degree caps → 1.3 edges/memory vs their ~79), and the
+# full-suite A/B measured the gate −0.13pp p@1 / −0.09pp ndcg at exactly
+# -1.5% edges — pruning costs a little signal and buys nothing here
+# (BENCHMARKS "PMI² edge gate"). Arm it for hub-dominated stores.
+GRAPH_PMI_GATE = env_flag("SHODH_GRAPH_PMI_GATE", False)
+GRAPH_PMI_GATE_MIN = env_float("SHODH_GRAPH_PMI_GATE_MIN", 0.0)
+# Typed-only cull (state.rs:3500-3512): drop EVERY generic co-occurrence
+# edge, keeping only typed + causal structure. Aggressive (CoOccurs also
+# carries spreading connectivity) — measured lever, not a default.
+GRAPH_TYPED_ONLY = env_flag("SHODH_GRAPH_TYPED_ONLY", False)
+# PMI edge WEIGHTING (state.rs:3467-3476, default off there: measured
+# neutral-to-slightly-negative): scale a kept generic edge's initial
+# strength by its normalized positive PMI so incidental-but-kept edges
+# are born weak.
+GRAPH_PMI_EDGES = env_flag("SHODH_GRAPH_PMI_EDGES", False)
 LTP_LEARNING_RATE = 0.1
 LTP_THRESHOLD = 10
 LTP_TIME_AWARE_THRESHOLD = 5
@@ -551,6 +573,12 @@ def context_forward_weight() -> float:
     # 0.6 swept on the held-out suite (0/.2/.42/.5/.6): full r@10
     # .6257->.6354, temporal +3.1pp, multi_hop +1.6pp, p@1/mrr best at 0.6.
     return env_float("SHODH_CONTEXT_FWD_WEIGHT", 0.6)
+# Second-order backward context: the antecedent's OWN antecedent folds in
+# at this weight (two turns back along the same tag chain). Same family as
+# the 1-back win; 0 disables.
+def context_index_weight2() -> float:
+    # sweep pending — default 0 (off) until measured
+    return env_float("SHODH_CONTEXT_INDEX_WEIGHT2", 0.0)
 # Dialogue speaker match: candidates whose utterance speaker ("Name: ...")
 # is one of the query's entities get this multiplicative boost. Measured on
 # locomo-full multi_hop: golds are subject-speaker turns at 0.86-0.90 rate

@@ -16,6 +16,7 @@ same arrays to device without changing semantics.
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass, field
 from datetime import datetime
@@ -35,6 +36,7 @@ NS_ENTITY = "gent"
 NS_EDGE = "gedge"
 NS_EPISODE = "gepi"
 NS_ENTMEM = "gentmem"  # entity id -> [memory ids]
+NS_GMETA = "gmeta"  # graph-level counters (total_ingests for PMI)
 
 _WORD_RE = re.compile(r"[a-z0-9]+")
 
@@ -114,6 +116,16 @@ class GraphMemory:
         self.alias_table: dict[str, str] = {}  # alias canonical -> entity id
         self._dirty_entities: set[str] = set()
         self._dirty_edges: set[str] = set()
+        # PMI edge-gate substrate (state.rs:3513-3514): N for birth-PMI is
+        # the count of experiences processed into the graph. Advisory —
+        # a crash loses at most the un-flushed tail of the counter, which
+        # only nudges a log2 threshold, so it is not fsck-tracked.
+        self.total_ingests: int = 0
+        self._meta_dirty = False
+        # Edge-typing provenance scoreboard for the LAST ingest (the
+        # reference logs this per memory for its pmi-gate CI workflows,
+        # state.rs:3531-3537) — read by tests and the ablation harness.
+        self.last_ingest_stats: dict[str, int] = {}
         # Entity-name embeddings (graph_memory.rs:3064,3390,3777-3813): power
         # 0.85-cosine concept dedup in add_entity and the embedding-fuzzy
         # find tier. Engine-internal and recomputable from names, so never
@@ -142,6 +154,8 @@ class GraphMemory:
             self.entity_memories[k] = decode(v)
         for k, v in self.kv.scan_prefix(NS_EPISODE, ""):
             self.episodes[k] = decode(v)
+        raw = self.kv.get(NS_GMETA, "total_ingests")
+        self.total_ingests = int(raw) if raw else 0
 
     def flush(self) -> None:
         ops: list[tuple[str, str, str, bytes | None]] = []
@@ -157,6 +171,9 @@ class GraphMemory:
                 ops.append(("put", NS_EDGE, ek, encode(self.edges[ek].to_dict())))
             else:
                 ops.append(("del", NS_EDGE, ek, None))
+        if self._meta_dirty:
+            ops.append(("put", NS_GMETA, "total_ingests", str(self.total_ingests).encode()))
+            self._meta_dirty = False
         if ops:
             self.kv.write_batch(ops)
         self._dirty_entities.clear()
@@ -362,6 +379,7 @@ class GraphMemory:
     def _upsert_edge(
         self, a: str, b: str, rel_type: str, now: datetime,
         importance_scale: float = 1.0, provenance: Optional[str] = None,
+        initial_strength: Optional[float] = None,
     ) -> Optional[Edge]:
         # degree cap (MAX_ENTITY_DEGREE)
         key = _edge_key(a, b)
@@ -372,7 +390,8 @@ class GraphMemory:
                 or len(self.adjacency.get(b, ())) >= C.MAX_ENTITY_DEGREE
             ):
                 return None
-            edge = new_edge(a, b, rel_type, now, provenance=provenance)
+            edge = new_edge(a, b, rel_type, now, initial_strength=initial_strength,
+                            provenance=provenance)
             self.edges[key] = edge
             self.adjacency.setdefault(a, set()).add(b)
             self.adjacency.setdefault(b, set()).add(a)
@@ -446,6 +465,15 @@ class GraphMemory:
                     pair_rels.setdefault(frozenset((a.id, b.id)), rel)
         cue = predicate_from_cues(exp.content)
         rel = cue[0] if cue else "co_occurs"
+        # PMI² edge gate (state.rs:3477-3499,3586,3790): a GENERIC pair edge
+        # is born only if log2(N / (df_a * df_b)) clears the floor — two
+        # already-frequent entities sharing a passage is chance, not signal.
+        # Typed pairs (OpenIE / cue / label-pair) always survive; existing
+        # edges strengthen normally (gating is at birth only).
+        self.total_ingests += 1
+        self._meta_dirty = True
+        n_total = float(max(1, self.total_ingests))
+        stats = {"pairs": 0, "typed": 0, "generic": 0, "pmi_gated": 0}
         for i in range(len(eids)):
             for j in range(i + 1, len(eids)):
                 rel_ij = pair_rels.get(frozenset((eids[i], eids[j])), rel)
@@ -453,10 +481,34 @@ class GraphMemory:
                     la = self.entities[eids[i]].label
                     lb = self.entities[eids[j]].label
                     rel_ij = label_pair_relation(la, lb) or "co_occurs"
+                stats["pairs"] += 1
+                generic = rel_ij in ("co_occurs", "related_to")
+                init_strength = None
+                if generic and _edge_key(eids[i], eids[j]) not in self.edges:
+                    if C.GRAPH_TYPED_ONLY:
+                        stats["pmi_gated"] += 1
+                        continue
+                    df = (
+                        max(1, self.entities[eids[i]].mention_count)
+                        * max(1, self.entities[eids[j]].mention_count)
+                    )
+                    birth_pmi = math.log2(n_total / df)
+                    if C.GRAPH_PMI_GATE and birth_pmi < C.GRAPH_PMI_GATE_MIN:
+                        stats["pmi_gated"] += 1
+                        continue
+                    if C.GRAPH_PMI_EDGES:
+                        # born weak: strength scaled by PPMI / log2(N)
+                        # (state.rs:3636-3637 factor form)
+                        norm = math.log2(max(2.0, n_total))
+                        factor = min(1.0, max(0.0, birth_pmi) / norm)
+                        init_strength = C.L1_INITIAL_WEIGHT * max(0.25, factor)
+                stats["typed" if not generic else "generic"] += 1
                 self._upsert_edge(
                     eids[i], eids[j], rel_ij, now,
                     importance_scale=mem.importance, provenance=mem.id,
+                    initial_strength=init_strength,
                 )
+        self.last_ingest_stats = stats
         # Episode node
         if exp.episode_id:
             epi = self.episodes.setdefault(

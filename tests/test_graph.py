@@ -348,3 +348,91 @@ class TestEntityEmbeddings:
         eid = g2.add_entity("nyc", label="location", now=NOW)
         assert eid == "new york city"
         g2.close()
+
+
+class TestPmiEdgeGate:
+    """PMI² edge gate (state.rs:3477-3499,3586,3790): generic co-occurrence
+    edges between already-frequent entities are incidental and never born;
+    typed pairs and fresh-entity pairs always survive."""
+
+    def _hubify(self, graph, names, n=12):
+        # make each name frequent SEPARATELY (never co-mentioned) so the
+        # first joint mention is the gated birth attempt
+        for i in range(n):
+            for name in names:
+                graph.ingest_experience(
+                    _mem(f"{name} routine note {i}", [name]), now=NOW
+                )
+
+    def test_fresh_pair_is_born(self, graph, monkeypatch):
+        monkeypatch.setattr(C, "GRAPH_PMI_GATE", True)
+        graph.ingest_experience(_mem("Alice met Bob", ["Alice", "Bob"]), now=NOW)
+        assert graph.get_edge("Alice", "Bob") is not None
+        assert graph.last_ingest_stats["pmi_gated"] == 0
+
+    def test_hub_pair_is_gated(self, graph, monkeypatch):
+        monkeypatch.setattr(C, "GRAPH_PMI_GATE", True)
+        self._hubify(graph, ["widget", "gasket"])  # df 12 * 12 >> N 24
+        graph.ingest_experience(
+            _mem("widget and gasket in one passage", ["widget", "gasket"]), now=NOW
+        )
+        assert graph.get_edge("widget", "gasket") is None
+        assert graph.last_ingest_stats["pmi_gated"] == 1
+
+    def test_typed_pair_between_hubs_survives(self, graph, monkeypatch):
+        monkeypatch.setattr(C, "GRAPH_PMI_GATE", True)
+        self._hubify(graph, ["outage", "migration"])
+        graph.ingest_experience(
+            _mem("The outage was caused by the migration",
+                 ["outage", "migration"]), now=NOW
+        )
+        e = graph.get_edge("outage", "migration")
+        assert e is not None and e.rel_type == "triggers"
+
+    def test_gate_off_keeps_hub_pair(self, graph):
+        # default arm: gate ships OFF (full-suite A/B, BENCHMARKS)
+        self._hubify(graph, ["widget", "gasket"])
+        graph.ingest_experience(
+            _mem("widget and gasket in one passage", ["widget", "gasket"]), now=NOW
+        )
+        assert graph.get_edge("widget", "gasket") is not None
+
+    def test_typed_only_drops_every_generic_edge(self, graph, monkeypatch):
+        monkeypatch.setattr(C, "GRAPH_TYPED_ONLY", True)
+        graph.ingest_experience(_mem("Alice met Bob", ["Alice", "Bob"]), now=NOW)
+        assert graph.get_edge("Alice", "Bob") is None
+        graph.ingest_experience(
+            _mem("The outage was caused by the migration",
+                 ["outage", "migration"]), now=NOW
+        )
+        assert graph.get_edge("outage", "migration") is not None
+
+    def test_existing_edge_still_strengthens(self, graph, monkeypatch):
+        monkeypatch.setattr(C, "GRAPH_PMI_GATE", True)
+        graph.ingest_experience(_mem("Alice met Bob", ["Alice", "Bob"]), now=NOW)
+        s0 = graph.get_edge("Alice", "Bob").strength
+        self._hubify(graph, ["Alice", "Bob"])  # make both hubs AFTER birth
+        graph.ingest_experience(_mem("Alice met Bob again", ["Alice", "Bob"]), now=NOW)
+        assert graph.get_edge("Alice", "Bob").strength > s0  # birth-only gate
+
+    def test_total_ingests_persists(self, tmp_path):
+        g = GraphMemory(tmp_path / "g2")
+        for i in range(5):
+            g.ingest_experience(_mem(f"note {i}", ["alpha"]), now=NOW)
+        g.close()
+        g2 = GraphMemory(tmp_path / "g2")
+        assert g2.total_ingests == 5
+        g2.close()
+
+    def test_pmi_weighting_births_weak_edges(self, graph, monkeypatch):
+        monkeypatch.setattr(C, "GRAPH_PMI_EDGES", True)
+        monkeypatch.setattr(C, "GRAPH_PMI_GATE", False)
+        # moderately frequent pair: positive-but-small PMI -> born weak
+        for i in range(4):
+            graph.ingest_experience(_mem(f"widget note {i}", ["widget"]), now=NOW)
+            graph.ingest_experience(_mem(f"gasket note {i}", ["gasket"]), now=NOW)
+        graph.ingest_experience(
+            _mem("widget and gasket together", ["widget", "gasket"]), now=NOW
+        )
+        e = graph.get_edge("widget", "gasket")
+        assert e is not None and e.strength < C.L1_INITIAL_WEIGHT
