@@ -399,6 +399,21 @@ SELECTIVITY_HALF_SAT = 0.5
 # Concept dedup: a NEW entity whose name embedding hits >= this cosine
 # against an existing LABEL-COMPATIBLE node merges into it as an alias
 # (graph_memory.rs:3390 add_entity 0.85-cosine dedup)
+# Typed base salience (graph_memory.rs:8722-8768): an entity's starting
+# "gravitational well" depends on its label; proper nouns get a 1.2x boost
+# (capped 1.0). Mentions then grow it by salience *= 1 + 0.1*ln(mentions)
+# (graph_memory.rs:3489-3493). Keyed by OUR 18 coarse labels, values
+# mapped from the reference's 37-label table.
+TYPED_SALIENCE = env_flag("SHODH_TYPED_SALIENCE", False)  # sweep pending
+SALIENCE_BASE = {
+    "person": 0.8, "organization": 0.7, "location": 0.6, "facility": 0.5,
+    "product": 0.7, "technology": 0.6, "event": 0.6, "work_of_art": 0.6,
+    "law": 0.55, "language": 0.55, "date": 0.3, "time": 0.3,
+    "quantity": 0.35, "money": 0.4, "percent": 0.35, "concept": 0.4,
+    "group": 0.55, "other": 0.3,
+}
+SALIENCE_PROPER_BOOST = 1.2
+SALIENCE_FREQ_COEF = 0.1
 GRAPH_CONCEPT_DEDUP_COSINE = 0.85
 # find_entity's last tier: embedding-fuzzy match (graph_memory.rs:3777-3813)
 GRAPH_FIND_FUZZY_COSINE = 0.80
@@ -577,8 +592,23 @@ def context_forward_weight() -> float:
 # at this weight (two turns back along the same tag chain). Same family as
 # the 1-back win; 0 disables.
 def context_index_weight2() -> float:
-    # sweep pending — default 0 (off) until measured
-    return env_float("SHODH_CONTEXT_INDEX_WEIGHT2", 0.0)
+    # Full-suite sweep (0/.2/.25/.3/.35): r@10 .6926->.7011/.7014/.7012 at
+    # .25/.3/.35 (a plateau), with .25 best on mrr/map/ndcg and p@1 only
+    # -1 case vs baseline. Gate showed the same r@10 lift with a precision
+    # dip — full suite decides (forward-context precedent). multi_hop
+    # +1.2pp / open_domain +1pp: the first movement on the semantics-bound
+    # floors since round 2.
+    return env_float("SHODH_CONTEXT_INDEX_WEIGHT2", 0.25)
+
+
+def context_index_weight3() -> float:
+    # 3-back context: sweep pending — default 0 (off) until measured
+    return env_float("SHODH_CONTEXT_INDEX_WEIGHT3", 0.0)
+
+
+def context_forward_weight2() -> float:
+    # 2-ahead forward context: sweep pending — default 0 until measured
+    return env_float("SHODH_CONTEXT_FWD_WEIGHT2", 0.0)
 # Dialogue speaker match: candidates whose utterance speaker ("Name: ...")
 # is one of the query's entities get this multiplicative boost. Measured on
 # locomo-full multi_hop: golds are subject-speaker turns at 0.86-0.90 rate

@@ -155,10 +155,18 @@ class FollowerReader:
             if applied and not catch_up_only:
                 # forward dialogue context mutated the previous tail docs of
                 # the touched tags — reload them from the writer's state
+                from shodh_tpu import constants as C
+
                 for tag in touched_tags:
                     old_tail = self._tails.get(tag)
                     if old_tail:
                         sys_.bm25.load_doc(old_tail)
+                        if C.context_forward_weight2() > 0.0:
+                            # 2-ahead forward context also mutated the old
+                            # tail's own antecedent — reload it too
+                            raw = storage.kv.get("ctxprev", old_tail)
+                            if raw is not None:
+                                sys_.bm25.load_doc(raw.decode())
             for tag in touched_tags:
                 raw = storage.kv.get("ctxtail", tag)
                 if raw is not None:

@@ -419,13 +419,26 @@ class MemorySystem:
             # topic-tagged note stores the previous same-tag memory is
             # merely related, not an antecedent, and its terms are noise
             # (measured: smoke p@1 -1.9pp with inheritance on notes).
+            prev2 = prev3 = None
             if (
                 (ctx_w > 0.0 or fwd_w > 0.0)
                 and experience.tags
                 and experience.experience_type == ExperienceType.CONVERSATION
             ):
                 prev = self._context_prev(experience.tags)
-            self._index_lexical(mem.id, experience, prev)
+                want2 = (
+                    C.context_index_weight2() > 0.0
+                    or C.context_forward_weight2() > 0.0
+                    or C.context_index_weight3() > 0.0
+                )
+                if prev is not None and want2:
+                    prev2 = self._context_prev_of(prev.id)
+                    if prev2 is not None and C.context_index_weight3() > 0.0:
+                        prev3 = self._context_prev_of(prev2.id)
+            self._index_lexical(mem.id, experience, prev, prev2, prev3)
+            if prev is not None:
+                # antecedent chain pointer: powers 2-back context lookup
+                self.storage.kv.put("ctxprev", mem.id, prev.id.encode())
             for t in experience.tags or ():
                 key = t.lower()
                 self._context_tail[key] = mem.id
@@ -1218,10 +1231,14 @@ class MemorySystem:
             }
         return result
 
-    def _index_lexical(self, mem_id: str, experience: Experience, prev: Optional[Memory]) -> None:
+    def _index_lexical(
+        self, mem_id: str, experience: Experience, prev: Optional[Memory],
+        prev2: Optional[Memory] = None, prev3: Optional[Memory] = None,
+    ) -> None:
         """BM25 leg of ingest: context-augmented upsert + per-domain Okapi
         class. Shared by :meth:`remember` and :meth:`migrate_lexical` so the
-        live path and the fold-drift replay cannot diverge."""
+        live path and the fold-drift replay cannot diverge. ``prev2``/``prev3``
+        walk the antecedent chain (2-/3-back context + 2-ahead forward)."""
         ctx_w = C.context_index_weight()
         fwd_w = C.context_forward_weight()
         context_content = None
@@ -1251,6 +1268,26 @@ class MemorySystem:
             context_weight=ctx_w,
             param_class=param_class,
         )
+        ctx2_w = C.context_index_weight2()
+        if prev2 is not None and ctx2_w > 0.0:
+            # 2-back context: the antecedent chain's grandparent terms fold
+            # into the freshly-upserted doc at the (weaker) second-order weight
+            self.bm25.add_context_terms(mem_id, prev2.experience.content, ctx2_w)
+        ctx3_w = C.context_index_weight3()
+        if prev3 is not None and ctx3_w > 0.0:
+            self.bm25.add_context_terms(mem_id, prev3.experience.content, ctx3_w)
+        fwd2_w = C.context_forward_weight2()
+        if prev2 is not None and fwd2_w > 0.0:
+            # 2-ahead forward: this turn's terms reach back two links
+            self.bm25.add_context_terms(prev2.id, experience.content, fwd2_w)
+
+    def _context_prev_of(self, mem_id: str) -> Optional[Memory]:
+        """The stored antecedent-chain predecessor of ``mem_id`` (the
+        ``ctxprev`` pointer written at its ingest), or None."""
+        raw = self.storage.kv.get("ctxprev", mem_id)
+        if raw is None:
+            return None
+        return self.storage.get(raw.decode())
 
     def _maybe_recover_index(self) -> None:
         """Crash recovery for the text vector index.
@@ -1397,6 +1434,7 @@ class MemorySystem:
         ctx_w = C.context_index_weight()
         fwd_w = C.context_forward_weight()
         tails: dict[str, Memory] = {}
+        prev_of: dict[str, Memory] = {}  # replayed antecedent chain (2-back ctx)
         for mem in mems:
             exp = mem.experience
             old_rows = self.storage.get_vector_map(mem.id).get("text") or []
@@ -1440,7 +1478,13 @@ class MemorySystem:
                             prev is None or (cand.created_at, cand.id) > (prev.created_at, prev.id)
                         ):
                             prev = cand
-                self._index_lexical(mem.id, exp, prev)
+                prev2 = prev3 = None
+                if prev is not None:
+                    prev_of[mem.id] = prev
+                    prev2 = prev_of.get(prev.id)
+                    if prev2 is not None:
+                        prev3 = prev_of.get(prev2.id)
+                self._index_lexical(mem.id, exp, prev, prev2, prev3)
             for t in exp.tags or ():
                 tails[t.lower()] = mem
         self.storage.kv.put("meta", "lexical_fp", fp.encode())

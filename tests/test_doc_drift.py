@@ -31,6 +31,12 @@ def _live_default(flag: str) -> float:
         return constants.context_index_weight()
     if flag == "SHODH_CONTEXT_FWD_WEIGHT":
         return constants.context_forward_weight()
+    if flag == "SHODH_CONTEXT_INDEX_WEIGHT2":
+        return constants.context_index_weight2()
+    if flag == "SHODH_CONTEXT_INDEX_WEIGHT3":
+        return constants.context_index_weight3()
+    if flag == "SHODH_CONTEXT_FWD_WEIGHT2":
+        return constants.context_forward_weight2()
     if flag == "SHODH_PRF":
         return float(os.environ.get("SHODH_PRF", "1"))
     if flag == "SHODH_DISTILLED_NER":
