@@ -78,6 +78,7 @@ class EntityNode:
     first_seen: Optional[datetime] = None
     last_seen: Optional[datetime] = None
     aliases: list[str] = field(default_factory=list)
+    is_proper: bool = False  # proper-noun surface form (salience base boost)
 
     def to_dict(self) -> dict:
         return {
@@ -87,6 +88,7 @@ class EntityNode:
             "first_seen": format_ts(self.first_seen) if self.first_seen else None,
             "last_seen": format_ts(self.last_seen) if self.last_seen else None,
             "aliases": self.aliases,
+            "is_proper": self.is_proper,
         }
 
     @classmethod
@@ -98,11 +100,19 @@ class EntityNode:
             first_seen=parse_ts(d["first_seen"]) if d.get("first_seen") else None,
             last_seen=parse_ts(d["last_seen"]) if d.get("last_seen") else None,
             aliases=list(d.get("aliases", [])),
+            is_proper=bool(d.get("is_proper", False)),
         )
 
 
 def _edge_key(a: str, b: str) -> str:
     return f"{a}\x1f{b}" if a <= b else f"{b}\x1f{a}"
+
+
+def _base_salience(label: str, is_proper: bool) -> float:
+    """Typed base salience (graph_memory.rs:8722-8768): label-dependent
+    starting well size; proper nouns 1.2x, capped 1.0."""
+    base = C.SALIENCE_BASE.get(label, 0.4)
+    return min(1.0, base * C.SALIENCE_PROPER_BOOST) if is_proper else base
 
 
 class GraphMemory:
@@ -212,7 +222,10 @@ class GraphMemory:
                 ent = EntityNode(
                     id=canon, name=name, label=label, fine_type=fine_type,
                     first_seen=now, last_seen=now, mention_count=0,
+                    is_proper=name != name.lower(),
                 )
+                if C.TYPED_SALIENCE:
+                    ent.salience = _base_salience(label, ent.is_proper)
                 self.entities[canon] = ent
                 eid = canon
                 self._vec_append(canon)
@@ -220,10 +233,23 @@ class GraphMemory:
         ent.last_seen = now
         if label != "concept" and ent.label == "concept":
             ent.label = label
+            if C.TYPED_SALIENCE:
+                # label upgrade re-bases upward (our choice; the reference
+                # never re-bases, but its extractor types at first sight)
+                ent.salience = max(ent.salience, _base_salience(label, ent.is_proper))
         if fine_type and not ent.fine_type:
             ent.fine_type = fine_type  # GLiNER fine typing upgrades in place
-        # Salience: recency-weighted mention frequency, saturating
-        ent.salience = min(1.0, ent.salience + 0.05 * (1.0 - ent.salience))
+        if C.TYPED_SALIENCE:
+            # Frequency growth (graph_memory.rs:3489-3493): salience *=
+            # 1 + 0.1*ln(mentions), capped — wells get heavier with use
+            ent.salience = min(
+                1.0,
+                ent.salience
+                * (1.0 + C.SALIENCE_FREQ_COEF * math.log(max(1, ent.mention_count))),
+            )
+        else:
+            # legacy rule: recency-weighted mention frequency, saturating
+            ent.salience = min(1.0, ent.salience + 0.05 * (1.0 - ent.salience))
         self._dirty_entities.add(eid)
         return eid
 

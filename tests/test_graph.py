@@ -436,3 +436,53 @@ class TestPmiEdgeGate:
         )
         e = graph.get_edge("widget", "gasket")
         assert e is not None and e.strength < C.L1_INITIAL_WEIGHT
+
+
+class TestTypedSalience:
+    """Typed base salience + log-frequency growth (graph_memory.rs:8722-8768,
+    :3489-3493): label-dependent gravitational wells, proper-noun boost,
+    frequency growth capped at 1.0."""
+
+    def test_base_salience_by_label(self, graph, monkeypatch):
+        monkeypatch.setattr(C, "TYPED_SALIENCE", True)
+        graph.ingest_experience(_mem("Alice joined", ["Alice"]), now=NOW)
+        graph.ingest_experience(_mem("a concept note", ["recursion"]), now=NOW)
+        alice = graph.entities[graph.find_entity("Alice").id]
+        concept = graph.entities[graph.find_entity("recursion").id]
+        # persons start more salient than concepts; Alice is also proper-cased
+        assert alice.salience > concept.salience
+
+    def test_proper_noun_boost(self, graph, monkeypatch):
+        monkeypatch.setattr(C, "TYPED_SALIENCE", True)
+        graph.add_entity("Paris", label="location", now=NOW)
+        graph.add_entity("downtown", label="location", now=NOW)
+        p = graph.entities[graph.find_entity("Paris").id]
+        d = graph.entities[graph.find_entity("downtown").id]
+        assert p.is_proper and not d.is_proper
+        assert p.salience == pytest.approx(d.salience * 1.2)
+
+    def test_frequency_growth_saturates(self, graph, monkeypatch):
+        monkeypatch.setattr(C, "TYPED_SALIENCE", True)
+        for i in range(40):
+            graph.add_entity("Kafka", label="technology", now=NOW)
+        e = graph.entities[graph.find_entity("Kafka").id]
+        assert e.mention_count == 40
+        assert e.salience == 1.0  # capped
+
+    def test_persists_across_reopen(self, tmp_path, monkeypatch):
+        monkeypatch.setattr(C, "TYPED_SALIENCE", True)
+        g = GraphMemory(tmp_path / "gs")
+        g.add_entity("Berlin", label="location", now=NOW)
+        sal = g.entities[g.find_entity("Berlin").id].salience
+        g.close()
+        g2 = GraphMemory(tmp_path / "gs")
+        e = g2.entities[g2.find_entity("Berlin").id]
+        assert e.salience == pytest.approx(sal) and e.is_proper
+        g2.close()
+
+    def test_legacy_rule_behind_flag(self, graph, monkeypatch):
+        monkeypatch.setattr(C, "TYPED_SALIENCE", False)
+        graph.add_entity("Widget", label="person", now=NOW)
+        e = graph.entities[graph.find_entity("Widget").id]
+        # legacy: 0.5 default nudged once by the saturating rule
+        assert e.salience == pytest.approx(0.5 + 0.05 * 0.5)
