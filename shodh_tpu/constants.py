@@ -577,10 +577,12 @@ TEMPORAL_SEEK_RECENCY_SCALE = env_float("SHODH_SEEK_RECENCY_SCALE", 0.0)
 def context_index_weight() -> float:
     # The largest single quality lever of the build (full r@10
     # .5684->.6257 when it landed at 0.42). Re-swept after the k1/b
-    # Okapi retune — the optimum moved up: 0.8 gives full r@10
-    # .6771->.6837 with map/mrr/ndcg best and gate mrr +1.9pp, smoke
-    # green (1.0 declines again).
-    return env_float("SHODH_CONTEXT_INDEX_WEIGHT", 0.8)
+    # Okapi retune — the optimum moved up: 0.8 gave full r@10
+    # .6771->.6837 (1.0 declined). Re-swept AGAIN after 2-back context
+    # landed (stacked-knob lesson): under w2=0.25 the optimum moved to
+    # 0.9 — full r@10 .7011->.7048 with ALL five metrics >= the 0.8 arm
+    # (1.0 still declines: .7017 with p@1/mrr/map down).
+    return env_float("SHODH_CONTEXT_INDEX_WEIGHT", 0.9)
 # Forward context: when a successor turn arrives, its terms fold into the
 # predecessor's BM25 doc once ("happened yesterday..." turns gain the next
 # turn's "car accident"). 0 disables.
