@@ -77,7 +77,7 @@ class DeviceVectorIndex:
         self._pending: list[np.ndarray] = []
         self._pending_rows = 0
         # Device arrays (lazily materialized)
-        self._device = None  # tuple(vecs, scales, valid, score_bound, approx) | None
+        self._device = None  # tuple(vecs, scales, valid, score_bound, approx, int8_pack) | None
         # HBM residency (state.rs:748 shared-cache analog, TPU-first): when
         # SHODH_HBM_BUDGET_BYTES caps device memory, only the NEWEST rows
         # (recency ~ heat for a memory engine) stay resident; rows before
@@ -193,7 +193,7 @@ class DeviceVectorIndex:
         import jax
         import jax.numpy as jnp
 
-        vecs, scales, valid, bound, approx = self._device
+        vecs, scales, valid, bound, approx, int8_pack = self._device
         vecs = jax.lax.dynamic_update_slice(
             vecs, jnp.asarray(self._vecs_np[start:end]), (start, 0)
         )
@@ -218,7 +218,15 @@ class DeviceVectorIndex:
             ).astype(jnp.bfloat16),
             (start, 0),
         )
-        self._device = (vecs, scales, valid, jnp.maximum(bound, new_term), approx)
+        if int8_pack is not None:
+            # The int8 mirror's global step S may be invalidated by rows
+            # larger than the old max (clipping would break the S/2-per-
+            # element certificate term) — recompute the pack wholesale.
+            from shodh_tpu.ops.fused_topk import corpus_mirror_int8
+
+            int8_pack = corpus_mirror_int8(vecs, scales, valid)
+        self._device = (vecs, scales, valid, jnp.maximum(bound, new_term), approx,
+                        int8_pack)
 
     def _grow(self, min_rows: int) -> None:
         quantum = INDEX_CAPACITY_QUANTUM
@@ -266,7 +274,12 @@ class DeviceVectorIndex:
 
         self.flush()
         if self._device is None and self._capacity > 0:
-            from shodh_tpu.ops.fused_topk import corpus_approx_bf16, corpus_score_bound
+            from shodh_tpu.ops.fused_topk import (
+                _int8_enabled,
+                corpus_approx_bf16,
+                corpus_mirror_int8,
+                corpus_score_bound,
+            )
 
             start = self._spill_start()
             self._device_start = start
@@ -275,11 +288,13 @@ class DeviceVectorIndex:
             valid = jnp.asarray(self._valid_np[start:])
             # Certificate term + pre-scaled bf16 mirror for the quantized
             # fast pass-1 (one corpus pass each per index version,
-            # amortized across all queries).
+            # amortized across all queries). SHODH_TOPK_INT8 swaps the
+            # selection mirror for the int8-MXU pack.
             self._device = (
                 vecs, scales, valid,
                 corpus_score_bound(vecs, scales, valid),
                 corpus_approx_bf16(vecs, scales, valid),
+                corpus_mirror_int8(vecs, scales, valid) if _int8_enabled() else None,
             )
         return self._device
 
@@ -304,7 +319,7 @@ class DeviceVectorIndex:
         if self._capacity <= _HOST_MAX and b <= 32:
             return self._search_host(queries, k)
         arrays = self._device_arrays()
-        vecs, scales, valid, bound, approx = arrays
+        vecs, scales, valid, bound, approx, int8_pack = arrays
         start = self._device_start
         cap_dev = self._capacity - start
         bp = _pad_batch(b)
@@ -315,7 +330,8 @@ class DeviceVectorIndex:
         use_fused = cap_dev > _BRUTE_MAX and cap_dev % TILE_N == 0
         if use_fused:
             vals, rows = two_level_topk(q, vecs, valid, kp, scales,
-                                        bound=bound, approx=approx)
+                                        bound=bound, approx=approx,
+                                        int8_pack=int8_pack)
         else:
             vals, rows = brute_topk(q, vecs, valid, kp, scales)
         vals = np.asarray(vals)[:b, :k]

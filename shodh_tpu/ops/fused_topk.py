@@ -328,6 +328,119 @@ def _certified_parts(queries, corpus, valid, k: int, scales, bound, approx=None)
     return vals, ids, safe
 
 
+# --------------------------------------------------------------------------
+# INT8 certified pass-1 (round-3 extension): v5e's int8 MXU path runs at
+# 394 TOPS vs 197 bf16 TFLOPS, and the corpus is ALREADY int8 — the bf16
+# mirror spends VPU converts + 2x MXU bytes for precision that selection
+# does not need. This variant quantizes the query to int8 and runs pass 1
+# as int8 x int8 -> int32, which is EXACT integer arithmetic (max |score|
+# <= 127*127*D ~ 6.2e6 << 2^31): the ONLY approximation is the two
+# quantizations, giving a clean certificate:
+#
+#   mirror: m_r = round(c_r * scale_r / S), S = max_row_max|c*scale| / 127
+#           => c_r*scale_r = S*m_r + e_r,  |e_r,i| <= S/2
+#   query:  q = s_q*q^ + f, s_q = max|q|/127, |f_i| <= s_q/2
+#   score:  s = s_q*S*(q^.m_r) + s_q*(q^.e_r) + S*(f.m_r) + f.e_r
+#   |s - s_q*S*shat| <= s_q*S*( ||q^||_1/2 + ||m_r||_1/2 + D/4 )
+#
+# with ||m_r||_1 bounded by the per-index-version max M1. Same two-stage
+# slack selection as the bf16 path (int32 compares), same exact HIGHEST
+# rescore, same strict-inequality certificate + lax.cond exact fallback —
+# so results remain bit-identical-or-fallback. Opt in: SHODH_TOPK_INT8=1
+# (measured on the real chip before any default change; see BENCHMARKS).
+# --------------------------------------------------------------------------
+
+
+def _int8_enabled() -> bool:
+    import os
+
+    return os.environ.get("SHODH_TOPK_INT8", "0") == "1"
+
+
+@jax.jit
+def corpus_mirror_int8(corpus, scales, valid):
+    """Per-index-version int8 selection mirror: pre-scaled corpus quantized
+    to a single global step S (invalid rows zeroed — can only inflate a
+    group max, never deflate a valid row; the exact rescore masks them).
+    Returns (mirror int8 (N, D), S scalar f32, M1 scalar f32 = max row L1).
+    """
+    scaled = corpus.astype(jnp.float32) * (scales * valid)[:, None]
+    s = jnp.maximum(jnp.max(jnp.abs(scaled)) / 127.0, 1e-30)
+    m = jnp.clip(jnp.round(scaled / s), -127, 127).astype(jnp.int8)
+    m1 = jnp.max(jnp.sum(jnp.abs(m.astype(jnp.float32)), axis=1))
+    return m, s, m1
+
+
+def _certified_parts_int8(queries, corpus, valid, k: int, scales, int8_pack):
+    """int8-pass-1 analog of :func:`_certified_parts`. Returns
+    (vals, ids, safe); ``safe`` proves bit-equality with the exact path."""
+    mirror, s_corp, m1 = int8_pack
+    b, d = queries.shape
+    n = corpus.shape[0]
+    g = n // GROUP
+    m = _slack_groups(k, g)
+
+    s_q = jnp.maximum(jnp.max(jnp.abs(queries), axis=1) / 127.0, 1e-30)  # (B,)
+    q8 = jnp.clip(jnp.round(queries / s_q[:, None]), -127, 127).astype(jnp.int8)
+    q1 = jnp.sum(jnp.abs(q8.astype(jnp.float32)), axis=1)  # (B,) = ||q^||_1
+
+    # Pass 1: one int8 MXU pass, exact int32 scores, zero epilogue.
+    raw = jax.lax.dot_general(
+        q8, mirror,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (B, N) int32
+    a3 = raw.reshape(b, g, GROUP)
+    gmax = jnp.max(a3, axis=-1)  # (B, G) int32
+
+    # Stage 1: slack group selection (int32 compares are exact).
+    top_vals, top_groups = jax.lax.top_k(gmax, m)
+    beta = top_vals[:, -1]
+    top_groups = jnp.sort(top_groups, axis=-1)
+
+    # Stage 2: slack row selection inside the chosen groups.
+    cand_approx = jnp.take_along_axis(a3, top_groups[:, :, None], axis=1)
+    cand_approx = cand_approx.reshape(b, m * GROUP)
+    row_offsets = jnp.arange(GROUP, dtype=jnp.int32)[None, None, :]
+    cand_rows = (top_groups[:, :, None] * GROUP + row_offsets).reshape(b, m * GROUP)
+    r = _slack_rows(k, m * GROUP)
+    top_row_vals, top_row_pos = jax.lax.top_k(cand_approx, r)
+    gamma = top_row_vals[:, -1]
+    rows = jnp.take_along_axis(cand_rows, top_row_pos, axis=-1)
+    rows = jnp.sort(rows, axis=-1)  # ascending ids => brute tie-breaks
+
+    # Exact rescore of just R rows per query (identical to the bf16 path).
+    gathered = corpus[rows]
+    raw_exact = jnp.einsum(
+        "bd,brd->br", queries, gathered.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    v = valid[rows]
+    cand = raw_exact * scales[rows] * v + (1.0 - v) * NEG_INF
+    vals, pos = jax.lax.top_k(cand, k)
+    ids = jnp.take_along_axis(rows, pos, axis=-1)
+
+    # Certificate: any row dropped at either stage has int score <=
+    # max(beta, gamma); its TRUE score <= that * s_q*S + eps.
+    scale_qc = s_q * s_corp  # (B,)
+    eps = scale_qc * (q1 / 2.0 + m1 / 2.0 + d / 4.0)
+    boundary = jnp.maximum(beta, gamma).astype(jnp.float32) * scale_qc
+    safe = jnp.all(boundary + eps < vals[:, k - 1])
+    return vals, ids, safe
+
+
+def _certified_fast_topk_int8(queries, corpus, valid, k: int, scales, int8_pack):
+    vals, ids, safe = _certified_parts_int8(queries, corpus, valid, k, scales, int8_pack)
+
+    def exact_path(_):
+        from shodh_tpu.ops.distance import masked_scores
+
+        scores = masked_scores(queries, corpus, valid, scales)
+        return exact_topk_scores(scores, k)
+
+    return jax.lax.cond(safe, lambda _: (vals, ids), exact_path, operand=None)
+
+
 def _certified_fast_topk(queries, corpus, valid, k: int, scales, bound, approx=None):
     """bf16 pass-1 two-stage selection with exact rescore + certified fallback."""
     vals, ids, safe = _certified_parts(queries, corpus, valid, k, scales, bound, approx)
@@ -354,7 +467,7 @@ def _candidate_rows(gmax, k: int):
 
 @partial(jax.jit, static_argnames=("k",))
 def two_level_topk(queries, corpus, valid, k: int, scales=None, bound=None,
-                   approx=None):
+                   approx=None, int8_pack=None):
     """Exact top-k via fused group-max + group rescoring.
 
     Same signature/result contract as ops.distance.brute_topk. When
@@ -362,20 +475,24 @@ def two_level_topk(queries, corpus, valid, k: int, scales=None, bound=None,
     XLA path, selection runs the certified bf16 fast path — exact rows with
     a proven fallback (see the block comment above ``_certified_parts``).
     Pass ``approx`` (:func:`corpus_approx_bf16`, cached per index version)
-    to skip the per-call mirror build.
+    to skip the per-call mirror build. ``int8_pack``
+    (:func:`corpus_mirror_int8`) selects the int8-MXU pass-1 variant
+    instead (SHODH_TOPK_INT8 — same exact-or-fallback contract).
     """
     b, d = queries.shape
     n = corpus.shape[0]
     if scales is None:
         scales = jnp.ones((n,), jnp.float32)
 
-    if (
-        bound is not None
-        and _fast_enabled()
+    fastable = (
+        _fast_enabled()
         and n >= _fast_min_rows()
         and _default_impl() == "xla"
         and n // GROUP > _slack_groups(k, n // GROUP)
-    ):
+    )
+    if int8_pack is not None and fastable:
+        return _certified_fast_topk_int8(queries, corpus, valid, k, scales, int8_pack)
+    if bound is not None and fastable:
         return _certified_fast_topk(queries, corpus, valid, k, scales, bound, approx)
 
     if _default_impl() == "xla":

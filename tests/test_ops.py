@@ -423,3 +423,112 @@ class TestHbmResidencySpill:
         rows = idx.add(target)  # identical vector must become the top hit
         v, r = idx.search(target, k)
         assert int(r[0, 0]) == rows[0]
+
+
+class TestInt8CertifiedTopk:
+    """int8-MXU pass-1 selection (SHODH_TOPK_INT8): int32 accumulation is
+    exact, so the certificate covers only the two quantizations — results
+    must stay bit-identical-or-fallback, same contract as the bf16 path."""
+
+    def _setup(self, n=16 * TILE_N, d=128, b=4, seed=7):
+        from shodh_tpu.ops.fused_topk import corpus_mirror_int8
+
+        corpus = jnp.asarray(_random_unit(n, d, seed=seed))
+        queries = jnp.asarray(_random_unit(b, d, seed=seed + 1))
+        valid = jnp.ones(n, jnp.float32)
+        scales = jnp.ones(n, jnp.float32)
+        pack = corpus_mirror_int8(corpus, scales, valid)
+        return queries, corpus, valid, scales, pack
+
+    def test_bit_identical_to_brute(self, monkeypatch):
+        monkeypatch.setenv("SHODH_TOPK_IMPL", "xla")
+        monkeypatch.setenv("SHODH_TOPK_FAST_MIN_ROWS", "0")
+        two_level_topk._clear_cache()
+        queries, corpus, valid, scales, pack = self._setup()
+        k = 10
+        bv, br = brute_topk(queries, corpus, valid, k, scales=scales)
+        fv, fr = two_level_topk(queries, corpus, valid, k, scales, int8_pack=pack)
+        np.testing.assert_array_equal(np.asarray(br), np.asarray(fr))
+        np.testing.assert_allclose(np.asarray(bv), np.asarray(fv), rtol=1e-6)
+        two_level_topk._clear_cache()
+
+    def test_fast_branch_certifies_on_separated_data(self):
+        from shodh_tpu.ops.fused_topk import _certified_parts_int8
+
+        queries, corpus, valid, scales, pack = self._setup()
+        k = 10
+        vals, ids, safe = _certified_parts_int8(queries, corpus, valid, k, scales, pack)
+        assert bool(safe)
+        bv, br = brute_topk(queries, corpus, valid, k, scales=scales)
+        np.testing.assert_array_equal(np.asarray(br), np.asarray(ids))
+        np.testing.assert_allclose(np.asarray(bv), np.asarray(vals), rtol=1e-6)
+
+    def test_int8_corpus_with_per_row_scales(self, monkeypatch):
+        """The production corpus shape: int8 rows + per-row dequant scales."""
+        monkeypatch.setenv("SHODH_TOPK_IMPL", "xla")
+        monkeypatch.setenv("SHODH_TOPK_FAST_MIN_ROWS", "0")
+        two_level_topk._clear_cache()
+        from shodh_tpu.ops.fused_topk import corpus_mirror_int8
+
+        n, d, k = 16 * TILE_N, 128, 10
+        f32 = _random_unit(n, d, seed=21)
+        absmax = np.max(np.abs(f32), axis=-1)
+        scales_np = (absmax / 127.0).astype(np.float32)
+        c8 = np.clip(np.round(f32 / scales_np[:, None]), -127, 127).astype(np.int8)
+        corpus = jnp.asarray(c8)
+        scales = jnp.asarray(scales_np)
+        valid = jnp.ones(n, jnp.float32)
+        queries = jnp.asarray(_random_unit(3, d, seed=22))
+        pack = corpus_mirror_int8(corpus, scales, valid)
+        bv, br = brute_topk(queries, corpus, valid, k, scales=scales)
+        fv, fr = two_level_topk(queries, corpus, valid, k, scales, int8_pack=pack)
+        np.testing.assert_array_equal(np.asarray(br), np.asarray(fr))
+        np.testing.assert_allclose(np.asarray(bv), np.asarray(fv), rtol=1e-6)
+        two_level_topk._clear_cache()
+
+    def test_adversarial_ties_fall_back_exactly(self, monkeypatch):
+        monkeypatch.setenv("SHODH_TOPK_IMPL", "xla")
+        monkeypatch.setenv("SHODH_TOPK_FAST_MIN_ROWS", "0")
+        two_level_topk._clear_cache()
+        from shodh_tpu.ops.fused_topk import _certified_parts_int8, corpus_mirror_int8
+
+        n, d, k = 16 * TILE_N, 128, 10
+        rng = np.random.default_rng(3)
+        base = _random_unit(n, d, seed=3) * 0.1
+        target = _random_unit(1, d, seed=4)[0]
+        tie_rows = rng.choice(n, size=64, replace=False)
+        base[tie_rows] = target
+        corpus = jnp.asarray(base)
+        queries = jnp.asarray(np.stack([target, -target]).astype(np.float32))
+        valid = jnp.ones(n, jnp.float32)
+        scales = jnp.ones(n, jnp.float32)
+        pack = corpus_mirror_int8(corpus, scales, valid)
+        bv, br = brute_topk(queries, corpus, valid, k, scales=scales)
+        fv, fr = two_level_topk(queries, corpus, valid, k, scales, int8_pack=pack)
+        np.testing.assert_array_equal(np.asarray(br), np.asarray(fr))
+        np.testing.assert_array_equal(np.asarray(bv), np.asarray(fv))
+        _, _, safe = _certified_parts_int8(queries, corpus, valid, k, scales, pack)
+        assert not bool(safe)
+        two_level_topk._clear_cache()
+
+    def test_device_index_end_to_end_with_flag(self, monkeypatch):
+        """DeviceVectorIndex search under SHODH_TOPK_INT8=1 returns the same
+        rows as without (exact-or-fallback at the index surface)."""
+        monkeypatch.setenv("SHODH_TOPK_IMPL", "xla")
+        monkeypatch.setenv("SHODH_TOPK_FAST_MIN_ROWS", "0")
+        two_level_topk._clear_cache()
+        from shodh_tpu.index.device_index import DeviceVectorIndex
+
+        n, d = 4 * TILE_N, 64
+        vecs = _random_unit(n, d, seed=33)
+        q = _random_unit(40, d, seed=34)  # B>32 -> device path
+        idx = DeviceVectorIndex(dim=d, dtype="int8")
+        idx.add(vecs)
+        v0, r0 = idx.search(q, 10)
+        monkeypatch.setenv("SHODH_TOPK_INT8", "1")
+        idx2 = DeviceVectorIndex(dim=d, dtype="int8")
+        idx2.add(vecs)
+        v1, r1 = idx2.search(q, 10)
+        np.testing.assert_array_equal(r0, r1)
+        np.testing.assert_allclose(v0, v1, rtol=1e-6)
+        two_level_topk._clear_cache()
