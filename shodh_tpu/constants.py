@@ -404,7 +404,11 @@ SELECTIVITY_HALF_SAT = 0.5
 # (capped 1.0). Mentions then grow it by salience *= 1 + 0.1*ln(mentions)
 # (graph_memory.rs:3489-3493). Keyed by OUR 18 coarse labels, values
 # mapped from the reference's 37-label table.
-TYPED_SALIENCE = env_flag("SHODH_TYPED_SALIENCE", False)  # sweep pending
+# Measured: gate bit-identical; full suite slightly NEGATIVE on all five
+# (r@10 .7048->.7041, p@1 -0.13pp) — the label-typed wells bias spreading
+# seeds toward person/org hubs, which our saturating rule avoids. Ships
+# OFF; the reference's formula stays available for parity experiments.
+TYPED_SALIENCE = env_flag("SHODH_TYPED_SALIENCE", False)
 SALIENCE_BASE = {
     "person": 0.8, "organization": 0.7, "location": 0.6, "facility": 0.5,
     "product": 0.7, "technology": 0.6, "event": 0.6, "work_of_art": 0.6,
