@@ -133,10 +133,14 @@ class FollowerReader:
                 # row maps moved without seq entries — resync now; the
                 # generation only advances once the resync actually swapped
                 # (a mid-rebuild writer makes resync bail and retry)
-                if self.resync():
+                swapped = self.resync()
+                if swapped:
                     self._lexical_fp, self._index_epoch = fp, epoch
                 self._refreshes += 1
-                return 1
+                # contract: return = memories applied; a bailed resync
+                # (writer mid-rebuild) applied nothing and must not read
+                # as progress to a lag-draining caller
+                return 1 if swapped else 0
             lo = f"{self._last_seq + 1:014d}"
             try:
                 for key, val in list(storage.kv.scan_range(NS_SEQ, lo, "9" * 14)):

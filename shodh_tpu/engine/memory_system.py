@@ -420,17 +420,17 @@ class MemorySystem:
             # merely related, not an antecedent, and its terms are noise
             # (measured: smoke p@1 -1.9pp with inheritance on notes).
             prev2 = prev3 = None
+            want2 = (
+                C.context_index_weight2() > 0.0
+                or C.context_forward_weight2() > 0.0
+                or C.context_index_weight3() > 0.0
+            )
             if (
-                (ctx_w > 0.0 or fwd_w > 0.0)
+                (ctx_w > 0.0 or fwd_w > 0.0 or want2)
                 and experience.tags
                 and experience.experience_type == ExperienceType.CONVERSATION
             ):
                 prev = self._context_prev(experience.tags)
-                want2 = (
-                    C.context_index_weight2() > 0.0
-                    or C.context_forward_weight2() > 0.0
-                    or C.context_index_weight3() > 0.0
-                )
                 if prev is not None and want2:
                     prev2 = self._context_prev_of(prev.id)
                     if prev2 is not None and C.context_index_weight3() > 0.0:
@@ -1467,8 +1467,13 @@ class MemorySystem:
                 self.storage.update(mem)
             if self.bm25 is not None:
                 prev = None
+                want2 = (
+                    C.context_index_weight2() > 0.0
+                    or C.context_forward_weight2() > 0.0
+                    or C.context_index_weight3() > 0.0
+                )
                 if (
-                    (ctx_w > 0.0 or fwd_w > 0.0)
+                    (ctx_w > 0.0 or fwd_w > 0.0 or want2)
                     and exp.tags
                     and exp.experience_type == ExperienceType.CONVERSATION
                 ):
@@ -1481,6 +1486,10 @@ class MemorySystem:
                 prev2 = prev3 = None
                 if prev is not None:
                     prev_of[mem.id] = prev
+                    # persist the replayed chain pointer: pre-upgrade stores
+                    # have no ctxprev entries, and live 2-back lookups after
+                    # migration need the chain the replay just rebuilt
+                    self.storage.kv.put("ctxprev", mem.id, prev.id.encode())
                     prev2 = prev_of.get(prev.id)
                     if prev2 is not None:
                         prev3 = prev_of.get(prev2.id)

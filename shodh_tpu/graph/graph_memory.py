@@ -108,6 +108,24 @@ def _edge_key(a: str, b: str) -> str:
     return f"{a}\x1f{b}" if a <= b else f"{b}\x1f{a}"
 
 
+# Structural labels whose surface forms capitalize without being proper
+# ("Monday" date, "Q3" time, "$5" money) — never proper-boosted.
+_NEVER_PROPER_LABELS = frozenset(
+    {"date", "time", "quantity", "money", "percent", "concept"}
+)
+
+
+def _looks_proper(name: str, label: str) -> bool:
+    """Proper-noun surface heuristic (graph_memory.rs:8771 analog): needs a
+    capitalized form AND a label class that names individuals — sentence-
+    initial common nouns and structural tokens don't earn the 1.2x well."""
+    if label in _NEVER_PROPER_LABELS:
+        return False
+    return name != name.lower() and not name.isupper() or (
+        name.isupper() and len(name) <= 6  # acronyms (NASA, IBM)
+    )
+
+
 def _base_salience(label: str, is_proper: bool) -> float:
     """Typed base salience (graph_memory.rs:8722-8768): label-dependent
     starting well size; proper nouns 1.2x, capped 1.0."""
@@ -222,7 +240,7 @@ class GraphMemory:
                 ent = EntityNode(
                     id=canon, name=name, label=label, fine_type=fine_type,
                     first_seen=now, last_seen=now, mention_count=0,
-                    is_proper=name != name.lower(),
+                    is_proper=_looks_proper(name, label),
                 )
                 if C.TYPED_SALIENCE:
                     ent.salience = _base_salience(label, ent.is_proper)

@@ -78,6 +78,7 @@ class DeviceVectorIndex:
         self._pending_rows = 0
         # Device arrays (lazily materialized)
         self._device = None  # tuple(vecs, scales, valid, score_bound, approx, int8_pack) | None
+        self._int8_s_host = 0.0  # host copy of the int8 pack's global step S
         # HBM residency (state.rs:748 shared-cache analog, TPU-first): when
         # SHODH_HBM_BUDGET_BYTES caps device memory, only the NEWEST rows
         # (recency ~ heat for a memory engine) stay resident; rows before
@@ -219,12 +220,26 @@ class DeviceVectorIndex:
             (start, 0),
         )
         if int8_pack is not None:
-            # The int8 mirror's global step S may be invalidated by rows
-            # larger than the old max (clipping would break the S/2-per-
-            # element certificate term) — recompute the pack wholesale.
-            from shodh_tpu.ops.fused_topk import corpus_mirror_int8
-
-            int8_pack = corpus_mirror_int8(vecs, scales, valid)
+            # Delta-append the int8 mirror when the new rows FIT the
+            # existing global step S (quantized on host with the cached
+            # host copy of S); rows larger than 127*S would clip — which
+            # breaks the S/2-per-element certificate term — so that case
+            # drops the pack for a lazy full rebuild at the next search.
+            mirror8, s8, m1 = int8_pack
+            scaled_new = new_slice * self._scales_np[start:end][:, None]
+            if self._int8_s_host and float(np.max(np.abs(scaled_new))) <= 127.0 * self._int8_s_host:
+                m_new = np.clip(
+                    np.round(scaled_new / self._int8_s_host), -127, 127
+                ).astype(np.int8)
+                mirror8 = jax.lax.dynamic_update_slice(
+                    mirror8, jnp.asarray(m_new), (start, 0)
+                )
+                m1 = jnp.maximum(
+                    m1, float(np.max(np.sum(np.abs(m_new.astype(np.float32)), axis=1)))
+                )
+                int8_pack = (mirror8, s8, m1)
+            else:
+                int8_pack = None  # rebuilt lazily by _device_arrays
         self._device = (vecs, scales, valid, jnp.maximum(bound, new_term), approx,
                         int8_pack)
 
@@ -290,12 +305,25 @@ class DeviceVectorIndex:
             # fast pass-1 (one corpus pass each per index version,
             # amortized across all queries). SHODH_TOPK_INT8 swaps the
             # selection mirror for the int8-MXU pack.
+            int8_pack = corpus_mirror_int8(vecs, scales, valid) if _int8_enabled() else None
+            self._int8_s_host = float(int8_pack[1]) if int8_pack is not None else 0.0
             self._device = (
                 vecs, scales, valid,
                 corpus_score_bound(vecs, scales, valid),
                 corpus_approx_bf16(vecs, scales, valid),
-                corpus_mirror_int8(vecs, scales, valid) if _int8_enabled() else None,
+                int8_pack,
             )
+        elif self._device is not None and self._device[5] is None:
+            from shodh_tpu.ops.fused_topk import _int8_enabled, corpus_mirror_int8
+
+            if _int8_enabled():
+                # pack dropped by an out-of-range delta append (or the flag
+                # was flipped on mid-process): rebuild it against the live
+                # device window
+                vecs, scales, valid = self._device[:3]
+                pack = corpus_mirror_int8(vecs, scales, valid)
+                self._int8_s_host = float(pack[1])
+                self._device = self._device[:5] + (pack,)
         return self._device
 
     def search(self, queries: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -326,6 +354,12 @@ class DeviceVectorIndex:
         kp = min(_pad_k(k), cap_dev)
         qpad = np.zeros((bp, self.dim), np.float32)
         qpad[:b] = queries
+        # Padding rows are UNIT vectors, not zeros: a zero query makes the
+        # certified fast paths' safety margin vacuous (boundary 0 + eps >=
+        # kth score 0 fails the strict test), silently forcing the exact
+        # fallback on EVERY padded batch — the fast path would never win
+        # in production. Padded results are discarded below either way.
+        qpad[b:, 0] = 1.0
         q = jnp.asarray(qpad)
         use_fused = cap_dev > _BRUTE_MAX and cap_dev % TILE_N == 0
         if use_fused:

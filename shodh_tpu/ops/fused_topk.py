@@ -421,10 +421,14 @@ def _certified_parts_int8(queries, corpus, valid, k: int, scales, int8_pack):
     ids = jnp.take_along_axis(rows, pos, axis=-1)
 
     # Certificate: any row dropped at either stage has int score <=
-    # max(beta, gamma); its TRUE score <= that * s_q*S + eps.
+    # max(beta, gamma); its TRUE score <= that * s_q*S + eps. The int32
+    # boundary can exceed 2^24 (d >= 1041 at worst case), so its f32 cast
+    # may round DOWN — inflate by 2 ulps; eps itself gets a 1% guard for
+    # the f32 arithmetic of the bound (both one-sided-sound).
     scale_qc = s_q * s_corp  # (B,)
-    eps = scale_qc * (q1 / 2.0 + m1 / 2.0 + d / 4.0)
-    boundary = jnp.maximum(beta, gamma).astype(jnp.float32) * scale_qc
+    eps = 1.01 * scale_qc * (q1 / 2.0 + m1 / 2.0 + d / 4.0)
+    boundary_i = jnp.maximum(beta, gamma).astype(jnp.float32)
+    boundary = (boundary_i + jnp.abs(boundary_i) * 2.4e-7) * scale_qc
     safe = jnp.all(boundary + eps < vals[:, k - 1])
     return vals, ids, safe
 

@@ -445,7 +445,10 @@ class TestTypedSalience:
 
     def test_base_salience_by_label(self, graph, monkeypatch):
         monkeypatch.setattr(C, "TYPED_SALIENCE", True)
-        graph.ingest_experience(_mem("Alice joined", ["Alice"]), now=NOW)
+        graph.ingest_experience(
+            _mem("Alice joined", ["Alice"]), now=NOW,
+            entity_labels={"Alice": "person"},
+        )
         graph.ingest_experience(_mem("a concept note", ["recursion"]), now=NOW)
         alice = graph.entities[graph.find_entity("Alice").id]
         concept = graph.entities[graph.find_entity("recursion").id]
@@ -486,3 +489,12 @@ class TestTypedSalience:
         e = graph.entities[graph.find_entity("Widget").id]
         # legacy: 0.5 default nudged once by the saturating rule
         assert e.salience == pytest.approx(0.5 + 0.05 * 0.5)
+
+    def test_proper_heuristic_rejects_structural_and_sentence_initial(self, graph, monkeypatch):
+        monkeypatch.setattr(C, "TYPED_SALIENCE", True)
+        graph.add_entity("Monday", label="date", now=NOW)
+        graph.add_entity("Turbines", label="concept", now=NOW)  # sentence-initial
+        graph.add_entity("NASA", label="organization", now=NOW)
+        assert not graph.entities[graph.find_entity("Monday").id].is_proper
+        assert not graph.entities[graph.find_entity("Turbines").id].is_proper
+        assert graph.entities[graph.find_entity("NASA").id].is_proper

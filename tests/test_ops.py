@@ -532,3 +532,33 @@ class TestInt8CertifiedTopk:
         np.testing.assert_array_equal(r0, r1)
         np.testing.assert_allclose(v0, v1, rtol=1e-6)
         two_level_topk._clear_cache()
+
+
+class TestPaddedBatchCertifies:
+    """Production single-query searches pad the batch (e.g. 1 -> 8). Padding
+    rows are unit vectors (device_index.search), NOT zeros: a zero query
+    makes the strict certificate vacuously fail (boundary 0 + eps >= kth 0)
+    and silently forces the exact fallback on every padded batch."""
+
+    def test_unit_padded_batch_is_safe_bf16_and_int8(self):
+        from shodh_tpu.ops.fused_topk import (
+            _certified_parts,
+            _certified_parts_int8,
+            corpus_mirror_int8,
+            corpus_score_bound,
+        )
+
+        n, d, k = 16 * TILE_N, 128, 10
+        corpus = jnp.asarray(_random_unit(n, d, seed=51))
+        valid = jnp.ones(n, jnp.float32)
+        scales = jnp.ones(n, jnp.float32)
+        q = np.zeros((8, d), np.float32)
+        q[0] = _random_unit(1, d, seed=52)[0]
+        q[1:, 0] = 1.0  # the padding the engine applies
+        queries = jnp.asarray(q)
+        bound = corpus_score_bound(corpus, scales, valid)
+        _, _, safe = _certified_parts(queries, corpus, valid, k, scales, bound)
+        assert bool(safe), "bf16 certificate must hold on unit-padded batches"
+        pack = corpus_mirror_int8(corpus, scales, valid)
+        _, _, safe8 = _certified_parts_int8(queries, corpus, valid, k, scales, pack)
+        assert bool(safe8), "int8 certificate must hold on unit-padded batches"
