@@ -189,6 +189,7 @@ class MemorySystem:
         self.feedback = None  # engine/feedback.py
         self.lineage = None  # engine/lineage.py
         self.interference = None  # engine/interference.py
+        self._defer_interference = None  # batch_remember chunk accumulator
         self.replay = None  # engine/replay.py
         self.prospective = None  # engine/prospective.py
         self.introspection = None  # engine/introspection.py
@@ -461,9 +462,14 @@ class MemorySystem:
         if enrich and self.temporal_facts is not None:
             self.temporal_facts.extract_and_store(mem, now=now)
 
-        # 11. Interference: similar traces compete (mod.rs:1162-1256)
+        # 11. Interference: similar traces compete (mod.rs:1162-1256).
+        # Inside batch_remember the per-memory search (which also forces an
+        # index flush) defers to ONE batched search per chunk.
         if enrich and self.interference is not None:
-            self.interference.on_store(mem, vectors[0], now=now)
+            if self._defer_interference is not None:
+                self._defer_interference.append((mem, vectors[0], now))
+            else:
+                self.interference.on_store(mem, vectors[0], now=now)
 
         # 12. Pattern-triggered replay registration
         if enrich and self.replay is not None:
@@ -519,11 +525,18 @@ class MemorySystem:
                 part = exps[base : base + chunk]
                 with self._lock:
                     with self.storage.kv.transaction():
-                        if self.graph is not None:
-                            with self.graph.kv.transaction():
+                        self._defer_interference = []
+                        try:
+                            if self.graph is not None:
+                                with self.graph.kv.transaction():
+                                    out.extend(self.remember(e, enrich=enrich) for e in part)
+                            else:
                                 out.extend(self.remember(e, enrich=enrich) for e in part)
-                        else:
-                            out.extend(self.remember(e, enrich=enrich) for e in part)
+                            if enrich and self.interference is not None:
+                                # one batched similarity search per chunk
+                                self.interference.on_store_batch(self._defer_interference)
+                        finally:
+                            self._defer_interference = None
                         if self.sessions is not None:
                             # deferred session appends ride the chunk commit
                             self.sessions.flush()

@@ -169,6 +169,30 @@ class TestInterference:
         system.remember(Experience(content="lunch was sushi and miso soup today"))
         assert system.get(a.id).activation == act0
 
+    def test_batched_ingest_matches_sequential(self, tmp_path):
+        """batch_remember defers interference to ONE search per chunk; the
+        row-order age guard must reproduce the sequential semantics: older
+        traces demoted, batch siblings never demoted by earlier siblings."""
+        from shodh_tpu.engine.memory_system import MemorySystem
+
+        texts = [
+            "the reactor coolant pump failed during the friday night shift",
+            "the reactor coolant pump failed during the friday night shift.",
+            "the reactor coolant pump failed during that friday night shift",
+            "a completely unrelated note about sushi lunch downtown",
+        ]
+        seq = MemorySystem(tmp_path / "seq")
+        seq_mems = [seq.remember(Experience(content=t)) for t in texts]
+        seq_acts = [seq.get(m.id).activation for m in seq_mems]
+        seq.close()
+        bat = MemorySystem(tmp_path / "bat")
+        bat_mems = bat.batch_remember([Experience(content=t) for t in texts])
+        bat_acts = [bat.get(m.id).activation for m in bat_mems]
+        bat.close()
+        assert bat_acts == pytest.approx(seq_acts)
+        # the near-duplicates really did interfere (test is not vacuous)
+        assert bat_acts[0] < 1.0
+
 
 class TestReplay:
     def test_replay_boosts_activation(self, system):
