@@ -180,3 +180,32 @@ class TestFingerprintSensitivity:
 
     def test_fingerprint_stable_across_calls(self):
         assert lexical_fingerprint() == lexical_fingerprint()
+
+
+class TestChainPointerHealing:
+    def test_migration_repopulates_ctxprev_chain(self, tmp_path):
+        """A pre-2-back store has no ctxprev pointers; the fold-drift
+        replay must rebuild them (and the 2-back doc terms) so post-
+        migration live ingests can walk the chain."""
+        sys_ = MemorySystem(tmp_path / "m")
+        _fill(sys_)
+        want = _snapshot(sys_)
+        chain = {
+            k: v for k, v in sys_.storage.kv.scan_prefix("ctxprev", "")
+        }
+        assert chain, "conversation turns with shared tags must chain"
+        # simulate the pre-upgrade store: drop every chain pointer + stamp
+        for k in chain:
+            sys_.storage.kv.delete("ctxprev", k)
+        sys_.storage.kv.put("meta", "lexical_fp", b"pre-chain-build")
+        sys_.close()
+
+        sys_ = MemorySystem(tmp_path / "m")
+        try:
+            healed = {
+                k: v for k, v in sys_.storage.kv.scan_prefix("ctxprev", "")
+            }
+            assert healed == chain  # replay rebuilt the identical chain
+            assert _snapshot(sys_) == want
+        finally:
+            sys_.close()
