@@ -25,39 +25,61 @@ class InterferenceEngine:
         self.system = system  # MemorySystem (storage + index access)
         self.events: list[dict] = []  # bounded log for introspection
 
+    WINDOW = 6  # top-k competition window (mod.rs:1162 top-5 + self slot)
+
     def on_store(self, mem, vector: np.ndarray, now: datetime) -> int:
         index = self.system.index
         if index.n_active <= 1:
             return 0
-        vals, rows = index.search(vector[None, :], k=min(6, max(2, index.n_active)))
+        vals, rows = index.search(
+            vector[None, :], k=min(self.WINDOW, max(2, index.n_active))
+        )
         return self._apply(mem, vals[0], rows[0], now)
 
     def on_store_batch(self, items: list[tuple]) -> int:
         """Batched on_store: ONE index search for a whole ingest chunk
         instead of one per memory (profiled at 31% of full-pipeline ingest —
         each per-item search also forced an index flush, defeating the
-        pending-adds batching). ``items`` = [(mem, vector, now), ...].
-        Candidate hits are age-guarded by row order (see _apply) so a new
-        memory never demotes a LATER-ingested batch sibling."""
+        pending-adds batching).
+
+        ``items`` = [(mem, vector, now), ...] in ingest order. Sequential
+        semantics are reproduced exactly: item i's candidate set is the
+        top-WINDOW rows that EXISTED when it was ingested — emulated by
+        (a) widening k so rows belonging to later batch siblings cannot
+        crowd real candidates out of the window, and (b) cutting each
+        item's hits at the NEXT item's first row before re-truncating to
+        WINDOW (rows are insert-ordered). Without (a)+(b), a chunk of
+        mutually-similar items let older traces escape demotion entirely
+        (review-verified: anchor demoted 5x sequential vs 0x batched)."""
         index = self.system.index
         if index.n_active <= 1 or not items:
             return 0
+        first_rows = [m.vector_row for m, _, _ in items]
+        base = next((r for r in first_rows if r is not None and r >= 0), None)
+        # widen by every row this chunk added: after the per-item cutoff at
+        # most WINDOW real candidates survive, and they must all be in-k
+        batch_rows = (len(index) - base) if base is not None else 0
+        k = min(max(2, index.n_active), self.WINDOW + batch_rows)
         vecs = np.stack([v for _, v, _ in items]).astype(np.float32)
-        vals, rows = index.search(vecs, k=min(6, max(2, index.n_active)))
+        vals, rows = index.search(vecs, k=k)
         total = 0
-        for (mem, _, now), v, r in zip(items, vals, rows):
-            total += self._apply(mem, v, r, now)
+        for i, ((mem, _, now), v, r) in enumerate(zip(items, vals, rows)):
+            nxt = next(
+                (fr for fr in first_rows[i + 1 :] if fr is not None and fr >= 0),
+                len(index),  # last item saw every row — window-truncate only
+            )
+            total += self._apply(mem, v, r, now, cutoff_row=nxt)
         return total
 
-    def _apply(self, mem, vals, rows, now: datetime) -> int:
+    def _apply(self, mem, vals, rows, now: datetime, cutoff_row=None) -> int:
+        if cutoff_row is not None:
+            keep = [(v, r) for v, r in zip(vals, rows) if int(r) < cutoff_row]
+            keep = keep[: self.WINDOW]  # the window the item saw at ingest
+            vals = [v for v, _ in keep]
+            rows = [r for _, r in keep]
         affected = 0
         for val, row in zip(vals, rows):
             if row < 0 or val < C.INTERFERENCE_SIMILARITY_THRESHOLD:
-                continue
-            if mem.vector_row is not None and mem.vector_row >= 0 and int(row) >= mem.vector_row:
-                # rows are insert-ordered: only strictly earlier-ingested
-                # traces are "older" (batched search can see batch siblings
-                # ingested after this memory; sequential search never did)
                 continue
             other_id = self.system.storage.memory_for_row(int(row))
             if other_id is None or other_id == mem.id:

@@ -193,6 +193,34 @@ class TestInterference:
         # the near-duplicates really did interfere (test is not vacuous)
         assert bat_acts[0] < 1.0
 
+    def test_crowded_chunk_still_demotes_older_traces(self, tmp_path):
+        """Review-verified failure shape: an anchor plus a chunk of
+        mutually-near-identical siblings. The siblings crowd the top-k
+        window with later-row hits; without the widened-k + per-item
+        cutoff emulation the anchor silently escaped demotion (sequential
+        demoted it 5x, batched 0x)."""
+        from shodh_tpu.engine.memory_system import MemorySystem
+
+        anchor = "the cooling pump gasket failed on unit seven during inspection"
+        sibs = [
+            f"the cooling pump gasket failed on unit seven during inspection round {i}"
+            for i in range(7)
+        ]
+        seq = MemorySystem(tmp_path / "seq")
+        a1 = seq.remember(Experience(content=anchor))
+        for t in sibs:
+            seq.remember(Experience(content=t))
+        seq_anchor = seq.get(a1.id).activation
+        seq.close()
+
+        bat = MemorySystem(tmp_path / "bat")
+        a2 = bat.remember(Experience(content=anchor))
+        bat.batch_remember([Experience(content=t) for t in sibs])
+        bat_anchor = bat.get(a2.id).activation
+        bat.close()
+        assert bat_anchor == pytest.approx(seq_anchor)
+        assert bat_anchor < 1.0  # the anchor was genuinely demoted
+
 
 class TestReplay:
     def test_replay_boosts_activation(self, system):
