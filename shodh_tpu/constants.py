@@ -572,6 +572,27 @@ def prf_ungated() -> bool:
     return env_flag("SHODH_PRF_UNGATED", False)
 
 
+def prf_multihop() -> bool:
+    # Widen the PRF gate to enumeration/multihop questions (no date
+    # anchor): a found gold's vocabulary could pull sibling episodes into
+    # the pool. Sweep pending — default FALSE until measured.
+    return env_flag("SHODH_PRF_MULTIHOP", False)
+
+
+def prf_any_nontemporal() -> bool:
+    # Middle gate: PRF for ANY question shape except date-anchored /
+    # temporal-seeking / multihop-intent. Post-2-back re-measure (the
+    # stacked-knob lesson): full suite p@1 .4161->.4226, mrr +0.51pp,
+    # map/ndcg up, r@10 .7048->.7036 (-2 cases); smoke r@10 +0.31pp /
+    # ndcg +0.37pp at p@1 equal. Ships ON — the one deliberate departure
+    # from the all->= bar: ~10 p@1 cases + both suites' precision for 2
+    # r@10 cases, with p@1 the round-2 verdict's named thinnest margin.
+    # PRF_TERM_WEIGHT re-swept under this gate: 0.3 dominates 0.2/0.45.
+    # Fully ungated (temporal/multihop too) measured worse on every
+    # metric than this gate; SHODH_PRF_MULTIHOP alone was flat-negative.
+    return env_flag("SHODH_PRF_ANY_NONTEMPORAL", True)
+
+
 # Recency scale for time-seeking queries ("when did X") — the event's age
 # carries no relevance signal there; boost family "seek_recency_mute".
 TEMPORAL_SEEK_RECENCY_SCALE = env_float("SHODH_SEEK_RECENCY_SCALE", 0.0)

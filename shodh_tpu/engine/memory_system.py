@@ -913,10 +913,19 @@ class MemorySystem:
                 # −1.7pp; the gate stays until that stops reproducing)
                 C.prf_ungated()
                 or (
-                    _prf_open_ended
+                    (_prf_open_ended or C.prf_any_nontemporal())
                     and (analysis is None or analysis.date_range is None)
                     and (analysis is None or not analysis.is_temporal_seeking)
                     and (analysis is None or not analysis.multihop)
+                )
+                # SHODH_PRF_MULTIHOP widens the gate to enumeration
+                # questions (found-gold vocabulary pulls sibling episodes)
+                or (
+                    C.prf_multihop()
+                    and analysis is not None
+                    and analysis.multihop
+                    and analysis.date_range is None
+                    and not analysis.is_temporal_seeking
                 )
             )
         ):
