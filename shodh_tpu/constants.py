@@ -541,7 +541,7 @@ SEMANTIC_MIN_CORPUS = 32
 SEM_EXPANSION_PER_STEM = env_int("SHODH_SEM_EXP_PER_STEM", 3)
 SEM_EXPANSION_MIN_SIM = env_float("SHODH_SEM_EXP_MIN_SIM", 0.45)  # 0.35 admits topical noise (gate -0.5pp)
 SEM_EXPANSION_MAX_TERMS = env_int("SHODH_SEM_EXP_MAX_TERMS", 8)
-SEM_EXPANSION_TERM_WEIGHT = env_float("SHODH_SEM_EXP_WEIGHT", 0.4)  # r3 re-swept: 0.2 alone beat 0.4 (+0.04pp) but the gain inverted under the speaker-boost re-sweep (joint r@10 .6848 vs .6860) — interaction measured, 0.4 stays
+SEM_EXPANSION_TERM_WEIGHT = env_float("SHODH_SEM_EXP_WEIGHT", 0.2)  # third re-sweep: 0.2 beat 0.4 alone, inverted under speaker 0.7, then RE-INVERTED under the wide PRF gate (p@1 .4226->.4246, mrr/map/ndcg up, r@10 -1 case) — expansion overlaps PRF, so lighter sem terms win once PRF covers more questions
 # Document-side expansion (round 3): each BM25 doc inherits its distinctive
 # stems' co-occurrence neighbors at SHODH_DOC_EXPANSION_WEIGHT * sim during
 # adapt_semantics (0 = off; the weight itself is read in memory_system).
