@@ -247,6 +247,15 @@ class FollowerReader:
         new_index.flush()
         sys_.index = new_index
         self._last_seq = last
+        # Re-seed the per-tag tail map from the writer's persisted state:
+        # the generation-triggered refresh path returns before the normal
+        # tail reconciliation, and a stale tail would make later refreshes
+        # reload the WRONG "old tail" doc — permanently missing a
+        # forward-context mutation of the writer's true tail.
+        self._tails = {
+            tag: raw.decode()
+            for tag, raw in storage.kv.scan_prefix("ctxtail", "")
+        }
         if sys_.bm25 is not None:
             for _, mem, _rows in entries:
                 sys_.bm25.load_doc(mem.id)

@@ -517,7 +517,10 @@ class GraphMemory:
         self.total_ingests += 1
         self._meta_dirty = True
         n_total = float(max(1, self.total_ingests))
-        stats = {"pairs": 0, "typed": 0, "generic": 0, "pmi_gated": 0}
+        stats = {
+            "pairs": 0, "typed": 0, "generic": 0,
+            "pmi_gated": 0, "typed_only_culled": 0, "degree_capped": 0,
+        }
         for i in range(len(eids)):
             for j in range(i + 1, len(eids)):
                 rel_ij = pair_rels.get(frozenset((eids[i], eids[j])), rel)
@@ -530,7 +533,7 @@ class GraphMemory:
                 init_strength = None
                 if generic and _edge_key(eids[i], eids[j]) not in self.edges:
                     if C.GRAPH_TYPED_ONLY:
-                        stats["pmi_gated"] += 1
+                        stats["typed_only_culled"] += 1
                         continue
                     df = (
                         max(1, self.entities[eids[i]].mention_count)
@@ -546,12 +549,17 @@ class GraphMemory:
                         norm = math.log2(max(2.0, n_total))
                         factor = min(1.0, max(0.0, birth_pmi) / norm)
                         init_strength = C.L1_INITIAL_WEIGHT * max(0.25, factor)
-                stats["typed" if not generic else "generic"] += 1
-                self._upsert_edge(
+                edge = self._upsert_edge(
                     eids[i], eids[j], rel_ij, now,
                     importance_scale=mem.importance, provenance=mem.id,
                     initial_strength=init_strength,
                 )
+                if edge is None:
+                    # MAX_ENTITY_DEGREE rejected the birth — the census
+                    # must not book it as a created/strengthened edge
+                    stats["degree_capped"] += 1
+                else:
+                    stats["typed" if not generic else "generic"] += 1
         self.last_ingest_stats = stats
         # Episode node
         if exp.episode_id:

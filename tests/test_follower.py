@@ -10,7 +10,7 @@ import pytest
 
 from shodh_tpu.engine.follower import FollowerReader
 from shodh_tpu.engine.memory_system import MemorySystem
-from shodh_tpu.types import Experience, Query
+from shodh_tpu.types import Experience, ExperienceType, Query
 
 
 @pytest.fixture()
@@ -167,3 +167,30 @@ class TestWriterBulkRederivations:
         monkeypatch.undo()
         assert f.refresh() == 1  # retried and succeeded this time
         assert f.recall(Query(query_text="record alpha", max_results=1)).memories
+
+
+    def test_forward_context_reaches_follower_after_resync(self, writer, tmp_path):
+        """After a generation-triggered resync the follower must re-seed its
+        per-tag tail map: a stale tail makes later refreshes reload the
+        WRONG 'old tail' doc and permanently miss the writer's forward-
+        context fold into the true tail."""
+        _ingest(writer, ["turn one about the reactor", "turn two about coolant"],
+                experience_type=ExperienceType.CONVERSATION, tags=["ops"])
+        writer.flush()
+        f = FollowerReader(tmp_path / "store")
+        # writer advances the tail, then bulk-rebuilds (no seq entries)
+        (c,) = _ingest(writer, ["turn three mentions the wildcat turbine"],
+                       experience_type=ExperienceType.CONVERSATION, tags=["ops"])
+        writer.flush()
+        writer.rebuild_index()
+        writer.flush()
+        assert f.refresh() == 1  # generation resync
+        # now turn four folds its terms forward into turn THREE's doc
+        _ingest(writer, ["turn four says the turbine bearing glowed crimson"],
+                experience_type=ExperienceType.CONVERSATION, tags=["ops"])
+        writer.flush()
+        f.refresh()
+        w = writer.recall(Query(query_text="crimson bearing turbine", max_results=2))
+        r = f.recall(Query(query_text="crimson bearing turbine", max_results=2))
+        assert r.ids == w.ids  # turn three surfaces via the fwd-context fold
+        assert c.id in r.ids
