@@ -17,6 +17,8 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <array>
+#include <cstdio>
 #include <mutex>
 #include <string>
 #include <unordered_map>
@@ -342,7 +344,194 @@ static const int MAX_CLASSES = 4;
 static float K1C[MAX_CLASSES] = {1.2f, 1.2f, 1.2f, 1.2f};
 static float BC[MAX_CLASSES] = {0.75f, 0.75f, 0.75f, 0.75f};
 
+// ---------------------------------------------------------------------------
+// Distilled NER tagger (mirrors shodh_tpu/nlp/distilled_ner.py exactly for
+// ASCII inputs — the Python binding routes non-ASCII texts to the Python
+// path so Unicode case predicates never diverge). Greedy averaged-
+// perceptron BIO decode over sparse string features; the per-token feature
+// loop was ~2 ms/item of ingest enrichment in Python.
+// ---------------------------------------------------------------------------
+
+namespace ner {
+
+constexpr int N_TAGS = 9;  // distilled_ner.py TAGS order
+
+struct Model {
+    std::unordered_map<std::string, std::array<double, N_TAGS>> rows;
+};
+
+inline Model& model() {
+    static Model m;
+    return m;
+}
+
+inline std::string lower_ascii(const std::string& s) {
+    std::string out = s;
+    for (auto& c : out)
+        if (c >= 'A' && c <= 'Z') c += 32;
+    return out;
+}
+
+// Python str.istitle() semantics restricted to ASCII: uppercase may only
+// follow an uncased char, lowercase may only follow a cased char, and at
+// least one cased char must appear ("O'Brien" is True).
+inline bool istitle_ascii(const std::string& w) {
+    bool seen_cased = false, prev_cased = false;
+    for (char c : w) {
+        if (c >= 'A' && c <= 'Z') {
+            if (prev_cased) return false;
+            seen_cased = true;
+            prev_cased = true;
+        } else if (c >= 'a' && c <= 'z') {
+            if (!prev_cased) return false;
+            prev_cased = true;
+        } else {
+            prev_cased = false;
+        }
+    }
+    return seen_cased;
+}
+
+inline bool isupper_ascii(const std::string& w) {
+    bool any = false;
+    for (char c : w) {
+        if (c >= 'a' && c <= 'z') return false;
+        if (c >= 'A' && c <= 'Z') any = true;
+    }
+    return any;
+}
+
+inline std::string shape4(const std::string& w) {
+    std::string out;
+    for (size_t i = 0; i < w.size() && i < 4; ++i) {
+        char c = w[i];
+        if (c >= 'A' && c <= 'Z') out += 'X';
+        else if (c >= 'a' && c <= 'z') out += 'x';
+        else if (c >= '0' && c <= '9') out += '9';
+        else out += c;
+    }
+    return out;
+}
+
+inline std::string tail(const std::string& s, size_t n) {  // s[-n:]
+    return s.size() <= n ? s : s.substr(s.size() - n);
+}
+
+// feature list — ORDER matters (float accumulation must match Python)
+inline void features(const std::vector<std::string>& words,
+                     const std::vector<std::string>& lowers, size_t i,
+                     const char* prev_tag, const char* prev2_tag,
+                     std::vector<std::string>& out) {
+    out.clear();
+    const std::string& w = words[i];
+    const std::string& wl = lowers[i];
+    static const std::string BOS = "<s>", EOS = "</s>";
+    const std::string& prev_w = i > 0 ? lowers[i - 1] : BOS;
+    const std::string& prev2_w = i > 1 ? lowers[i - 2] : BOS;
+    const std::string& next_w = i + 1 < words.size() ? lowers[i + 1] : EOS;
+    const std::string& next2_w = i + 2 < words.size() ? lowers[i + 2] : EOS;
+    out.push_back("b");
+    out.push_back("w=" + wl);
+    out.push_back("sh=" + shape4(w));
+    out.push_back("sf3=" + tail(wl, 3));
+    out.push_back("sf2=" + tail(wl, 2));
+    out.push_back("pf2=" + wl.substr(0, std::min<size_t>(2, wl.size())));
+    out.push_back("pw=" + prev_w);
+    out.push_back("nw=" + next_w);
+    out.push_back("p2w=" + prev2_w);
+    out.push_back("n2w=" + next2_w);
+    out.push_back(std::string("pt=") + prev_tag);
+    out.push_back(std::string("p2t=") + prev2_tag + "|" + prev_tag);
+    out.push_back("pw|w=" + prev_w + "|" + wl);
+    out.push_back("w|nw=" + wl + "|" + next_w);
+    if (istitle_ascii(w)) {
+        out.push_back("title");
+        if (i == 0) out.push_back("title@0");
+        if (prev_w == "<s>" || prev_w == ":" || prev_w == "." ||
+            prev_w == "!" || prev_w == "?")
+            out.push_back("title@sent");
+    }
+    if (isupper_ascii(w) && w.size() > 1) out.push_back("upper");
+    if (next_w == ":" && i <= 1) out.push_back("speaker");
+    if (prev_w == "to" && prev2_w == "according") out.push_back("accto");
+}
+
+}  // namespace ner
+
 extern "C" {
+
+// Load the distilled NER weights: "feature\tw0 w1 ... w8\n" lines in
+// distilled_ner.py TAGS order. Called once by the binding after dlopen.
+void shodh_ner_load(const char* blob) {
+    auto& m = ner::model();
+    m.rows.clear();
+    const char* p = blob;
+    while (p && *p) {
+        const char* tab = strchr(p, '\t');
+        if (!tab) break;
+        const char* nl = strchr(tab + 1, '\n');
+        if (!nl) nl = tab + 1 + strlen(tab + 1);
+        std::array<double, ner::N_TAGS> row{};
+        const char* q = tab + 1;
+        for (int t = 0; t < ner::N_TAGS && q < nl; ++t) {
+            char* end = nullptr;
+            row[t] = strtod(q, &end);
+            q = end;
+        }
+        m.rows.emplace(std::string(p, tab - p), row);
+        p = (*nl) ? nl + 1 : nl;
+    }
+}
+
+// Greedy BIO decode. words: "w\n" lines (caller tokenizes — the Python
+// regex owns offsets). Writes "tag_index margin\n" per token into out.
+// Returns token count, or -1 when out_cap is too small.
+int shodh_ner_tag(const char* words_blob, char* out, int out_cap) {
+    auto& m = ner::model();
+    std::vector<std::string> words;
+    const char* p = words_blob;
+    while (p && *p) {
+        const char* nl = strchr(p, '\n');
+        if (!nl) nl = p + strlen(p);
+        if (nl > p) words.emplace_back(p, nl - p);
+        p = (*nl) ? nl + 1 : nl;
+    }
+    static const char* TAGS[ner::N_TAGS] = {
+        "O", "B-PER", "I-PER", "B-LOC", "I-LOC",
+        "B-ORG", "I-ORG", "B-MISC", "I-MISC",
+    };
+    std::vector<std::string> lowers;
+    lowers.reserve(words.size());
+    for (auto& w : words) lowers.push_back(ner::lower_ascii(w));
+    std::string result;
+    const char* prev = "O";
+    const char* prev2 = "O";
+    std::vector<std::string> feats;
+    char line[64];
+    for (size_t i = 0; i < words.size(); ++i) {
+        ner::features(words, lowers, i, prev, prev2, feats);
+        double totals[ner::N_TAGS] = {0.0};
+        for (auto& ft : feats) {
+            auto it = m.rows.find(ft);
+            if (it == m.rows.end()) continue;
+            for (int t = 0; t < ner::N_TAGS; ++t) totals[t] += it->second[t];
+        }
+        int bi = 0;
+        double bv = totals[0];
+        for (int t = 1; t < ner::N_TAGS; ++t)
+            if (totals[t] > bv) { bi = t; bv = totals[t]; }
+        double second = -1e300;
+        for (int t = 0; t < ner::N_TAGS; ++t)
+            if (t != bi && totals[t] > second) second = totals[t];
+        snprintf(line, sizeof(line), "%d %.17g\n", bi, bv - second);
+        result += line;
+        prev2 = prev;
+        prev = TAGS[bi];
+    }
+    if ((int)result.size() + 1 > out_cap) return -1;
+    memcpy(out, result.c_str(), result.size() + 1);
+    return (int)words.size();
+}
 
 void shodh_bm25_set_params(float k1, float b) {
     K1C[0] = k1;

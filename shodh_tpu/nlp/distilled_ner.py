@@ -145,8 +145,27 @@ class DistilledNer:
             for t, w in row.items():
                 dense[idx[t]] = w
             self._rows[ft] = dense
+        # Native fast path (native/shodh_native.cpp shodh_ner_tag): the
+        # per-token feature loop dominates ingest enrichment in Python.
+        # The C++ model is process-global, so only the default artifact
+        # (load_default, lru_cache) syncs it; ad-hoc instances with other
+        # weights keep the Python path to avoid clobbering.
+        self._native = False
+
+    def _enable_native(self) -> None:
+        from shodh_tpu.retrieval.native import ner_load
+
+        self._native = ner_load(self._rows)
 
     def _tag(self, words: list[str]) -> tuple[list[str], list[float]]:
+        if self._native and all(w.isascii() for w in words):
+            # byte-exact C++ mirror for ASCII inputs; Unicode case
+            # predicates (istitle/isupper/lower) stay Python-only
+            from shodh_tpu.retrieval.native import ner_tag
+
+            pairs = ner_tag(words)
+            if pairs is not None and len(pairs) == len(words):
+                return [TAGS[i] for i, _ in pairs], [m for _, m in pairs]
         tags: list[str] = []
         margins: list[float] = []
         rows = self._rows
@@ -224,7 +243,9 @@ def save(model: DistilledNer, path: Path = _DATA, min_weight: float = 0.09) -> N
 def load_default(path: Optional[str] = None) -> DistilledNer:
     p = Path(path) if path else _DATA
     with gzip.open(p, "rb") as f:
-        return DistilledNer(json.loads(f.read().decode("utf-8")))
+        ner = DistilledNer(json.loads(f.read().decode("utf-8")))
+    ner._enable_native()  # default artifact owns the process-global C++ model
+    return ner
 
 
 def available() -> bool:

@@ -107,12 +107,58 @@ def load() -> Optional[ctypes.CDLL]:
         buf = "".join(f"H\t{h}\t{n}\n" for h, n in NORM_BY_HASH.items())
         buf += "".join(f"C\t{k}\t{' '.join(p)}\n" for k, p in CONTRACTIONS.items())
         lib.shodh_norm_load(buf.encode())
+    try:
+        lib.shodh_ner_load.argtypes = [ctypes.c_char_p]
+        lib.shodh_ner_tag.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int
+        ]
+        lib.shodh_ner_tag.restype = ctypes.c_int
+    except AttributeError:
+        pass  # stale lib: the NER binding checks ner_available()
     _lib = lib
     return _lib
 
 
 def available() -> bool:
     return load() is not None
+
+
+def ner_available() -> bool:
+    lib = load()
+    return lib is not None and hasattr(lib, "shodh_ner_load")
+
+
+def ner_load(rows: dict) -> bool:
+    """Push the distilled-NER dense weight rows (feature -> [9 floats] in
+    TAGS order) into the process-global native model."""
+    lib = load()
+    if lib is None or not hasattr(lib, "shodh_ner_load"):
+        return False
+    blob = "".join(
+        ft + "\t" + " ".join(repr(w) for w in row) + "\n"
+        for ft, row in rows.items()
+    )
+    lib.shodh_ner_load(blob.encode())
+    return True
+
+
+def ner_tag(words: list[str]) -> "list[tuple[int, float]] | None":
+    """Native greedy BIO decode: [(tag_index, margin), ...] or None when
+    the native path is unavailable / the buffer contract fails."""
+    lib = load()
+    if lib is None or not hasattr(lib, "shodh_ner_tag"):
+        return None
+    blob = ("\n".join(words) + "\n").encode()
+    cap = 40 * len(words) + 64
+    out = ctypes.create_string_buffer(cap)
+    n = lib.shodh_ner_tag(blob, out, cap)
+    if n < 0:
+        return None
+    pairs = []
+    for line in out.value.decode().splitlines():
+        idx, margin = line.split(" ", 1)
+        pairs.append((int(idx), float(margin)))
+    return pairs
 
 
 def native_stem(word: str) -> str:

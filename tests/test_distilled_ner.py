@@ -96,3 +96,46 @@ class TestFacadeWiring:
             "Caroline: I told them that people should stretch before running"
         )}
         assert "them" not in out and "people" not in out
+
+
+class TestNativeParity:
+    """The C++ tagger (native/shodh_native.cpp shodh_ner_tag) must be
+    byte-exact with the Python loop on ASCII inputs — same tags, same
+    margins (same double accumulation order)."""
+
+    def test_tags_and_margins_match_python(self):
+        from shodh_tpu.nlp.distilled_ner import TAGS, load_default, tokenize_with_offsets
+        from shodh_tpu.retrieval import native
+
+        if not native.ner_available():
+            import pytest
+
+            pytest.skip("native lib unavailable")
+        ner = load_default()
+        texts = [
+            "Caroline met Melanie at the Brooklyn Museum on Friday.",
+            "According to Dr. Smith, NASA's rover reached Jezero Crater.",
+            "alice: i'll bring the O'Brien files to ACME corp tomorrow",
+            "The quick brown fox? Nothing to tag here!",
+        ]
+        for t in texts:
+            words = [w for w, _, _ in tokenize_with_offsets(t)]
+            pairs = native.ner_tag(words)
+            assert pairs is not None and len(pairs) == len(words)
+            saved = ner._native
+            ner._native = False
+            try:
+                py_tags, py_margins = ner._tag(words)
+            finally:
+                ner._native = saved
+            assert [TAGS[i] for i, _ in pairs] == py_tags
+            for (_, m), pm in zip(pairs, py_margins):
+                assert abs(m - pm) < 1e-12
+
+    def test_non_ascii_falls_back_to_python(self):
+        from shodh_tpu.nlp.distilled_ner import load_default
+
+        ner = load_default()
+        spans = ner.extract("Zoë visited São Paulo with François")
+        # must not crash and must still produce spans via the Python path
+        assert isinstance(spans, list)
