@@ -248,3 +248,43 @@ class TestIVFPersistence:
         (tmp_path / "ivf.npz").write_bytes(b"junk")
         with pytest.raises(ValueError, match="checksum"):
             IVFIndex.load(tmp_path / "ivf")
+
+
+class TestShardedSuiteParity:
+    """Verdict follow-through: drive a REAL suite's corpus + queries through
+    the 8-device sharded index and require bit-equal rows vs the production
+    single-device index — the mesh merge must preserve scores AND the
+    ascending-global-row tie discipline on real (not synthetic) data."""
+
+    def test_smoke_corpus_queries_match_device_index(self):
+        import json
+        from pathlib import Path
+
+        from shodh_tpu.index.device_index import DeviceVectorIndex
+        from shodh_tpu.models.embedder import default_embedder
+
+        root = Path(__file__).resolve().parents[1]
+        corpus = [
+            json.loads(l)["content"]
+            for l in (root / "tests/recall/corpora/shodh-smoke.jsonl").read_text().splitlines()
+            if l.strip()
+        ]
+        queries = [
+            json.loads(l)["query"]
+            for l in (root / "tests/recall/smoke_cases.jsonl").read_text().splitlines()
+            if l.strip()
+        ]
+        emb = default_embedder(cached=False)
+        cv = np.asarray(emb.encode_batch(corpus), np.float32)
+        qv = np.asarray(emb.encode_batch(queries), np.float32)
+
+        dv = DeviceVectorIndex(dim=cv.shape[1])
+        dv.add(cv)
+        dvals, drows = dv.search(qv, k=10)
+
+        mesh = make_mesh(8)
+        sh = ShardedVectorIndex(cv, mesh)
+        svals, srows = sh.search(qv, k=10)
+
+        np.testing.assert_array_equal(np.asarray(drows), np.asarray(srows))
+        np.testing.assert_allclose(np.asarray(dvals), np.asarray(svals), rtol=1e-4)
