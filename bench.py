@@ -184,6 +184,43 @@ def run_scales() -> None:
                 **roof,
             }
         )
+        # int8-MXU pass-1 diagnostic (SHODH_TOPK_INT8 candidate, v5e 394
+        # TOPS path): timed as a side row so any on-hardware bench run
+        # measures it — never the headline, never fatal.
+        if os.environ.get("SHODH_BENCH_INT8", "1") != "0" and n >= 1 << 20:
+            try:
+                from shodh_tpu.ops.fused_topk import (
+                    _certified_parts_int8,
+                    corpus_mirror_int8,
+                )
+
+                pack = corpus_mirror_int8(corpus, scales, valid)
+                jax.block_until_ready(pack[0])
+
+                @functools.partial(jax.jit, static_argnames=("iters",))
+                def scan_int8(corpus, scales, valid, pack, seed, iters):
+                    def body(carry, i):
+                        q = jax.random.normal(jax.random.fold_in(seed, i), (b, d), jnp.float32)
+                        q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+                        vals, rows, safe = _certified_parts_int8(
+                            q, corpus, valid, k, scales, pack
+                        )
+                        return (carry[0] + jnp.sum(vals[:, 0]),
+                                carry[1] + safe.astype(jnp.int32)), None
+
+                    out, _ = jax.lax.scan(body, (0.0, jnp.int32(0)), jnp.arange(iters))
+                    return out
+
+                float(scan_int8(corpus, scales, valid, pack, seed, iters)[0])  # compile
+                t0 = time.perf_counter()
+                sink8, nsafe8 = scan_int8(corpus, scales, valid, pack, seed, iters)
+                sink8 = float(sink8)
+                per8 = (time.perf_counter() - t0) / iters
+                log(f"{label}: int8-MXU pass-1 {per8*1e3:.2f} ms/batch -> "
+                    f"{b/per8:,.0f} QPS (certificate safe {int(nsafe8)}/{iters}; "
+                    f"bf16/exact path above: {per_batch*1e3:.2f} ms)")
+            except Exception as e:  # diagnostic only — never fail the bench
+                log(f"{label}: int8 diagnostic skipped ({type(e).__name__}: {e})")
         del corpus, scales, valid, approx
 
     def measure_funnel(n, label, iters=8, bank=False):
