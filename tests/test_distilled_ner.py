@@ -139,3 +139,22 @@ class TestNativeParity:
         spans = ner.extract("Zoë visited São Paulo with François")
         # must not crash and must still produce spans via the Python path
         assert isinstance(spans, list)
+
+    def test_nul_byte_content_falls_back_safely(self):
+        """A NUL inside content truncates the C string at the boundary; the
+        length-mismatch guard must route the text to the Python path
+        instead of mis-aligning tags."""
+        from shodh_tpu.nlp.distilled_ner import load_default
+
+        ner = load_default()
+        text = "Caroline visited\x00Berlin with Melanie"
+        spans = ner.extract(text)
+        saved = ner._native
+        ner._native = False
+        try:
+            py_spans = ner.extract(text)
+        finally:
+            ner._native = saved
+        assert [(s.text, s.type) for s in spans] == [
+            (s.text, s.type) for s in py_spans
+        ]
