@@ -75,6 +75,7 @@ def record(result: dict) -> None:
 
 
 def run_scales() -> None:
+    _t_run_start = time.monotonic()
     import jax
     import jax.numpy as jnp
 
@@ -186,8 +187,17 @@ def run_scales() -> None:
         )
         # int8-MXU pass-1 diagnostic (SHODH_TOPK_INT8 candidate, v5e 394
         # TOPS path): timed as a side row so any on-hardware bench run
-        # measures it — never the headline, never fatal.
-        if os.environ.get("SHODH_BENCH_INT8", "1") != "0" and n >= 1 << 20:
+        # measures it — never the headline, never fatal, and NEVER at the
+        # expense of the watchdog budget: its two extra cold compiles run
+        # only when at least ~200 s of the 560 s budget remains (an
+        # overrun would os._exit mid-TPU-work and orphan the tunnel claim
+        # for 10-40 min — CLAUDE.md hazard).
+        budget_left = WATCHDOG_SECS - (time.monotonic() - _t_run_start)
+        if (
+            os.environ.get("SHODH_BENCH_INT8", "1") != "0"
+            and n >= 1 << 20
+            and budget_left > 200.0
+        ):
             try:
                 from shodh_tpu.ops.fused_topk import (
                     _certified_parts_int8,

@@ -358,6 +358,9 @@ constexpr int N_TAGS = 9;  // distilled_ner.py TAGS order
 
 struct Model {
     std::unordered_map<std::string, std::array<double, N_TAGS>> rows;
+    // ctypes releases the GIL around calls, so a reload (clear+rehash)
+    // can race concurrent taggers without this lock.
+    std::mutex mu;
 };
 
 inline Model& model() {
@@ -464,6 +467,7 @@ extern "C" {
 // distilled_ner.py TAGS order. Called once by the binding after dlopen.
 void shodh_ner_load(const char* blob) {
     auto& m = ner::model();
+    std::lock_guard<std::mutex> lk(m.mu);
     m.rows.clear();
     const char* p = blob;
     while (p && *p) {
@@ -488,6 +492,7 @@ void shodh_ner_load(const char* blob) {
 // Returns token count, or -1 when out_cap is too small.
 int shodh_ner_tag(const char* words_blob, char* out, int out_cap) {
     auto& m = ner::model();
+    std::lock_guard<std::mutex> lk(m.mu);
     std::vector<std::string> words;
     const char* p = words_blob;
     while (p && *p) {

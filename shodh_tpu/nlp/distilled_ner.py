@@ -147,10 +147,12 @@ class DistilledNer:
             self._rows[ft] = dense
         # Native fast path (native/shodh_native.cpp shodh_ner_tag): the
         # per-token feature loop dominates ingest enrichment in Python.
-        # The C++ model is process-global, so only the default artifact
-        # (load_default, lru_cache) syncs it; ad-hoc instances with other
-        # weights keep the Python path to avoid clobbering.
-        self._native = False
+        # The C++ model is process-global; _native holds the version token
+        # returned by ner_load, and ner_tag refuses a stale token — an
+        # instance whose weights were replaced (load_default(path=...),
+        # retrain + cache_clear) falls back to its Python rows instead of
+        # tagging with foreign weights.
+        self._native = 0
 
     def _enable_native(self) -> None:
         from shodh_tpu.retrieval.native import ner_load
@@ -163,7 +165,7 @@ class DistilledNer:
             # predicates (istitle/isupper/lower) stay Python-only
             from shodh_tpu.retrieval.native import ner_tag
 
-            pairs = ner_tag(words)
+            pairs = ner_tag(words, expect_version=self._native)
             if pairs is not None and len(pairs) == len(words):
                 return [TAGS[i] for i, _ in pairs], [m for _, m in pairs]
         tags: list[str] = []
@@ -239,13 +241,21 @@ def save(model: DistilledNer, path: Path = _DATA, min_weight: float = 0.09) -> N
             f.write(payload.encode("utf-8"))
 
 
-@lru_cache(maxsize=1)
 def load_default(path: Optional[str] = None) -> DistilledNer:
-    p = Path(path) if path else _DATA
-    with gzip.open(p, "rb") as f:
+    # normalize BEFORE the cache: load_default() and load_default(None)
+    # must share one entry (maxsize=1 would otherwise thrash between them)
+    return _load_default(str(Path(path) if path else _DATA))
+
+
+@lru_cache(maxsize=1)
+def _load_default(path: str) -> DistilledNer:
+    with gzip.open(path, "rb") as f:
         ner = DistilledNer(json.loads(f.read().decode("utf-8")))
-    ner._enable_native()  # default artifact owns the process-global C++ model
+    ner._enable_native()  # this artifact now owns the global C++ model
     return ner
+
+
+load_default.cache_clear = _load_default.cache_clear  # retrain flow compat
 
 
 def available() -> bool:

@@ -125,29 +125,45 @@ def available() -> bool:
 
 def ner_available() -> bool:
     lib = load()
-    return lib is not None and hasattr(lib, "shodh_ner_load")
+    return lib is not None and hasattr(lib, "shodh_ner_load") and hasattr(
+        lib, "shodh_ner_tag"
+    )
 
 
-def ner_load(rows: dict) -> bool:
+# The C++ model is process-global; this version counter is the ownership
+# token. Every ner_load bumps it, and ner_tag refuses a stale expectation —
+# so an instance whose weights were later replaced (load_default(path=...),
+# retrain + cache_clear) falls back to its own Python rows instead of
+# silently tagging with foreign weights.
+_ner_version = 0
+
+
+def ner_load(rows: dict) -> int:
     """Push the distilled-NER dense weight rows (feature -> [9 floats] in
-    TAGS order) into the process-global native model."""
+    TAGS order) into the process-global native model. Returns the model
+    version token (0 = native unavailable)."""
+    global _ner_version
     lib = load()
-    if lib is None or not hasattr(lib, "shodh_ner_load"):
-        return False
+    if lib is None or not ner_available():
+        return 0
     blob = "".join(
         ft + "\t" + " ".join(repr(w) for w in row) + "\n"
         for ft, row in rows.items()
     )
     lib.shodh_ner_load(blob.encode())
-    return True
+    _ner_version += 1
+    return _ner_version
 
 
-def ner_tag(words: list[str]) -> "list[tuple[int, float]] | None":
+def ner_tag(words: list[str], expect_version: int = 0) -> "list[tuple[int, float]] | None":
     """Native greedy BIO decode: [(tag_index, margin), ...] or None when
-    the native path is unavailable / the buffer contract fails."""
+    the native path is unavailable, the caller's model was replaced
+    (version mismatch), or the buffer contract fails."""
     lib = load()
     if lib is None or not hasattr(lib, "shodh_ner_tag"):
         return None
+    if expect_version and expect_version != _ner_version:
+        return None  # another artifact owns the global model now
     blob = ("\n".join(words) + "\n").encode()
     cap = 40 * len(words) + 64
     out = ctypes.create_string_buffer(cap)

@@ -136,9 +136,44 @@ class TestNativeParity:
         from shodh_tpu.nlp.distilled_ner import load_default
 
         ner = load_default()
-        spans = ner.extract("Zoë visited São Paulo with François")
-        # must not crash and must still produce spans via the Python path
-        assert isinstance(spans, list)
+        text = "Zoë visited São Paulo with François"
+        spans = ner.extract(text)
+        saved = ner._native
+        ner._native = 0
+        try:
+            py_spans = ner.extract(text)
+        finally:
+            ner._native = saved
+        # identical to the pure-Python path (the native tagger never sees
+        # non-ASCII words — Unicode case predicates would diverge)
+        assert [(s.text, s.type, s.start) for s in spans] == [
+            (s.text, s.type, s.start) for s in py_spans
+        ]
+
+    def test_replaced_global_model_is_refused(self):
+        """Ownership token: after ANOTHER artifact loads into the process-
+        global C++ model, a stale instance must fall back to its own
+        Python rows — never tag with foreign weights."""
+        from shodh_tpu.nlp.distilled_ner import load_default
+        from shodh_tpu.retrieval import native
+
+        if not native.ner_available():
+            import pytest
+
+            pytest.skip("native lib unavailable")
+        ner = load_default()
+        text = "Caroline met Melanie at the Brooklyn Museum"
+        before = [(s.text, s.type) for s in ner.extract(text)]
+        old_token = ner._native
+        assert old_token
+        # a different (garbage) model takes the global slot
+        native.ner_load({"w=caroline": [0.0] * 9})
+        try:
+            assert native.ner_tag(["Caroline"], expect_version=old_token) is None
+            after = [(s.text, s.type) for s in ner.extract(text)]
+            assert after == before  # python fallback, same output
+        finally:
+            ner._enable_native()  # restore ownership for other tests
 
     def test_nul_byte_content_falls_back_safely(self):
         """A NUL inside content truncates the C string at the boundary; the
