@@ -71,6 +71,21 @@ class InterferenceEngine:
             total += self._apply(mem, v, r, now, cutoff_row=nxt)
         return total
 
+    def on_store_batch_existing(self, items: list[tuple]) -> int:
+        """Batched on_store for memories whose rows ALREADY existed before
+        the pass (deferred enrichment): every per-item search would see the
+        same index, so one batched search is exactly equivalent — no cutoff
+        emulation, plain WINDOW selection like the sequential path."""
+        index = self.system.index
+        if index.n_active <= 1 or not items:
+            return 0
+        vecs = np.stack([v for _, v, _ in items]).astype(np.float32)
+        vals, rows = index.search(vecs, k=min(self.WINDOW, max(2, index.n_active)))
+        total = 0
+        for (mem, _, now), v, r in zip(items, vals, rows):
+            total += self._apply(mem, v, r, now)
+        return total
+
     def _apply(self, mem, vals, rows, now: datetime, cutoff_row=None) -> int:
         if cutoff_row is not None:
             keep = [(v, r) for v, r in zip(vals, rows) if int(r) < cutoff_row]

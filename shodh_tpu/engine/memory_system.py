@@ -1256,16 +1256,20 @@ class MemorySystem:
     def _index_lexical(
         self, mem_id: str, experience: Experience, prev: Optional[Memory],
         prev2: Optional[Memory] = None, prev3: Optional[Memory] = None,
+        forward: bool = True,
     ) -> None:
         """BM25 leg of ingest: context-augmented upsert + per-domain Okapi
         class. Shared by :meth:`remember` and :meth:`migrate_lexical` so the
         live path and the fold-drift replay cannot diverge. ``prev2``/``prev3``
-        walk the antecedent chain (2-/3-back context + 2-ahead forward)."""
+        walk the antecedent chain (2-/3-back context + 2-ahead forward).
+        ``forward=False`` rebuilds THIS doc only (the deferred-enrichment
+        refresh: the forward folds into the predecessors already happened
+        at ingest and must not double)."""
         ctx_w = C.context_index_weight()
         fwd_w = C.context_forward_weight()
         context_content = None
         if prev is not None:
-            if fwd_w > 0.0:
+            if forward and fwd_w > 0.0:
                 # forward context: the predecessor gains this turn's terms
                 # exactly once (the caller moves the tail to this memory)
                 self.bm25.add_context_terms(prev.id, experience.content, fwd_w)
@@ -1299,7 +1303,7 @@ class MemorySystem:
         if prev3 is not None and ctx3_w > 0.0:
             self.bm25.add_context_terms(mem_id, prev3.experience.content, ctx3_w)
         fwd2_w = C.context_forward_weight2()
-        if prev2 is not None and fwd2_w > 0.0:
+        if forward and prev2 is not None and fwd2_w > 0.0:
             # 2-ahead forward: this turn's terms reach back two links
             self.bm25.add_context_terms(prev2.id, experience.content, fwd2_w)
 
@@ -2099,6 +2103,8 @@ class MemorySystem:
         temporal facts, interference, replay, lineage. Returns count."""
         now = scoring_now()
         done = 0
+        deferred_interference: list[tuple] = []
+        successor_of: Optional[dict[str, str]] = None
         # materialize first: processing mutates rows, and a live sqlite
         # cursor can re-yield updated rows mid-iteration
         pending = [
@@ -2134,8 +2140,9 @@ class MemorySystem:
             if self.temporal_facts is not None:
                 self.temporal_facts.extract_and_store(mem, now=now)
             if self.interference is not None and mem.vector_row >= 0:
-                vec = self.index.get_vectors([mem.vector_row])[0]
-                self.interference.on_store(mem, vec, now=now)
+                deferred_interference.append(
+                    (mem, self.index.get_vectors([mem.vector_row])[0], now)
+                )
             if self.replay is not None:
                 self.replay.register(mem, now=now)
             if self.lineage is not None and exp.entities and self.storage.count() > 1:
@@ -2143,9 +2150,52 @@ class MemorySystem:
             del exp.metadata["_enrich_pending"]
             self.storage.update(mem)
             if self.bm25 is not None and exp.entities:
-                # entities joined the BM25 doc late — refresh the posting
-                self.bm25.upsert(mem.id, exp.content, exp.tags, exp.entities)
+                # Entities joined the BM25 doc late — rebuild the posting
+                # through the SAME path as ingest, or the refresh silently
+                # wipes the context-inherited terms and the Okapi param
+                # class from fast-path conversation docs. forward=False:
+                # the upsert rebuilds from scratch, so the folds THIS doc
+                # received from its successors are re-applied explicitly
+                # below (reverse chain) instead of double-folding forward.
+                prev = prev2 = None
+                if (
+                    exp.tags
+                    and exp.experience_type == ExperienceType.CONVERSATION
+                ):
+                    prev = self._context_prev_of(mem.id)
+                    if prev is not None and C.context_index_weight2() > 0.0:
+                        prev2 = self._context_prev_of(prev.id)
+                self._index_lexical(mem.id, exp, prev, prev2, forward=False)
+                if successor_of is None:
+                    # reverse chain map, built once per pass
+                    successor_of = {
+                        raw.decode(): mid
+                        for mid, raw in self.storage.kv.scan_prefix("ctxprev", "")
+                    }
+                fwd_w = C.context_forward_weight()
+                sid = successor_of.get(mem.id)
+                if sid is not None and fwd_w > 0.0:
+                    succ = self.storage.get(sid)
+                    if succ is not None:
+                        self.bm25.add_context_terms(
+                            mem.id, succ.experience.content, fwd_w
+                        )
+                    fwd2_w = C.context_forward_weight2()
+                    s2id = successor_of.get(sid)
+                    if s2id is not None and fwd2_w > 0.0:
+                        s2 = self.storage.get(s2id)
+                        if s2 is not None:
+                            self.bm25.add_context_terms(
+                                mem.id, s2.experience.content, fwd2_w
+                            )
             done += 1
+        if self.interference is not None and deferred_interference:
+            # One batched similarity search for the whole pass: every row
+            # already exists before the loop, so batched search results are
+            # IDENTICAL to per-item searches (demotions change activations,
+            # never similarity scores) — the sequential-equivalence argument
+            # is exact here, no cutoff emulation needed.
+            self.interference.on_store_batch_existing(deferred_interference)
         return done
 
     def run_maintenance(self) -> dict[str, Any]:

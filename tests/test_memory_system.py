@@ -348,6 +348,46 @@ class TestFastIngest:
         assert sys_.enrich_pending() == 0
         sys_.close()
 
+    def test_enrichment_refresh_preserves_context_terms(self, tmp_path):
+        """The late BM25 refresh (entities joined after NER) must rebuild
+        the doc through the SAME context-augmented path as ingest — a bare
+        upsert silently wiped the inherited antecedent terms from
+        fast-path conversation docs (and double-folding the forward terms
+        into the predecessor is equally wrong)."""
+        from shodh_tpu.engine.memory_system import MemorySystem
+        from shodh_tpu.storage.serialization import decode
+        from shodh_tpu.types import Experience, ExperienceType, Query
+
+        sys_ = MemorySystem(tmp_path / "ctx")
+        turns = [
+            "Maya moved to Lisbon last spring for the robotics lab",
+            "She loved it there from the very first week",
+        ]
+        mems = sys_.batch_remember(
+            [Experience(content=t, experience_type=ExperienceType.CONVERSATION,
+                        tags=["thread"]) for t in turns],
+            enrich=False,
+        )
+        def doc(mid):
+            return decode(sys_.bm25.kv.get("bm25doc", mid))
+        pronoun_doc_before = doc(mems[1].id)
+        prev_doc_before = doc(mems[0].id)
+        assert any(t.startswith("lisbon") for t in pronoun_doc_before), \
+            "ingest-time context inheritance must be present"
+        assert sys_.enrich_pending() >= 1
+        pronoun_doc_after = doc(mems[1].id)
+        prev_doc_after = doc(mems[0].id)
+        # inherited antecedent terms survive the entity refresh
+        assert any(t.startswith("lisbon") for t in pronoun_doc_after)
+        # the forward fold into the predecessor did NOT double
+        fwd_terms = [t for t in prev_doc_before if t.startswith("love")]
+        for t in fwd_terms:
+            assert prev_doc_after[t] == prev_doc_before[t]
+        # context-dependent recall still lands
+        r = sys_.recall(Query(query_text="How did Maya like Lisbon?", max_results=2))
+        assert mems[1].id in r.ids
+        sys_.close()
+
     def test_maintenance_runs_enrichment(self, tmp_path):
         from shodh_tpu.engine.memory_system import MemorySystem
         from shodh_tpu.types import Experience
