@@ -115,6 +115,12 @@ def lexical_fingerprint() -> str:
 
     h = hashlib.sha256()
     h.update(f"tok1|{backend_name()}".encode())
+    # Doc-CONSTRUCTION schema version: bump when how a doc is assembled
+    # changes (not just token identity), so existing stores re-derive
+    # through migrate_lexical once at open. v2 = 2-back context inheritance
+    # + the deferred-enrichment refresh fix (the old refresh persisted docs
+    # with their context terms wiped — replay heals them).
+    h.update(b"docschema|2")
     for table in (
         LEMMA_EXCEPTIONS,
         NORM_BY_HASH,
