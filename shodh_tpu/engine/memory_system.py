@@ -1160,7 +1160,12 @@ class MemorySystem:
             # with the guard, 0.35 measures strictly non-negative with
             # single_hop +0.24pp / full r@10 +0.06pp, and 0.6 still
             # regresses — so the default is 0.35.
-            inherit = float(os.environ.get("SHODH_NEIGHBOR_INHERIT", "0.35"))
+            # 0.35 -> 0.25 in the round-3-extension joint re-test: under the
+            # 2-back + wide-PRF config, 0.25 is >= the 0.35 arm on ALL
+            # FIVE full-suite metrics (r@10 .7029->.7039, ndcg/map up,
+            # p@1/mrr equal) — the pre-extension sweep had it at -1 p@1
+            # case, another optimum that moved with the token space
+            inherit = float(os.environ.get("SHODH_NEIGHBOR_INHERIT", "0.25"))
             in_pool = {mem.id for mem, _ in candidates}
             for anchor_mem, anchor_base in top_anchors:
                 t = anchor_mem.created_at
