@@ -115,7 +115,11 @@ BM25_K1_NOTES = env_float("SHODH_BM25_K1_NOTES", 1.2)
 BM25_B_NOTES = env_float("SHODH_BM25_B_NOTES", 0.75)
 # FLAT fusion consensus, domain-scoped the same way (fusion.py sweep
 # notes; store-majority document class picks the default at recall time).
-FLAT_CONSENSUS_DIALOGUE = 0.4
+# 0.4 -> 0.35 in the round-3-extension joint re-test (another inverted
+# old optimum: the pre-extension sweep had 0.3 costing map; under the
+# 2-back + wide-PRF space 0.35 + companion 0.1 is all-5->= with r@10
+# .7039->.7069 and map/ndcg/mrr strictly up)
+FLAT_CONSENSUS_DIALOGUE = 0.35
 FLAT_CONSENSUS_NOTES_V = 0.5
 RRF_K_HYBRID_FUSION = 45.0
 RRF_K_GRAPH_FUSION = 30.0
