@@ -78,7 +78,6 @@ class DeviceVectorIndex:
         self._pending_rows = 0
         # Device arrays (lazily materialized)
         self._device = None  # tuple(vecs, scales, valid, score_bound, approx, int8_pack) | None
-        self._int8_s_host = 0.0  # host copy of the int8 pack's global step S
         # HBM residency (state.rs:748 shared-cache analog, TPU-first): when
         # SHODH_HBM_BUDGET_BYTES caps device memory, only the NEWEST rows
         # (recency ~ heat for a memory engine) stay resident; rows before
@@ -220,26 +219,14 @@ class DeviceVectorIndex:
             (start, 0),
         )
         if int8_pack is not None:
-            # Delta-append the int8 mirror when the new rows FIT the
-            # existing global step S (quantized on host with the cached
-            # host copy of S); rows larger than 127*S would clip — which
-            # breaks the S/2-per-element certificate term — so that case
-            # drops the pack for a lazy full rebuild at the next search.
-            mirror8, s8, m1 = int8_pack
-            scaled_new = new_slice * self._scales_np[start:end][:, None]
-            if self._int8_s_host and float(np.max(np.abs(scaled_new))) <= 127.0 * self._int8_s_host:
-                m_new = np.clip(
-                    np.round(scaled_new / self._int8_s_host), -127, 127
-                ).astype(np.int8)
-                mirror8 = jax.lax.dynamic_update_slice(
-                    mirror8, jnp.asarray(m_new), (start, 0)
-                )
-                m1 = jnp.maximum(
-                    m1, float(np.max(np.sum(np.abs(m_new.astype(np.float32)), axis=1)))
-                )
-                int8_pack = (mirror8, s8, m1)
-            else:
-                int8_pack = None  # rebuilt lazily by _device_arrays
+            # Certificate v2 quantizes per 128-row GROUP: appended rows can
+            # land inside a group whose step S_g they would change, which
+            # would silently invalidate every already-quantized row (and
+            # its stored residual norms) in that group. Delta-appending the
+            # pack is therefore unsound — drop it for a lazy full rebuild
+            # at the next search (SHODH_TOPK_INT8 is opt-in; the rebuild is
+            # one corpus pass per index version, same as the bf16 mirror).
+            int8_pack = None  # rebuilt lazily by _device_arrays
         self._device = (vecs, scales, valid, jnp.maximum(bound, new_term), approx,
                         int8_pack)
 
@@ -306,7 +293,6 @@ class DeviceVectorIndex:
             # amortized across all queries). SHODH_TOPK_INT8 swaps the
             # selection mirror for the int8-MXU pack.
             int8_pack = corpus_mirror_int8(vecs, scales, valid) if _int8_enabled() else None
-            self._int8_s_host = float(int8_pack[1]) if int8_pack is not None else 0.0
             self._device = (
                 vecs, scales, valid,
                 corpus_score_bound(vecs, scales, valid),
@@ -322,7 +308,6 @@ class DeviceVectorIndex:
                 # device window
                 vecs, scales, valid = self._device[:3]
                 pack = corpus_mirror_int8(vecs, scales, valid)
-                self._int8_s_host = float(pack[1])
                 self._device = self._device[:5] + (pack,)
         return self._device
 

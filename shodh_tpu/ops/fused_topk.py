@@ -329,26 +329,42 @@ def _certified_parts(queries, corpus, valid, k: int, scales, bound, approx=None)
 
 
 # --------------------------------------------------------------------------
-# INT8 certified pass-1 (round-3 extension): v5e's int8 MXU path runs at
-# 394 TOPS vs 197 bf16 TFLOPS, and the corpus is ALREADY int8 — the bf16
-# mirror spends VPU converts + 2x MXU bytes for precision that selection
-# does not need. This variant quantizes the query to int8 and runs pass 1
-# as int8 x int8 -> int32, which is EXACT integer arithmetic (max |score|
-# <= 127*127*D ~ 6.2e6 << 2^31): the ONLY approximation is the two
-# quantizations, giving a clean certificate:
+# INT8 certified pass-1 (round-3 extension, certificate v2 in round 4):
+# v5e's int8 MXU path runs at 394 TOPS vs 197 bf16 TFLOPS, and the corpus
+# is ALREADY int8 — the bf16 mirror spends VPU converts + 2x MXU bytes for
+# precision that selection does not need. This variant quantizes the query
+# to int8 and runs pass 1 as int8 x int8 -> int32, which is EXACT integer
+# arithmetic (max |score| <= 127*127*D ~ 6.2e6 << 2^31): the ONLY
+# approximation is the two quantizations.
 #
-#   mirror: m_r = round(c_r * scale_r / S), S = max_row_max|c*scale| / 127
-#           => c_r*scale_r = S*m_r + e_r,  |e_r,i| <= S/2
-#   query:  q = s_q*q^ + f, s_q = max|q|/127, |f_i| <= s_q/2
-#   score:  s = s_q*S*(q^.m_r) + s_q*(q^.e_r) + S*(f.m_r) + f.e_r
-#   |s - s_q*S*shat| <= s_q*S*( ||q^||_1/2 + ||m_r||_1/2 + D/4 )
+# Certificate v2 (round 4 — the v1 global bound NEVER fired on hardware,
+# 0/14 batches at 1M/4M, BENCH_r03): v1 bounded the error with worst-case
+# L1 terms (global step S, global max-row-L1 M1, ||q^||_1/2 + M1/2 + D/4),
+# which lands ~5x above the bf16 certificate's eps and above every real
+# selection margin. v2 replaces every worst-case term with exact,
+# per-index-version quantities:
 #
-# with ||m_r||_1 bounded by the per-index-version max M1. Same two-stage
-# slack selection as the bf16 path (int32 compares), same exact HIGHEST
-# rescore, same strict-inequality certificate + lax.cond exact fallback —
-# so results remain bit-identical-or-fallback. Opt in: SHODH_TOPK_INT8=1
-# (measured on the real chip before any default change; see BENCHMARKS).
+#   mirror (per 128-row GROUP g): S_g = max|c*scale| within g / 127,
+#       m_r = round(c'_r / S_g)  =>  c'_r = S_g*m_r + e_r, with the ACTUAL
+#       residual norms ||e_r||_2 and row norms ||c'_r||_2 stored per row
+#       (plus per-group maxima for stage 1).
+#   query: q = s_q*q8 + f with the ACTUAL ||f||_2 and ||q8||_2.
+#   score: s_r = s_q*S_g*(q8.m_r) + s_q*(q8.e_r) + f.c'_r, so by
+#       Cauchy-Schwarz
+#       |s_r - s_q*S_g*(q8.m_r)| <= A*||e_r||_2 + B*||c'_r||_2 =: err_r
+#       with A = s_q*||q8||_2, B = ||f||_2.
+#
+# Selection ranks rows/groups by their UPPER bound u_r = approx + err_r
+# (stage 1 uses the per-group max of approx and of the norm terms), so the
+# m-th / R-th selected bound is itself the certificate boundary: every
+# dropped row's true score <= max(beta_pad, gamma_pad). Same exact HIGHEST
+# rescore, same strict-inequality test + lax.cond exact fallback — results
+# remain bit-identical-or-fallback. For unit-norm embeddings the v2 error
+# is ~s_q*(||e|| + ||f||) ~ 0.027 vs v1's ~0.067, inside measured 1M
+# margins (~0.04 at m=96/R=512). Opt in: SHODH_TOPK_INT8=1.
 # --------------------------------------------------------------------------
+
+_F32_2ULP = 2.4e-7  # one-sided inflation for f32 casts/products of bounds
 
 
 def _int8_enabled() -> bool:
@@ -359,22 +375,62 @@ def _int8_enabled() -> bool:
 
 @jax.jit
 def corpus_mirror_int8(corpus, scales, valid):
-    """Per-index-version int8 selection mirror: pre-scaled corpus quantized
-    to a single global step S (invalid rows zeroed — can only inflate a
-    group max, never deflate a valid row; the exact rescore masks them).
-    Returns (mirror int8 (N, D), S scalar f32, M1 scalar f32 = max row L1).
+    """Per-index-version int8 selection mirror, certificate v2.
+
+    Quantizes the pre-scaled corpus per 128-row GROUP (step S_g =
+    group max|c*scale| / 127; invalid rows zeroed — zeros can only inflate
+    a group max, never deflate a valid row; the exact rescore masks them)
+    and records the EXACT per-row residual/row norms the certificate needs.
+
+    Returns a 6-tuple pack:
+      mirror (N, D) int8, sg (G,) f32 group steps,
+      enorm (N,) f32 = ||c'_r - S_g*m_r||_2 actual residual norms,
+      cnorm (N,) f32 = ||c'_r||_2 actual scaled-row norms,
+      eg (G,) f32 = per-group max enorm, cg (G,) f32 = per-group max cnorm.
+
+    Memory: processes TILE_N-row chunks via lax.map so the transient f32
+    scaled/residual buffers stay ~(TILE_N, D) instead of (N, D) (6 GB at
+    4M x 384 would not fit alongside the corpus + bf16 mirror).
     """
-    scaled = corpus.astype(jnp.float32) * (scales * valid)[:, None]
-    s = jnp.maximum(jnp.max(jnp.abs(scaled)) / 127.0, 1e-30)
-    m = jnp.clip(jnp.round(scaled / s), -127, 127).astype(jnp.int8)
-    m1 = jnp.max(jnp.sum(jnp.abs(m.astype(jnp.float32)), axis=1))
-    return m, s, m1
+    n, d = corpus.shape
+    tiles = n // TILE_N
+    gpt = TILE_N // GROUP
+
+    def _tile(args):
+        c_t, s_t, v_t = args
+        scaled = c_t.astype(jnp.float32) * (s_t * v_t)[:, None]
+        s3 = scaled.reshape(gpt, GROUP, d)
+        sg = jnp.maximum(jnp.max(jnp.abs(s3), axis=(1, 2)) / 127.0, 1e-30)
+        m = jnp.clip(jnp.round(s3 / sg[:, None, None]), -127, 127).astype(jnp.int8)
+        e = s3 - sg[:, None, None] * m.astype(jnp.float32)
+        enorm = jnp.sqrt(jnp.sum(e * e, axis=-1))  # (gpt, GROUP)
+        cnorm = jnp.sqrt(jnp.sum(s3 * s3, axis=-1))
+        return (
+            m.reshape(TILE_N, d), sg,
+            enorm.reshape(TILE_N), cnorm.reshape(TILE_N),
+            jnp.max(enorm, axis=1), jnp.max(cnorm, axis=1),
+        )
+
+    mirror, sg, enorm, cnorm, eg, cg = jax.lax.map(
+        _tile,
+        (
+            corpus.reshape(tiles, TILE_N, d),
+            scales.reshape(tiles, TILE_N),
+            valid.reshape(tiles, TILE_N),
+        ),
+    )
+    return (
+        mirror.reshape(n, d), sg.reshape(-1),
+        enorm.reshape(n), cnorm.reshape(n),
+        eg.reshape(-1), cg.reshape(-1),
+    )
 
 
 def _certified_parts_int8(queries, corpus, valid, k: int, scales, int8_pack):
-    """int8-pass-1 analog of :func:`_certified_parts`. Returns
-    (vals, ids, safe); ``safe`` proves bit-equality with the exact path."""
-    mirror, s_corp, m1 = int8_pack
+    """int8-pass-1 analog of :func:`_certified_parts` (certificate v2).
+    Returns (vals, ids, safe); ``safe`` proves bit-equality with the exact
+    path — see the block comment above for the bound derivation."""
+    mirror, sg, enorm, cnorm, eg, cg = int8_pack
     b, d = queries.shape
     n = corpus.shape[0]
     g = n // GROUP
@@ -382,7 +438,13 @@ def _certified_parts_int8(queries, corpus, valid, k: int, scales, int8_pack):
 
     s_q = jnp.maximum(jnp.max(jnp.abs(queries), axis=1) / 127.0, 1e-30)  # (B,)
     q8 = jnp.clip(jnp.round(queries / s_q[:, None]), -127, 127).astype(jnp.int8)
-    q1 = jnp.sum(jnp.abs(q8.astype(jnp.float32)), axis=1)  # (B,) = ||q^||_1
+    q8f = q8.astype(jnp.float32)
+    f = queries - s_q[:, None] * q8f  # actual query residual
+    # Exact per-query error coefficients (1% guard covers their own f32
+    # rounding): A = ||s_q*q8||_2 pairs with ||e_r||_2, B = ||f||_2 with
+    # ||c'_r||_2.
+    coef_a = 1.01 * s_q * jnp.sqrt(jnp.sum(q8f * q8f, axis=1))  # (B,)
+    coef_b = 1.01 * jnp.sqrt(jnp.sum(f * f, axis=1))  # (B,)
 
     # Pass 1: one int8 MXU pass, exact int32 scores, zero epilogue.
     raw = jax.lax.dot_general(
@@ -393,19 +455,38 @@ def _certified_parts_int8(queries, corpus, valid, k: int, scales, int8_pack):
     a3 = raw.reshape(b, g, GROUP)
     gmax = jnp.max(a3, axis=-1)  # (B, G) int32
 
-    # Stage 1: slack group selection (int32 compares are exact).
-    top_vals, top_groups = jax.lax.top_k(gmax, m)
-    beta = top_vals[:, -1]
+    def _upper_f32(x_int, scale_bg):
+        """One-sided upper bound on x_int * scale in f32: the int32->f32
+        cast can round toward zero past 2^24, and the product rounds once
+        more — inflate by 2 ulps each."""
+        xf = x_int.astype(jnp.float32)
+        xf = xf + jnp.abs(xf) * _F32_2ULP
+        prod = xf * scale_bg
+        return prod + jnp.abs(prod) * _F32_2ULP
+
+    # Stage 1: rank groups by their true-score UPPER bound so the m-th
+    # selected bound certifies every dropped group directly.
+    gscale = s_q[:, None] * sg[None, :]  # (B, G)
+    upper_g = _upper_f32(gmax, gscale) + coef_a[:, None] * eg[None, :] + coef_b[:, None] * cg[None, :]
+    top_vals, top_groups = jax.lax.top_k(upper_g, m)
+    beta_pad = top_vals[:, -1]  # (B,) bound on all stage-1-dropped rows
     top_groups = jnp.sort(top_groups, axis=-1)
 
-    # Stage 2: slack row selection inside the chosen groups.
-    cand_approx = jnp.take_along_axis(a3, top_groups[:, :, None], axis=1)
-    cand_approx = cand_approx.reshape(b, m * GROUP)
+    # Stage 2: rank rows inside the chosen groups by the same upper bound.
+    cand_int = jnp.take_along_axis(a3, top_groups[:, :, None], axis=1)  # (B, m, GROUP)
+    sg_sel = sg[top_groups]  # (B, m)
+    enorm_sel = enorm.reshape(g, GROUP)[top_groups]  # (B, m, GROUP)
+    cnorm_sel = cnorm.reshape(g, GROUP)[top_groups]
+    upper_rows = (
+        _upper_f32(cand_int, (s_q[:, None, None] * sg_sel[:, :, None]))
+        + coef_a[:, None, None] * enorm_sel
+        + coef_b[:, None, None] * cnorm_sel
+    ).reshape(b, m * GROUP)
     row_offsets = jnp.arange(GROUP, dtype=jnp.int32)[None, None, :]
     cand_rows = (top_groups[:, :, None] * GROUP + row_offsets).reshape(b, m * GROUP)
     r = _slack_rows(k, m * GROUP)
-    top_row_vals, top_row_pos = jax.lax.top_k(cand_approx, r)
-    gamma = top_row_vals[:, -1]
+    top_row_vals, top_row_pos = jax.lax.top_k(upper_rows, r)
+    gamma_pad = top_row_vals[:, -1]  # (B,) bound on all stage-2-dropped rows
     rows = jnp.take_along_axis(cand_rows, top_row_pos, axis=-1)
     rows = jnp.sort(rows, axis=-1)  # ascending ids => brute tie-breaks
 
@@ -420,16 +501,10 @@ def _certified_parts_int8(queries, corpus, valid, k: int, scales, int8_pack):
     vals, pos = jax.lax.top_k(cand, k)
     ids = jnp.take_along_axis(rows, pos, axis=-1)
 
-    # Certificate: any row dropped at either stage has int score <=
-    # max(beta, gamma); its TRUE score <= that * s_q*S + eps. The int32
-    # boundary can exceed 2^24 (d >= 1041 at worst case), so its f32 cast
-    # may round DOWN — inflate by 2 ulps; eps itself gets a 1% guard for
-    # the f32 arithmetic of the bound (both one-sided-sound).
-    scale_qc = s_q * s_corp  # (B,)
-    eps = 1.01 * scale_qc * (q1 / 2.0 + m1 / 2.0 + d / 4.0)
-    boundary_i = jnp.maximum(beta, gamma).astype(jnp.float32)
-    boundary = (boundary_i + jnp.abs(boundary_i) * 2.4e-7) * scale_qc
-    safe = jnp.all(boundary + eps < vals[:, k - 1])
+    # Certificate: every dropped row's TRUE score <= max(beta_pad,
+    # gamma_pad); strict < of the exact k-th value means the true top-k all
+    # survived (ties fail the strict test and take the exact branch).
+    safe = jnp.all(jnp.maximum(beta_pad, gamma_pad) < vals[:, k - 1])
     return vals, ids, safe
 
 

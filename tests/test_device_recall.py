@@ -143,6 +143,7 @@ class TestDeviceFunnelFastPath:
         for i in range(15):
             sys_.remember(Experience(content=f"unrelated standup note {i}"))
 
+        monkeypatch.setenv("SHODH_DEVICE_FUNNEL", "0")
         host = sys_.recall(Query(query_text="cache eviction policy", max_results=5))
         monkeypatch.setenv("SHODH_DEVICE_FUNNEL", "1")
         fast = sys_.recall(Query(query_text="cache eviction policy", max_results=5))
@@ -239,7 +240,7 @@ class TestReunifiedFunnelParity:
             "pottery painting mugs",                          # plain lexical
         ]
         for qt in queries:
-            monkeypatch.delenv("SHODH_DEVICE_FUNNEL", raising=False)
+            monkeypatch.setenv("SHODH_DEVICE_FUNNEL", "0")
             host = sys_.recall(Query(query_text=qt, max_results=8))
             monkeypatch.setenv("SHODH_DEVICE_FUNNEL", "1")
             fast = sys_.recall(Query(query_text=qt, max_results=8))

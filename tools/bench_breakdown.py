@@ -1,0 +1,316 @@
+"""Stage-by-stage anatomy of the 1M recall kernel (round-4 verdict #1b).
+
+BENCH_r0{1,2,3} show the 1M exact-top-10 tier flat at ~20k QPS/chip with
+MFU 8% and HBM 25% — neither compute- nor bandwidth-bound, so structural
+headroom exists that three rounds never located. This tool times each
+stage of the path in isolation on the real chip so the missing time has a
+name: pure HBM stream, pass-1 matmul (bf16 / int8 / f32-HIGHEST /
+transposed mirror), group-max reduce, stage-1 top_k, stage-2 selection,
+candidate gather + exact rescore, and the assembled certified paths.
+
+Every experiment is a jitted lax.scan over `iters` batches (queries
+derived from fold_in(seed, i) so the loop body cannot be hoisted) timed on
+its SECOND call; reports median of 3 timed calls. Results append to
+stderr and, with --json PATH, to a JSONL file.
+
+Usage (run as a background task, never killed mid-TPU — CLAUDE.md):
+    python tools/bench_breakdown.py [--scale 1M|4M|65k] [--exp name,...]
+        [--iters 8] [--json /tmp/breakdown.jsonl]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_corpus(n, d):
+    rng = np.random.default_rng(0)
+    parts, ss = [], []
+    chunks = 16
+    for _ in range(chunks):
+        sub = rng.standard_normal((n // chunks, d), dtype=np.float32)
+        sub /= np.linalg.norm(sub, axis=1, keepdims=True)
+        s = np.maximum(np.abs(sub).max(axis=1) / 127.0, 1e-9).astype(np.float32)
+        parts.append(np.clip(np.round(sub / s[:, None]), -127, 127).astype(np.int8))
+        ss.append(s)
+    return np.concatenate(parts), np.concatenate(ss)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", default="1M", choices=["65k", "262k", "1M", "4M"])
+    ap.add_argument("--exp", default="")
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--json", default="")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force CPU (smoke test; sitecustomize forces axon)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from shodh_tpu.ops.distance import NEG_INF, masked_scores
+    from shodh_tpu.ops.fused_topk import (
+        GROUP,
+        TILE_N,
+        _certified_parts,
+        _certified_parts_int8,
+        _slack_groups,
+        _slack_rows,
+        corpus_approx_bf16,
+        corpus_mirror_int8,
+        corpus_score_bound,
+        exact_topk_scores,
+        two_level_topk,
+    )
+
+    n = {"65k": 64, "262k": 256, "1M": 1024, "4M": 4096}[args.scale] * TILE_N
+    d, b, k = 384, 256, 10
+    g = n // GROUP
+    m = _slack_groups(k, g)
+    r = _slack_rows(k, m * GROUP)
+    iters = args.iters
+    log(f"backend={jax.default_backend()} scale={args.scale} n={n} b={b} "
+        f"m={m} r={r} iters={iters}")
+
+    t0 = time.perf_counter()
+    c_np, s_np = build_corpus(n, d)
+    corpus = jnp.asarray(c_np)
+    scales = jnp.asarray(s_np)
+    valid = jnp.ones((n,), jnp.float32)
+    bound = corpus_score_bound(corpus, scales, valid)
+    approx = corpus_approx_bf16(corpus, scales, valid)
+    approx_t = jnp.asarray(np.ascontiguousarray(
+        (c_np.astype(np.float32) * s_np[:, None]).astype(np.float32).T
+    ).astype(np.float32)).astype(jnp.bfloat16)  # (D, N) transposed mirror
+    pack = corpus_mirror_int8(corpus, scales, valid)
+    mirror8 = pack[0]
+    mirror8_t = jnp.asarray(np.ascontiguousarray(np.asarray(mirror8).T))  # (D, N)
+    jax.block_until_ready(approx_t)
+    jax.block_until_ready(mirror8_t)
+    log(f"corpus + mirrors built in {time.perf_counter() - t0:.1f}s")
+
+    seed = jax.random.PRNGKey(42)
+
+    def q_of(i):
+        q = jax.random.normal(jax.random.fold_in(seed, i), (b, d), jnp.float32)
+        return q / jnp.linalg.norm(q, axis=1, keepdims=True)
+
+    results = {}
+
+    def timed(name, body, static=()):
+        """body(q, i) -> scalar; scanned over iters, timed on calls 2..reps+1."""
+        if args.exp and name not in args.exp.split(","):
+            return
+
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=("iters",))
+        def scan(iters):
+            def step(carry, i):
+                return carry + body(q_of(i), i), None
+
+            total, _ = jax.lax.scan(step, 0.0, jnp.arange(iters))
+            return total
+
+        t0 = time.perf_counter()
+        sink = float(scan(iters))
+        compile_s = time.perf_counter() - t0
+        times = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            sink = float(scan(iters))
+            times.append((time.perf_counter() - t0) / iters)
+        med = statistics.median(times)
+        row = {
+            "exp": name, "scale": args.scale,
+            "ms_per_batch": round(med * 1e3, 3),
+            "ms_min": round(min(times) * 1e3, 3),
+            "ms_max": round(max(times) * 1e3, 3),
+            "qps": round(b / med, 1), "compile_s": round(compile_s, 1),
+            "sink": sink,
+        }
+        results[name] = row
+        log(f"{name:28s} {med*1e3:8.2f} ms/batch  "
+            f"[{min(times)*1e3:.2f}..{max(times)*1e3:.2f}]  "
+            f"compile {compile_s:.1f}s")
+        if args.json:
+            with open(args.json, "a") as fh:
+                fh.write(json.dumps(row) + "\n")
+
+    f32 = jnp.float32
+
+    # --- pure HBM streams (multiply by an iter-dependent scalar so the
+    # reduce fuses into ONE pass over the array and cannot be hoisted) ---
+    timed("stream_int8_384MB", lambda q, i: jnp.sum(corpus.astype(f32) * q[0, 0]))
+    timed("stream_bf16_768MB", lambda q, i: jnp.sum(approx.astype(f32) * q[0, 0]))
+
+    # --- pass-1 matmul variants, consumed by a full max (one extra (B,N)
+    # read; identical across variants so deltas isolate the matmul) ---
+    def mm_bf16(q, i):
+        raw = jax.lax.dot_general(
+            q.astype(jnp.bfloat16), approx,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.bfloat16)
+        return jnp.max(raw).astype(f32)
+
+    def mm_bf16_t(q, i):
+        raw = jax.lax.dot_general(
+            q.astype(jnp.bfloat16), approx_t,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.bfloat16)
+        return jnp.max(raw).astype(f32)
+
+    def _q8(q):
+        s_q = jnp.maximum(jnp.max(jnp.abs(q), axis=1) / 127.0, 1e-30)
+        return jnp.clip(jnp.round(q / s_q[:, None]), -127, 127).astype(jnp.int8)
+
+    def mm_int8(q, i):
+        raw = jax.lax.dot_general(
+            _q8(q), mirror8,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return jnp.max(raw).astype(f32)
+
+    def mm_int8_t(q, i):
+        raw = jax.lax.dot_general(
+            _q8(q), mirror8_t,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return jnp.max(raw).astype(f32)
+
+    def mm_f32_highest(q, i):
+        return jnp.max(masked_scores(q, corpus, valid, scales))
+
+    timed("mm_bf16", mm_bf16)
+    timed("mm_bf16_T", mm_bf16_t)
+    timed("mm_int8", mm_int8)
+    timed("mm_int8_T", mm_int8_t)
+    timed("mm_f32_highest", mm_f32_highest)
+
+    # --- epilogue stages, cumulatively ---
+    def gmax_of(q):
+        raw = jax.lax.dot_general(
+            q.astype(jnp.bfloat16), approx,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.bfloat16)
+        return raw, jnp.max(raw.reshape(b, g, GROUP), axis=-1).astype(f32)
+
+    timed("mm+groupmax", lambda q, i: jnp.max(gmax_of(q)[1]))
+
+    def stage1(q, i):
+        _, gmax = gmax_of(q)
+        tv, tg = jax.lax.top_k(gmax, m)
+        return jnp.sum(tv[:, -1]) + jnp.sum(tg[:, 0]).astype(f32)
+
+    timed("mm+groupmax+top_k_groups", stage1)
+
+    def stage2(q, i):
+        raw, gmax = gmax_of(q)
+        a3 = raw.reshape(b, g, GROUP)
+        tv, tg = jax.lax.top_k(gmax, m)
+        tg = jnp.sort(tg, axis=-1)
+        cand = jnp.take_along_axis(a3, tg[:, :, None], axis=1).reshape(b, m * GROUP)
+        rv, rp = jax.lax.top_k(cand.astype(f32), r)
+        return jnp.sum(rv[:, -1])
+
+    timed("mm+gm+s1+s2_rows", stage2)
+
+    # --- isolated non-matmul probes ---
+    gmax_const = jax.random.normal(jax.random.PRNGKey(7), (b, g), jnp.float32)
+
+    timed("probe_topk_groups_only",
+          lambda q, i: jnp.sum(jax.lax.top_k(gmax_const * q[0, 0], m)[0][:, -1]))
+
+    cand_const = jax.random.normal(jax.random.PRNGKey(8), (b, m * GROUP), jnp.float32)
+    timed("probe_topk_rows_only",
+          lambda q, i: jnp.sum(jax.lax.top_k(cand_const * q[0, 0], r)[0][:, -1]))
+
+    rows_const = jax.random.randint(jax.random.PRNGKey(9), (b, r), 0, n)
+
+    def gather_probe(q, i):
+        rows = (rows_const + i) % n
+        return jnp.sum(corpus[rows].astype(f32)) * q[0, 0]
+
+    timed("probe_gather_rescore_rows", gather_probe)
+
+    def rescore_probe(q, i):
+        rows = jnp.sort((rows_const + i) % n, axis=-1)
+        gathered = corpus[rows]
+        raw = jnp.einsum("bd,brd->br", q, gathered.astype(f32),
+                         precision=jax.lax.Precision.HIGHEST)
+        v = valid[rows]
+        cand = raw * scales[rows] * v + (1.0 - v) * NEG_INF
+        vals, pos = jax.lax.top_k(cand, k)
+        return jnp.sum(vals[:, 0])
+
+    timed("probe_gather+rescore+topk", rescore_probe)
+
+    # --- assembled paths ---
+    def exact_path(q, i):
+        scores = masked_scores(q, corpus, valid, scales)
+        vals, rows = exact_topk_scores(scores, k)
+        return jnp.sum(vals[:, 0])
+
+    timed("full_exact_f32_path", exact_path)
+
+    def cert_bf16(q, i):
+        vals, ids, safe = _certified_parts(q, corpus, valid, k, scales, bound, approx)
+        return jnp.sum(vals[:, 0]) + safe.astype(f32)
+
+    timed("full_cert_bf16", cert_bf16)
+
+    def cert_int8(q, i):
+        vals, ids, safe = _certified_parts_int8(q, corpus, valid, k, scales, pack)
+        return jnp.sum(vals[:, 0]) + safe.astype(f32)
+
+    timed("full_cert_int8_v2", cert_int8)
+
+    # int8-v2 certificate fire rate (the round-3 verdict's explicit ask)
+    if not args.exp or "fire_rate" in args.exp.split(","):
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=("iters",))
+        def fire(iters):
+            def step(carry, i):
+                _, _, safe = _certified_parts_int8(
+                    q_of(i), corpus, valid, k, scales, pack)
+                _, _, safeb = _certified_parts(
+                    q_of(i), corpus, valid, k, scales, bound, approx)
+                return (carry[0] + safe.astype(jnp.int32),
+                        carry[1] + safeb.astype(jnp.int32)), None
+
+            tot, _ = jax.lax.scan(step, (jnp.int32(0), jnp.int32(0)),
+                                  jnp.arange(iters))
+            return tot
+
+        n8, nb = fire(iters)
+        row = {"exp": "fire_rate", "scale": args.scale,
+               "int8_safe": int(n8), "bf16_safe": int(nb), "of": iters}
+        log(f"certificate fire rate: int8 {int(n8)}/{iters}, "
+            f"bf16 {int(nb)}/{iters}")
+        if args.json:
+            with open(args.json, "a") as fh:
+                fh.write(json.dumps(row) + "\n")
+
+    log("done")
+
+
+if __name__ == "__main__":
+    main()
