@@ -32,9 +32,9 @@ import numpy as np
 REFERENCE_QPS = 1000.0 / 46.0  # 21.7 QPS (README.md:183 midpoint)
 
 # Hardware roofline (v5e defaults; override for other chips). MFU/HBM
-# columns keep the round-2 verdict's perf pressure visible: the 1M tier is
-# score-matrix HBM-bound at ~8% bf16 MFU, and only a no-materialization
-# kernel (ops/fused_topk.py Pallas path) moves the ceiling.
+# columns keep the perf pressure visible: the certified int8 path (round 4)
+# reads the int8 corpus once and materializes the scaled score matrix as
+# bf16; remaining headroom is the (B,N) write+read and the top_k sorts.
 PEAK_BF16_TFLOPS = float(os.environ.get("SHODH_TPU_PEAK_TFLOPS", "197"))
 PEAK_HBM_GBPS = float(os.environ.get("SHODH_TPU_PEAK_HBM_GBPS", "819"))
 
@@ -42,13 +42,14 @@ PEAK_HBM_GBPS = float(os.environ.get("SHODH_TPU_PEAK_HBM_GBPS", "819"))
 def roofline(n: int, d: int, b: int, per_batch_s: float) -> dict:
     """MFU + HBM-bytes columns for one measured batch.
 
-    flops: the scoring matmul (2*b*n*d). bytes: int8 corpus read + f32
-    score-matrix write+read (the XLA two-pass formulation materializes
-    (B, N) once and re-reads it for the reduce; the Pallas kernel removes
-    both score passes — that delta is the headroom the column exposes).
+    flops: the scoring matmul (2*b*n*d — int8 MACs counted as the bf16
+    roofline's FLOPs for comparability across rounds). bytes: int8 corpus
+    read + bf16 score-matrix write+read (the certified int8 pass-1
+    materializes (B, N) bf16 once and re-reads it for group max +
+    stage-2 selection).
     """
     flops = 2.0 * b * n * d
-    bytes_xla = n * d * 1 + 2 * (b * n * 4) + b * d * 4
+    bytes_xla = n * d * 1 + 2 * (b * n * 2) + b * d * 4
     tflops = flops / per_batch_s / 1e12
     return {
         "mfu_pct": round(100.0 * tflops / PEAK_BF16_TFLOPS, 2),
@@ -81,9 +82,8 @@ def run_scales() -> None:
 
     from shodh_tpu.ops.fused_topk import (
         TILE_N,
-        _certified_parts,
-        corpus_approx_bf16,
-        corpus_score_bound,
+        _certified_parts_int8,
+        corpus_cert_pack_default,
         two_level_topk,
     )
 
@@ -120,30 +120,31 @@ def run_scales() -> None:
         t0 = time.perf_counter()
         corpus, scales = build_corpus(n)
         valid = jnp.ones((n,), jnp.float32)
-        bound = corpus_score_bound(corpus, scales, valid)
-        approx = corpus_approx_bf16(corpus, scales, valid)
+        # Certified int8 pass-1 (v3: the corpus IS the selection operand;
+        # the pack is just pre-scaled row norms — ops/fused_topk.py).
+        pack = corpus_cert_pack_default(corpus, scales, valid)
         log(f"{label}: corpus built in {time.perf_counter() - t0:.1f}s")
 
         import functools
 
         @functools.partial(jax.jit, static_argnames=("iters",))
-        def scan_batches(corpus, scales, valid, bound, approx, seed, iters):
+        def scan_batches(corpus, scales, valid, pack, seed, iters):
             def body(carry, i):
                 q = jax.random.normal(jax.random.fold_in(seed, i), (b, d), jnp.float32)
                 q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
-                vals, rows = two_level_topk(q, corpus, valid, k, scales, bound=bound, approx=approx)
+                vals, rows = two_level_topk(q, corpus, valid, k, scales, int8_pack=pack)
                 return carry + jnp.sum(vals[:, 0]), None
 
             total, _ = jax.lax.scan(body, 0.0, jnp.arange(iters))
             return total
 
         @functools.partial(jax.jit, static_argnames=("iters",))
-        def verify_batches(corpus, scales, valid, bound, approx, seed, iters):
+        def verify_batches(corpus, scales, valid, pack, seed, iters):
             """Certificate diagnostics + equality vs the exact path."""
             def body(carry, i):
                 q = jax.random.normal(jax.random.fold_in(seed, i), (b, d), jnp.float32)
                 q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
-                fv, fr, safe = _certified_parts(q, corpus, valid, k, scales, bound, approx)
+                fv, fr, safe = _certified_parts_int8(q, corpus, valid, k, scales, pack)
                 ev, er = two_level_topk(q, corpus, valid, k, scales)  # exact path
                 # rows must be identical; values differ only by gathered-
                 # contraction ulp noise (same contract as the pallas pass 2)
@@ -158,22 +159,30 @@ def run_scales() -> None:
 
         seed = jax.random.PRNGKey(42)
         if verify_iters:
-            ns, nm = verify_batches(corpus, scales, valid, bound, approx, seed, verify_iters)
+            ns, nm = verify_batches(corpus, scales, valid, pack, seed, verify_iters)
             log(f"{label}: certificate safe {int(ns)}/{verify_iters} batches, "
                 f"fast==exact {int(nm)}/{verify_iters}")
         # Warm up the EXACT variant being timed (static iters => its own
         # compilation; timing a cold variant measures the compiler)
         t0 = time.perf_counter()
-        sink = float(scan_batches(corpus, scales, valid, bound, approx, seed, iters))
+        sink = float(scan_batches(corpus, scales, valid, pack, seed, iters))
         compile_s = time.perf_counter() - t0
         log(f"{label}: compile+{iters} batches {compile_s:.1f}s (sink {sink:.2f})")
-        t0 = time.perf_counter()
-        sink = float(scan_batches(corpus, scales, valid, bound, approx, seed, iters))
-        total_s = time.perf_counter() - t0
-        per_batch = total_s / iters
+        # >=3 timed windows; report the MEDIAN with min/max spread so
+        # round-over-round comparisons can see the noise floor (round-3
+        # verdict #8: 65k swung -21% across rounds with single-shot timing).
+        reps = max(1, int(os.environ.get("SHODH_BENCH_REPS", "3")))
+        per_rep = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            sink = float(scan_batches(corpus, scales, valid, pack, seed, iters))
+            per_rep.append((time.perf_counter() - t0) / iters)
+        per_batch = sorted(per_rep)[len(per_rep) // 2]
         qps = b / per_batch
         roof = roofline(n, d, b, per_batch)
-        log(f"{label}: {per_batch*1e3:.2f} ms/batch -> {qps:,.0f} QPS/chip "
+        log(f"{label}: {per_batch*1e3:.2f} ms/batch (median of {reps}, "
+            f"min {min(per_rep)*1e3:.2f} / max {max(per_rep)*1e3:.2f}) "
+            f"-> {qps:,.0f} QPS/chip "
             f"(MFU {roof['mfu_pct']}% bf16, HBM {roof['hbm_gbps']} GB/s "
             f"= {roof['hbm_util_pct']}% of peak)")
         record(
@@ -182,56 +191,13 @@ def run_scales() -> None:
                 "value": round(qps, 1),
                 "unit": "queries/s",
                 "vs_baseline": round(qps / REFERENCE_QPS, 1),
+                "reps": reps,
+                "qps_min": round(b / max(per_rep), 1),
+                "qps_max": round(b / min(per_rep), 1),
                 **roof,
             }
         )
-        # int8-MXU pass-1 diagnostic (SHODH_TOPK_INT8 candidate, v5e 394
-        # TOPS path): timed as a side row so any on-hardware bench run
-        # measures it — never the headline, never fatal, and NEVER at the
-        # expense of the watchdog budget: its two extra cold compiles run
-        # only when at least ~200 s of the 560 s budget remains (an
-        # overrun would os._exit mid-TPU-work and orphan the tunnel claim
-        # for 10-40 min — CLAUDE.md hazard).
-        budget_left = WATCHDOG_SECS - (time.monotonic() - _t_run_start)
-        if (
-            os.environ.get("SHODH_BENCH_INT8", "1") != "0"
-            and n >= 1 << 20
-            and budget_left > 200.0
-        ):
-            try:
-                from shodh_tpu.ops.fused_topk import (
-                    _certified_parts_int8,
-                    corpus_mirror_int8,
-                )
-
-                pack = corpus_mirror_int8(corpus, scales, valid)
-                jax.block_until_ready(pack[0])
-
-                @functools.partial(jax.jit, static_argnames=("iters",))
-                def scan_int8(corpus, scales, valid, pack, seed, iters):
-                    def body(carry, i):
-                        q = jax.random.normal(jax.random.fold_in(seed, i), (b, d), jnp.float32)
-                        q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
-                        vals, rows, safe = _certified_parts_int8(
-                            q, corpus, valid, k, scales, pack
-                        )
-                        return (carry[0] + jnp.sum(vals[:, 0]),
-                                carry[1] + safe.astype(jnp.int32)), None
-
-                    out, _ = jax.lax.scan(body, (0.0, jnp.int32(0)), jnp.arange(iters))
-                    return out
-
-                float(scan_int8(corpus, scales, valid, pack, seed, iters)[0])  # compile
-                t0 = time.perf_counter()
-                sink8, nsafe8 = scan_int8(corpus, scales, valid, pack, seed, iters)
-                sink8 = float(sink8)
-                per8 = (time.perf_counter() - t0) / iters
-                log(f"{label}: int8-MXU pass-1 {per8*1e3:.2f} ms/batch -> "
-                    f"{b/per8:,.0f} QPS (certificate safe {int(nsafe8)}/{iters}; "
-                    f"bf16/exact path above: {per_batch*1e3:.2f} ms)")
-            except Exception as e:  # diagnostic only — never fail the bench
-                log(f"{label}: int8 diagnostic skipped ({type(e).__name__}: {e})")
-        del corpus, scales, valid, approx
+        del corpus, scales, valid, pack
 
     def measure_funnel(n, label, iters=8, bank=False):
         """Full hybrid funnel (config 4): fusion + L5 + top-k in one program.
@@ -366,7 +332,7 @@ def run_scales() -> None:
                 )
 
     if "--small" in sys.argv:
-        measure(64 * TILE_N, "65k", iters=4)
+        measure(64 * TILE_N, "65k", iters=16)
         return
     if "--funnel-only" in sys.argv:
         # The full ladder can exhaust the watchdog before the funnel rows
@@ -374,12 +340,12 @@ def run_scales() -> None:
         # measures just the serving-funnel programs at the 1M tier.
         measure_funnel(1024 * TILE_N, "1M", bank=True)
         return
-    measure(64 * TILE_N, "65k", iters=6, verify_iters=0)  # below the fast-path
-    measure(256 * TILE_N, "262k", iters=6, verify_iters=0)  # threshold: exact path
+    measure(64 * TILE_N, "65k", iters=32, verify_iters=0)  # below the fast-path
+    measure(256 * TILE_N, "262k", iters=24, verify_iters=0)
     # 4M exercises the certified bf16 fast path (auto-enabled >= 2M rows;
     # measured 1.33x over the exact path at this tier)
-    measure(4096 * TILE_N, "4M", iters=6, verify_iters=2)
-    measure(1024 * TILE_N, "1M")
+    measure(4096 * TILE_N, "4M", iters=12, verify_iters=2)
+    measure(1024 * TILE_N, "1M", iters=32)
     # Funnel rows run via --funnel-only, NOT here: the default ladder must
     # finish inside the watchdog so the process exits through normal PJRT
     # teardown — an os._exit mid-funnel orphans the remote device claim

@@ -50,6 +50,7 @@ class DeviceRecallEngine:
     def __init__(self, system):
         self.system = system
         self._built_rows = -1
+        self._built_epoch = -1
         self._meta: dict[str, np.ndarray] = {}
 
     # -- mirrors ----------------------------------------------------------------
@@ -57,7 +58,12 @@ class DeviceRecallEngine:
     def _ensure_mirrors(self) -> None:
         index = self.system.index
         index.flush()
-        if self._built_rows == len(index):
+        # Staleness = row count OR compaction epoch: delete-heavy churn +
+        # compact can land back on the SAME count with every row remapped.
+        if (
+            self._built_rows == len(index)
+            and self._built_epoch == getattr(index, "epoch", 0)
+        ):
             return
         cap = index.capacity
         meta = {
@@ -104,6 +110,7 @@ class DeviceRecallEngine:
                 meta["row_flags"][r] = flags
         self._meta = meta
         self._built_rows = len(index)
+        self._built_epoch = getattr(index, "epoch", 0)
 
     def invalidate(self) -> None:
         """Force a mirror rebuild (call after maintenance/feedback sweeps)."""

@@ -66,6 +66,42 @@ def _utterance_speaker(content: str) -> Optional[str]:
     return m.group(1).lower() if m else None
 
 
+_ENUM_STOP_PLURALS = frozenset(
+    "does was has is status news as its this thats".split()
+)
+
+
+def _enumeration_shape(text: Optional[str]) -> bool:
+    """Enumeration-intent surface shape (round-4 verdict #3): what/which
+    with a plural head noun ("what activities/books/events …"), a
+    present-perfect interrogative ("what/where has X <done>" — multiple
+    occasions), or an occasion count ("how many times …"). These answers
+    are typically SPREAD across dialogue episodes, which is what the
+    day-bucket union compensates for. Reference analog:
+    detect_multihop_intent, mod.rs:1557-1841."""
+    if not text:
+        return False
+    toks = re.findall(r"[a-z']+", text.lower())
+    if not toks:
+        return False
+    if toks[0] in ("what", "which"):
+        for w in toks[1:3]:
+            if (
+                len(w) > 3
+                and w.endswith("s")
+                and not w.endswith("'s")
+                and w not in _ENUM_STOP_PLURALS
+            ):
+                return True
+    if (
+        toks[0] in ("what", "which", "where", "who")
+        and len(toks) > 1
+        and toks[1] in ("has", "have")
+    ):
+        return True
+    return " ".join(toks[:3]) == "how many times"
+
+
 def _diversity_rerank(scored, k: int, cap: int, window) -> list:
     """Greedy top-k reranking: admit candidates in score order but defer any
     whose 2h-window/context group already holds ``cap`` admitted results;
@@ -743,6 +779,40 @@ class MemorySystem:
         else:
             fused = dict(mem_scores)
 
+        # Enumeration sub-query decomposition (round-4 verdict #3,
+        # SHODH_ENUM_DAY_UNION): for enumeration-intent questions ("all the
+        # times X…"), golds are spread across dialogue episodes while the
+        # leg tops cluster — so run the legs DEEPER and admit the best
+        # candidate per time-bucket (calendar day ~ dialogue session) whose
+        # bucket has no representative in the current pool, then re-fuse.
+        # Unlike the measured-dead rerank/quota variants this changes WHICH
+        # candidates exist: admitted rank-26..100 items get the full boost
+        # stack and can legitimately outrank pool incumbents.
+        if (
+            C.env_flag("SHODH_ENUM_DAY_UNION", False)
+            and analysis is not None
+            and (analysis.multihop or _enumeration_shape(query.query_text))
+            and query.layers >= LayerMode.FULL
+            and fused
+        ):
+            t0u = time.perf_counter()
+            mem_scores, bm25_scores = self._enum_bucket_union(
+                fused, mem_scores, bm25_scores, qvecs, bm25_query,
+                term_weights, bm25_k, vec_k, pool_k, k,
+            )
+            from shodh_tpu.retrieval.fusion import fuse_legs
+
+            density = self.graph.edge_density() if self.graph is not None else 0.0
+            fused = fuse_legs(
+                semantic=mem_scores,
+                bm25=bm25_scores,
+                graph=graph_activation,
+                density=density,
+                overrides=overrides,
+                consensus=self._store_consensus(),
+            )
+            timings["enum_union_ms"] = (time.perf_counter() - t0u) * 1000
+
         return self._rank_pool(
             query=query,
             k=k,
@@ -764,6 +834,77 @@ class MemorySystem:
             bm25_k=bm25_k,
             diagnostics=diagnostics,
         )
+
+    def _enum_bucket_union(
+        self, fused, mem_scores, bm25_scores, qvecs, bm25_query,
+        term_weights, bm25_k: int, vec_k: int, pool_k: int, k: int,
+    ):
+        """Per-time-bucket admission from deeper legs (verdict #3's
+        sub-retrieval union). Returns extended (mem_scores, bm25_scores);
+        the caller re-fuses. Admission: walk the deep vector leg then the
+        deep BM25 leg in score order, admit the FIRST candidate of each
+        calendar day (created_at date) not already represented in the
+        fused top-pool, cap at 2k admits. Extended legs carry the
+        candidates' true leg scores so fusion math stays uniform."""
+        import numpy as np
+
+        def day_of(mid):
+            mem = self.storage.get(mid)
+            if mem is None or mem.created_at is None:
+                return None
+            return mem.created_at.date()
+
+        top_pool = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:pool_k]
+        seen_days = {day_of(mid) for mid, _ in top_pool}
+        seen_days.discard(None)
+
+        new_mem = dict(mem_scores)
+        new_bm25 = dict(bm25_scores)
+        admits = 0
+        cap = 2 * k
+
+        # deep vector leg (4x the normal pool depth)
+        deep_vals, deep_rows = self.index.search(
+            np.stack(qvecs), k=min(vec_k * 4, max(16, vec_k * 4))
+        )
+        deep_vec: list[tuple[str, float]] = []
+        dedup: dict[str, float] = {}
+        for b in range(deep_rows.shape[0]):
+            for val, row in zip(deep_vals[b], deep_rows[b]):
+                if row < 0:
+                    continue
+                mid = self.storage.memory_for_row(int(row))
+                if mid is None:
+                    continue
+                if mid not in dedup or val > dedup[mid]:
+                    dedup[mid] = float(val)
+        deep_vec = sorted(dedup.items(), key=lambda kv: (-kv[1], kv[0]))
+
+        # deep BM25 leg
+        deep_bm: list[tuple[str, float]] = []
+        if self.bm25 is not None and bm25_query:
+            deep_bm = list(
+                self.bm25.search(bm25_query, limit=bm25_k * 4, term_weights=term_weights)
+            )
+
+        for source, leg in (("vec", deep_vec), ("bm25", deep_bm)):
+            for mid, score in leg:
+                if admits >= cap:
+                    break
+                if mid in fused:
+                    continue
+                d = day_of(mid)
+                if d is None or d in seen_days:
+                    continue
+                seen_days.add(d)
+                admits += 1
+                if source == "vec":
+                    if mid not in new_mem or score > new_mem[mid]:
+                        new_mem[mid] = float(score)
+                else:
+                    if mid not in new_bm25 or score > new_bm25[mid]:
+                        new_bm25[mid] = float(score)
+        return new_mem, new_bm25
 
     def _recall_is_readonly(self) -> bool:
         """Usage/coactivation writes are suppressed under the harness env
@@ -1770,6 +1911,16 @@ class MemorySystem:
             analysis = self.query_parser.analyze(query.query_text, now=now)
         timings["analyze_ms"] = (time.perf_counter() - t_start) * 1000
         disabled = C.disabled_boosts()
+
+        # Enumeration day-bucket union runs staged-only (deep per-bucket
+        # leg admission isn't modeled by the fused program) — fall through
+        # so both paths serve identical rankings when the flag is armed.
+        if (
+            C.env_flag("SHODH_ENUM_DAY_UNION", False)
+            and analysis is not None
+            and (analysis.multihop or _enumeration_shape(query.query_text))
+        ):
+            return None
 
         companion_gate = False
         pool_k = k * C.VECTOR_SEARCH_CANDIDATE_MULTIPLIER

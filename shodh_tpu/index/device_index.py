@@ -219,14 +219,38 @@ class DeviceVectorIndex:
             (start, 0),
         )
         if int8_pack is not None:
-            # Certificate v2 quantizes per 128-row GROUP: appended rows can
-            # land inside a group whose step S_g they would change, which
-            # would silently invalidate every already-quantized row (and
-            # its stored residual norms) in that group. Delta-appending the
-            # pack is therefore unsound — drop it for a lazy full rebuild
-            # at the next search (SHODH_TOPK_INT8 is opt-in; the rebuild is
-            # one corpus pass per index version, same as the bf16 mirror).
-            int8_pack = None  # rebuilt lazily by _device_arrays
+            # Certificate-v3 pack delta-append (norms only, no mirror):
+            # scatter the new rows' svalid/cnorm, and raise the per-group
+            # max cnorm where needed — a LARGER cg stays one-sided-sound,
+            # and max() only grows it, so no full rebuild is required.
+            svalid8, cnorm8, cg8 = int8_pack
+            sg8 = svalid8.shape[0] // cg8.shape[0]
+            sv_new = self._scales_np[start:end]
+            cn_new = (
+                np.linalg.norm(new_slice, axis=1) * sv_new
+            ).astype(np.float32)
+            svalid8 = jax.lax.dynamic_update_slice(
+                svalid8, jnp.asarray(sv_new), (start,)
+            )
+            cnorm8 = jax.lax.dynamic_update_slice(
+                cnorm8, jnp.asarray(cn_new), (start,)
+            )
+            g_lo = start // sg8
+            g_hi = (end - 1) // sg8 + 1
+            cg_new = np.full(g_hi - g_lo, -np.inf, np.float32)
+            for r, cn in zip(range(start, end), cn_new):
+                gi = r // sg8 - g_lo
+                if cn > cg_new[gi]:
+                    cg_new[gi] = cn
+            cg8 = jax.lax.dynamic_update_slice(
+                cg8,
+                jnp.maximum(
+                    jax.lax.dynamic_slice(cg8, (g_lo,), (g_hi - g_lo,)),
+                    jnp.asarray(cg_new),
+                ),
+                (g_lo,),
+            )
+            int8_pack = (svalid8, cnorm8, cg8)
         self._device = (vecs, scales, valid, jnp.maximum(bound, new_term), approx,
                         int8_pack)
 
@@ -278,8 +302,9 @@ class DeviceVectorIndex:
         if self._device is None and self._capacity > 0:
             from shodh_tpu.ops.fused_topk import (
                 _int8_enabled,
+                _int8_min_rows,
                 corpus_approx_bf16,
-                corpus_mirror_int8,
+                corpus_cert_pack_default,
                 corpus_score_bound,
             )
 
@@ -292,7 +317,15 @@ class DeviceVectorIndex:
             # fast pass-1 (one corpus pass each per index version,
             # amortized across all queries). SHODH_TOPK_INT8 swaps the
             # selection mirror for the int8-MXU pack.
-            int8_pack = corpus_mirror_int8(vecs, scales, valid) if _int8_enabled() else None
+            # Pack built only at sizes the certified int8 path serves
+            # (below _int8_min_rows the exact path runs and the pack would
+            # be one wasted corpus pass + jit compile per index version).
+            int8_pack = (
+                corpus_cert_pack_default(vecs, scales, valid)
+                if _int8_enabled() and self.dtype == "int8"
+                and len(vecs) >= _int8_min_rows()
+                else None
+            )
             self._device = (
                 vecs, scales, valid,
                 corpus_score_bound(vecs, scales, valid),
@@ -300,14 +333,21 @@ class DeviceVectorIndex:
                 int8_pack,
             )
         elif self._device is not None and self._device[5] is None:
-            from shodh_tpu.ops.fused_topk import _int8_enabled, corpus_mirror_int8
+            from shodh_tpu.ops.fused_topk import (
+                _int8_enabled,
+                _int8_min_rows,
+                corpus_cert_pack_default,
+            )
 
-            if _int8_enabled():
-                # pack dropped by an out-of-range delta append (or the flag
-                # was flipped on mid-process): rebuild it against the live
+            if (
+                _int8_enabled() and self.dtype == "int8"
+                and len(self._device[0]) >= _int8_min_rows()
+            ):
+                # pack absent (built below the size threshold, or the flag
+                # was flipped on mid-process): build it against the live
                 # device window
                 vecs, scales, valid = self._device[:3]
-                pack = corpus_mirror_int8(vecs, scales, valid)
+                pack = corpus_cert_pack_default(vecs, scales, valid)
                 self._device = self._device[:5] + (pack,)
         return self._device
 

@@ -329,181 +329,195 @@ def _certified_parts(queries, corpus, valid, k: int, scales, bound, approx=None)
 
 
 # --------------------------------------------------------------------------
-# INT8 certified pass-1 (round-3 extension, certificate v2 in round 4):
+# INT8 certified pass-1 (round-3 extension; certificate v3 since round 4):
 # v5e's int8 MXU path runs at 394 TOPS vs 197 bf16 TFLOPS, and the corpus
-# is ALREADY int8 — the bf16 mirror spends VPU converts + 2x MXU bytes for
-# precision that selection does not need. This variant quantizes the query
-# to int8 and runs pass 1 as int8 x int8 -> int32, which is EXACT integer
-# arithmetic (max |score| <= 127*127*D ~ 6.2e6 << 2^31): the ONLY
-# approximation is the two quantizations.
+# is ALREADY int8 with per-row dequant scales — so the corpus itself is the
+# selection operand and the corpus-side quantization error is exactly ZERO:
 #
-# Certificate v2 (round 4 — the v1 global bound NEVER fired on hardware,
-# 0/14 batches at 1M/4M, BENCH_r03): v1 bounded the error with worst-case
-# L1 terms (global step S, global max-row-L1 M1, ||q^||_1/2 + M1/2 + D/4),
-# which lands ~5x above the bf16 certificate's eps and above every real
-# selection margin. v2 replaces every worst-case term with exact,
-# per-index-version quantities:
+#   s_r = q . (scale_r * c_r),  q = s_q*q8 + f (actual residual)
+#       = s_q*scale_r*(q8 . c_r) + f . c'_r
+#   |s_r - s_q*scale_r*(q8 . c_r)| <= ||f||_2 * ||c'_r||_2  (Cauchy-Schwarz)
 #
-#   mirror (per 128-row GROUP g): S_g = max|c*scale| within g / 127,
-#       m_r = round(c'_r / S_g)  =>  c'_r = S_g*m_r + e_r, with the ACTUAL
-#       residual norms ||e_r||_2 and row norms ||c'_r||_2 stored per row
-#       (plus per-group maxima for stage 1).
-#   query: q = s_q*q8 + f with the ACTUAL ||f||_2 and ||q8||_2.
-#   score: s_r = s_q*S_g*(q8.m_r) + s_q*(q8.e_r) + f.c'_r, so by
-#       Cauchy-Schwarz
-#       |s_r - s_q*S_g*(q8.m_r)| <= A*||e_r||_2 + B*||c'_r||_2 =: err_r
-#       with A = s_q*||q8||_2, B = ||f||_2.
+# i.e. the ONLY approximation is the query residual — eps ~ ||f|| ~ 0.013
+# for unit-norm d=384 queries, as tight as the bf16 certificate (3.5u ~
+# 0.0137) with HALF the pass-1 HBM bytes (no bf16 mirror at all) and the
+# 2x int8 MXU rate. The scale multiply fuses into the matmul consumer and
+# the scaled matrix materializes as bf16; its rounding is one more
+# |x|*2^-8 term inside the one-sided bound inflation (_inflate).
 #
-# Selection ranks rows/groups by their UPPER bound u_r = approx + err_r
-# (stage 1 uses the per-group max of approx and of the norm terms), so the
-# m-th / R-th selected bound is itself the certificate boundary: every
-# dropped row's true score <= max(beta_pad, gamma_pad). Same exact HIGHEST
-# rescore, same strict-inequality test + lax.cond exact fallback — results
-# remain bit-identical-or-fallback. For unit-norm embeddings the v2 error
-# is ~s_q*(||e|| + ||f||) ~ 0.027 vs v1's ~0.067, inside measured 1M
-# margins (~0.04 at m=96/R=512). Opt in: SHODH_TOPK_INT8=1.
+# History (BENCH_r03/r04, BENCHMARKS "int8 certified selection"): v1's
+# global worst-case L1 bound (S, max-row-L1, ||q^||_1/2+M1/2+D/4) NEVER
+# fired on hardware (0/14 batches); v2 (per-group re-quantization steps +
+# exact residual norms) fired 8/8 at 1M but paid a second 384 MB mirror
+# and a second residual term, landing SLOWER than bf16 (19.6 vs 15.9 ms).
+# v3 fires 8/8 AND wins: 8.48 ms vs 10.42 exact at 1M x 384, B=256,
+# iters=32 (30.2k QPS/chip).
+#
+# Selection ranks groups/rows by their true-score UPPER bound, so the
+# m-th/R-th selected bound IS the certificate boundary: every dropped
+# row's true score <= max(beta_pad, gamma_pad); strict < of the exact
+# rescored k-th value proves bit-equality, else lax.cond takes the exact
+# path. Knobs (measured in tools/bench_breakdown.py, defaults = the 1M
+# winner): SHODH_TOPK_SGROUP selection-group rows (stage-1 top_k cost is
+# (B, N/SG)), SHODH_TOPK_ZONE_ROWS stage-2 zone width (z=15360 fires 8/8
+# at 1M, z=10240 only 2/8), SHODH_TOPK_V3_ROWS rescore rows (the
+# scattered corpus gather runs ~9.5 GB/s effective — r=512 costs ~5 ms at
+# 1M, r=128 ~1.3 ms and still fires 8/8).
 # --------------------------------------------------------------------------
 
-_F32_2ULP = 2.4e-7  # one-sided inflation for f32 casts/products of bounds
+_BF16_UP = 2.0**-7.5  # one-sided cover for bf16 round + int32->f32 + 2 mults
 
 
 def _int8_enabled() -> bool:
+    """Default ON since round 4: exact-or-fallback with the certificate
+    measured firing 8/8 and 1.23x the exact path at 1M (SHODH_TOPK_INT8=0
+    restores the bf16/exact formulations)."""
     import os
 
-    return os.environ.get("SHODH_TOPK_INT8", "0") == "1"
+    return os.environ.get("SHODH_TOPK_INT8", "1") == "1"
 
 
-@jax.jit
-def corpus_mirror_int8(corpus, scales, valid):
-    """Per-index-version int8 selection mirror, certificate v2.
+def _int8_min_rows() -> int:
+    """Crossover for the v3 certified path (v5e, B=256, k=10, iters=32):
+    wins 1.23x at 1M (8.48 vs 10.42 ms); below ~512k the fixed selection
+    cost (two top_k passes + 128-row gather) approaches the whole exact
+    path and the certificate margins thin with N."""
+    import os
 
-    Quantizes the pre-scaled corpus per 128-row GROUP (step S_g =
-    group max|c*scale| / 127; invalid rows zeroed — zeros can only inflate
-    a group max, never deflate a valid row; the exact rescore masks them)
-    and records the EXACT per-row residual/row norms the certificate needs.
+    return int(os.environ.get("SHODH_TOPK_INT8_MIN_ROWS", str(512 * 1024)))
 
-    Returns a 6-tuple pack:
-      mirror (N, D) int8, sg (G,) f32 group steps,
-      enorm (N,) f32 = ||c'_r - S_g*m_r||_2 actual residual norms,
-      cnorm (N,) f32 = ||c'_r||_2 actual scaled-row norms,
-      eg (G,) f32 = per-group max enorm, cg (G,) f32 = per-group max cnorm.
 
-    Memory: processes TILE_N-row chunks via lax.map so the transient f32
-    scaled/residual buffers stay ~(TILE_N, D) instead of (N, D) (6 GB at
-    4M x 384 would not fit alongside the corpus + bf16 mirror).
+def _v3_sgroup() -> int:
+    import os
+
+    return int(os.environ.get("SHODH_TOPK_SGROUP", "0")) or 256
+
+
+def _v3_params(k: int, n: int, sg: int) -> tuple[int, int, bool]:
+    import os
+
+    zone = int(os.environ.get("SHODH_TOPK_ZONE_ROWS", "0")) or max(1536 * k, 15360)
+    rr = int(os.environ.get("SHODH_TOPK_V3_ROWS", "0")) or max(12 * k, 128)
+    m = max(1, min(zone // sg, n // sg))
+    sort16 = os.environ.get("SHODH_TOPK_SORT_BF16", "0") == "1"
+    return m, min(rr, m * sg), sort16
+
+
+@partial(jax.jit, static_argnames=("sgroup",))
+def corpus_cert_pack(corpus, scales, valid, sgroup: int = 256):
+    """Per-index-version pack for the int8 certificate: NO mirror, just the
+    pre-scaled row norms the query-residual bound needs.
+
+    Returns (svalid (N,) f32 = scale*valid broadcast for the pass-1
+    epilogue, cnorm (N,) f32 = ||scale*valid*c_r||_2, cg (N//sgroup,) f32
+    per-selection-group max cnorm). The group size is recoverable as
+    N // len(cg), so queries always match the pack they were built with.
     """
-    n, d = corpus.shape
-    tiles = n // TILE_N
-    gpt = TILE_N // GROUP
+    n = corpus.shape[0]
 
     def _tile(args):
         c_t, s_t, v_t = args
-        scaled = c_t.astype(jnp.float32) * (s_t * v_t)[:, None]
-        s3 = scaled.reshape(gpt, GROUP, d)
-        sg = jnp.maximum(jnp.max(jnp.abs(s3), axis=(1, 2)) / 127.0, 1e-30)
-        m = jnp.clip(jnp.round(s3 / sg[:, None, None]), -127, 127).astype(jnp.int8)
-        e = s3 - sg[:, None, None] * m.astype(jnp.float32)
-        enorm = jnp.sqrt(jnp.sum(e * e, axis=-1))  # (gpt, GROUP)
-        cnorm = jnp.sqrt(jnp.sum(s3 * s3, axis=-1))
-        return (
-            m.reshape(TILE_N, d), sg,
-            enorm.reshape(TILE_N), cnorm.reshape(TILE_N),
-            jnp.max(enorm, axis=1), jnp.max(cnorm, axis=1),
-        )
+        sv = s_t * v_t
+        cn = jnp.sqrt(jnp.sum(jnp.square(c_t.astype(jnp.float32)), axis=1)) * sv
+        return sv, cn
 
-    mirror, sg, enorm, cnorm, eg, cg = jax.lax.map(
+    tiles = max(1, n // TILE_N)
+    sv, cn = jax.lax.map(
         _tile,
         (
-            corpus.reshape(tiles, TILE_N, d),
-            scales.reshape(tiles, TILE_N),
-            valid.reshape(tiles, TILE_N),
+            corpus.reshape(tiles, -1, corpus.shape[1]),
+            scales.reshape(tiles, -1),
+            valid.reshape(tiles, -1),
         ),
     )
-    return (
-        mirror.reshape(n, d), sg.reshape(-1),
-        enorm.reshape(n), cnorm.reshape(n),
-        eg.reshape(-1), cg.reshape(-1),
-    )
+    sv = sv.reshape(n)
+    cn = cn.reshape(n)
+    cg = jnp.max(cn.reshape(n // sgroup, sgroup), axis=1)
+    return sv, cn, cg
 
 
-def _certified_parts_int8(queries, corpus, valid, k: int, scales, int8_pack):
-    """int8-pass-1 analog of :func:`_certified_parts` (certificate v2).
-    Returns (vals, ids, safe); ``safe`` proves bit-equality with the exact
-    path — see the block comment above for the bound derivation."""
-    mirror, sg, enorm, cnorm, eg, cg = int8_pack
+def corpus_cert_pack_default(corpus, scales, valid):
+    """corpus_cert_pack at the env-selected selection-group size."""
+    return corpus_cert_pack(corpus, scales, valid, sgroup=_v3_sgroup())
+
+
+def _inflate(x):
+    """One-sided upper bound on a bf16-rounded, f32-multiplied score."""
+    return x + jnp.abs(x) * _BF16_UP
+
+
+def _certified_parts_int8(queries, corpus, valid, k: int, scales, pack):
+    """Certificate-v3 fast path: int8 pass-1 on the CORPUS ITSELF (zero
+    corpus-side quantization error), bf16 scaled score matrix, two-stage
+    upper-bound selection, exact HIGHEST rescore. Returns (vals, ids,
+    safe); ``safe`` proves bit-equality with the exact path — see the
+    block comment above for the bound derivation."""
+    svalid, cnorm, cg = pack
     b, d = queries.shape
     n = corpus.shape[0]
-    g = n // GROUP
-    m = _slack_groups(k, g)
+    g = cg.shape[0]
+    sg = n // g
+    m, rr, sort16 = _v3_params(k, n, sg)
 
     s_q = jnp.maximum(jnp.max(jnp.abs(queries), axis=1) / 127.0, 1e-30)  # (B,)
     q8 = jnp.clip(jnp.round(queries / s_q[:, None]), -127, 127).astype(jnp.int8)
-    q8f = q8.astype(jnp.float32)
-    f = queries - s_q[:, None] * q8f  # actual query residual
-    # Exact per-query error coefficients (1% guard covers their own f32
-    # rounding): A = ||s_q*q8||_2 pairs with ||e_r||_2, B = ||f||_2 with
-    # ||c'_r||_2.
-    coef_a = 1.01 * s_q * jnp.sqrt(jnp.sum(q8f * q8f, axis=1))  # (B,)
-    coef_b = 1.01 * jnp.sqrt(jnp.sum(f * f, axis=1))  # (B,)
+    f = queries - s_q[:, None] * q8.astype(jnp.float32)
+    # Exact per-query residual-bound coefficient (1.02 covers its own f32
+    # rounding and the pad products').
+    coef_b = 1.02 * jnp.sqrt(jnp.sum(f * f, axis=1))  # (B,)
 
-    # Pass 1: one int8 MXU pass, exact int32 scores, zero epilogue.
+    # Pass 1: int8 MXU on the corpus itself; the scale epilogue + bf16
+    # cast + group max fuse into the matmul consumer.
     raw = jax.lax.dot_general(
-        q8, mirror,
+        q8, corpus,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )  # (B, N) int32
-    a3 = raw.reshape(b, g, GROUP)
-    gmax = jnp.max(a3, axis=-1)  # (B, G) int32
+    scaled = (
+        raw.astype(jnp.float32) * s_q[:, None] * svalid[None, :]
+    ).astype(jnp.bfloat16)  # (B, N) bf16 approx true scores
+    a3 = scaled.reshape(b, g, sg)
+    gmax = jnp.max(a3, axis=-1).astype(jnp.float32)  # (B, G)
 
-    def _upper_f32(x_int, scale_bg):
-        """One-sided upper bound on x_int * scale in f32: the int32->f32
-        cast can round toward zero past 2^24, and the product rounds once
-        more — inflate by 2 ulps each."""
-        xf = x_int.astype(jnp.float32)
-        xf = xf + jnp.abs(xf) * _F32_2ULP
-        prod = xf * scale_bg
-        return prod + jnp.abs(prod) * _F32_2ULP
-
-    # Stage 1: rank groups by their true-score UPPER bound so the m-th
-    # selected bound certifies every dropped group directly.
-    gscale = s_q[:, None] * sg[None, :]  # (B, G)
-    upper_g = _upper_f32(gmax, gscale) + coef_a[:, None] * eg[None, :] + coef_b[:, None] * cg[None, :]
+    # Stage 1: rank groups by the true-score UPPER bound.
+    upper_g = _inflate(gmax) + coef_b[:, None] * cg[None, :]
     top_vals, top_groups = jax.lax.top_k(upper_g, m)
-    beta_pad = top_vals[:, -1]  # (B,) bound on all stage-1-dropped rows
+    beta_pad = top_vals[:, -1]
     top_groups = jnp.sort(top_groups, axis=-1)
 
-    # Stage 2: rank rows inside the chosen groups by the same upper bound.
-    cand_int = jnp.take_along_axis(a3, top_groups[:, :, None], axis=1)  # (B, m, GROUP)
-    sg_sel = sg[top_groups]  # (B, m)
-    enorm_sel = enorm.reshape(g, GROUP)[top_groups]  # (B, m, GROUP)
-    cnorm_sel = cnorm.reshape(g, GROUP)[top_groups]
+    # Stage 2: rank zone rows by the same upper bound. SHODH_TOPK_SORT_BF16
+    # runs the wide top_k on bf16 values (half the sort traffic — measured
+    # a wash at 1M, kept as a knob); the returned boundary is re-inflated
+    # one bf16 step so it stays an upper bound on every dropped row.
+    cand = jnp.take_along_axis(a3, top_groups[:, :, None], axis=1)  # (B, m, sg)
+    cn_sel = cnorm.reshape(g, sg)[top_groups]  # (B, m, sg)
     upper_rows = (
-        _upper_f32(cand_int, (s_q[:, None, None] * sg_sel[:, :, None]))
-        + coef_a[:, None, None] * enorm_sel
-        + coef_b[:, None, None] * cnorm_sel
-    ).reshape(b, m * GROUP)
-    row_offsets = jnp.arange(GROUP, dtype=jnp.int32)[None, None, :]
-    cand_rows = (top_groups[:, :, None] * GROUP + row_offsets).reshape(b, m * GROUP)
-    r = _slack_rows(k, m * GROUP)
-    top_row_vals, top_row_pos = jax.lax.top_k(upper_rows, r)
-    gamma_pad = top_row_vals[:, -1]  # (B,) bound on all stage-2-dropped rows
+        _inflate(cand.astype(jnp.float32)) + coef_b[:, None, None] * cn_sel
+    ).reshape(b, m * sg)
+    row_offsets = jnp.arange(sg, dtype=jnp.int32)[None, None, :]
+    cand_rows = (top_groups[:, :, None] * sg + row_offsets).reshape(b, m * sg)
+    if sort16:
+        top_row_vals, top_row_pos = jax.lax.top_k(
+            upper_rows.astype(jnp.bfloat16), rr
+        )
+        gamma_pad = _inflate(top_row_vals[:, -1].astype(jnp.float32))
+    else:
+        top_row_vals, top_row_pos = jax.lax.top_k(upper_rows, rr)
+        gamma_pad = top_row_vals[:, -1]
     rows = jnp.take_along_axis(cand_rows, top_row_pos, axis=-1)
     rows = jnp.sort(rows, axis=-1)  # ascending ids => brute tie-breaks
 
-    # Exact rescore of just R rows per query (identical to the bf16 path).
+    # Exact rescore (identical math to the bf16 path and brute force).
     gathered = corpus[rows]
     raw_exact = jnp.einsum(
         "bd,brd->br", queries, gathered.astype(jnp.float32),
         precision=jax.lax.Precision.HIGHEST,
     )
     v = valid[rows]
-    cand = raw_exact * scales[rows] * v + (1.0 - v) * NEG_INF
-    vals, pos = jax.lax.top_k(cand, k)
+    cand_exact = raw_exact * scales[rows] * v + (1.0 - v) * NEG_INF
+    vals, pos = jax.lax.top_k(cand_exact, k)
     ids = jnp.take_along_axis(rows, pos, axis=-1)
 
-    # Certificate: every dropped row's TRUE score <= max(beta_pad,
-    # gamma_pad); strict < of the exact k-th value means the true top-k all
-    # survived (ties fail the strict test and take the exact branch).
     safe = jnp.all(jnp.maximum(beta_pad, gamma_pad) < vals[:, k - 1])
     return vals, ids, safe
 
@@ -555,22 +569,30 @@ def two_level_topk(queries, corpus, valid, k: int, scales=None, bound=None,
     a proven fallback (see the block comment above ``_certified_parts``).
     Pass ``approx`` (:func:`corpus_approx_bf16`, cached per index version)
     to skip the per-call mirror build. ``int8_pack``
-    (:func:`corpus_mirror_int8`) selects the int8-MXU pass-1 variant
-    instead (SHODH_TOPK_INT8 — same exact-or-fallback contract).
+    (:func:`corpus_cert_pack`, cached per index version) selects the
+    certified int8-MXU pass-1 — the fastest formulation at >= ~1M rows
+    (same exact-or-fallback contract; SHODH_TOPK_INT8=0 disables).
     """
     b, d = queries.shape
     n = corpus.shape[0]
     if scales is None:
         scales = jnp.ones((n,), jnp.float32)
 
+    base_ok = _fast_enabled() and _default_impl() == "xla"
+    if (
+        int8_pack is not None
+        and base_ok
+        and corpus.dtype == jnp.int8  # v3 uses the corpus AS the mirror
+        and n >= _int8_min_rows()
+        # the pack's group count must tile n exactly (sg * g == n)
+        and (n // int8_pack[2].shape[0]) * int8_pack[2].shape[0] == n
+    ):
+        return _certified_fast_topk_int8(queries, corpus, valid, k, scales, int8_pack)
     fastable = (
-        _fast_enabled()
+        base_ok
         and n >= _fast_min_rows()
-        and _default_impl() == "xla"
         and n // GROUP > _slack_groups(k, n // GROUP)
     )
-    if int8_pack is not None and fastable:
-        return _certified_fast_topk_int8(queries, corpus, valid, k, scales, int8_pack)
     if bound is not None and fastable:
         return _certified_fast_topk(queries, corpus, valid, k, scales, bound, approx)
 

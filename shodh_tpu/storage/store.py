@@ -263,12 +263,19 @@ class MemoryStorage:
         batch as the remap: a crash on either side of this batch leaves the
         kv epoch and the index-snapshot epoch disagreeing, which is exactly
         the signal open-time recovery rebuilds on."""
-        ops: list[tuple[str, str, str, bytes | None]] = []
+        # ALL deletes must precede ALL puts: a kept row's NEW key can equal
+        # a deleted row's OLD key (e.g. old 45 -> new 5 while old 5 was
+        # deleted), and the lexicographic scan visits "5" AFTER "45" — the
+        # interleaved del would erase the freshly-put mapping (observed:
+        # rows 5-9 lost on a 60-row/40-delete compaction; round-4 fix).
+        dels: list[tuple[str, str, str, bytes | None]] = []
+        puts: list[tuple[str, str, str, bytes | None]] = []
         for key, val in list(self.kv.scan_prefix(NS_ROWMAP, f"{modality}:")):
             old_row = int(key.split(":", 1)[1])
-            ops.append(("del", NS_ROWMAP, key, None))
+            dels.append(("del", NS_ROWMAP, key, None))
             if old_row in mapping:
-                ops.append(("put", NS_ROWMAP, f"{modality}:{mapping[old_row]}", val))
+                puts.append(("put", NS_ROWMAP, f"{modality}:{mapping[old_row]}", val))
+        ops: list[tuple[str, str, str, bytes | None]] = dels + puts
         for mem_id in self.iter_ids():
             vm = self.get_vector_map(mem_id)
             if modality in vm:

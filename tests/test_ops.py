@@ -128,6 +128,7 @@ class TestCertifiedFastTopk:
     def test_bit_identical_to_brute(self, monkeypatch):
         monkeypatch.setenv("SHODH_TOPK_IMPL", "xla")
         monkeypatch.setenv("SHODH_TOPK_FAST_MIN_ROWS", "0")
+        monkeypatch.setenv("SHODH_TOPK_INT8_MIN_ROWS", "0")
         two_level_topk._clear_cache()
         queries, corpus, valid, scales, bound = self._setup()
         k = 10
@@ -158,6 +159,7 @@ class TestCertifiedFastTopk:
         reproduce brute force's lowest-index tie-breaks."""
         monkeypatch.setenv("SHODH_TOPK_IMPL", "xla")
         monkeypatch.setenv("SHODH_TOPK_FAST_MIN_ROWS", "0")
+        monkeypatch.setenv("SHODH_TOPK_INT8_MIN_ROWS", "0")
         two_level_topk._clear_cache()
         n, d, k = 16 * TILE_N, 128, 10
         rng = np.random.default_rng(3)
@@ -188,6 +190,7 @@ class TestCertifiedFastTopk:
     def test_huge_bound_forces_fallback_still_exact(self, monkeypatch):
         monkeypatch.setenv("SHODH_TOPK_IMPL", "xla")
         monkeypatch.setenv("SHODH_TOPK_FAST_MIN_ROWS", "0")
+        monkeypatch.setenv("SHODH_TOPK_INT8_MIN_ROWS", "0")
         two_level_topk._clear_cache()
         queries, corpus, valid, scales, _ = self._setup(seed=11)
         k = 16
@@ -431,18 +434,25 @@ class TestInt8CertifiedTopk:
     must stay bit-identical-or-fallback, same contract as the bf16 path."""
 
     def _setup(self, n=16 * TILE_N, d=128, b=4, seed=7):
-        from shodh_tpu.ops.fused_topk import corpus_mirror_int8
+        # Certificate v3 operates on the PRODUCTION corpus shape: int8 rows
+        # with per-row dequant scales (the corpus IS the selection mirror).
+        from shodh_tpu.ops.fused_topk import corpus_cert_pack_default
 
-        corpus = jnp.asarray(_random_unit(n, d, seed=seed))
+        f32 = _random_unit(n, d, seed=seed)
+        s = np.maximum(np.abs(f32).max(axis=1) / 127.0, 1e-9).astype(np.float32)
+        corpus = jnp.asarray(
+            np.clip(np.round(f32 / s[:, None]), -127, 127).astype(np.int8)
+        )
+        scales = jnp.asarray(s)
         queries = jnp.asarray(_random_unit(b, d, seed=seed + 1))
         valid = jnp.ones(n, jnp.float32)
-        scales = jnp.ones(n, jnp.float32)
-        pack = corpus_mirror_int8(corpus, scales, valid)
+        pack = corpus_cert_pack_default(corpus, scales, valid)
         return queries, corpus, valid, scales, pack
 
     def test_bit_identical_to_brute(self, monkeypatch):
         monkeypatch.setenv("SHODH_TOPK_IMPL", "xla")
         monkeypatch.setenv("SHODH_TOPK_FAST_MIN_ROWS", "0")
+        monkeypatch.setenv("SHODH_TOPK_INT8_MIN_ROWS", "0")
         two_level_topk._clear_cache()
         queries, corpus, valid, scales, pack = self._setup()
         k = 10
@@ -467,8 +477,9 @@ class TestInt8CertifiedTopk:
         """The production corpus shape: int8 rows + per-row dequant scales."""
         monkeypatch.setenv("SHODH_TOPK_IMPL", "xla")
         monkeypatch.setenv("SHODH_TOPK_FAST_MIN_ROWS", "0")
+        monkeypatch.setenv("SHODH_TOPK_INT8_MIN_ROWS", "0")
         two_level_topk._clear_cache()
-        from shodh_tpu.ops.fused_topk import corpus_mirror_int8
+        from shodh_tpu.ops.fused_topk import corpus_cert_pack_default
 
         n, d, k = 16 * TILE_N, 128, 10
         f32 = _random_unit(n, d, seed=21)
@@ -479,7 +490,7 @@ class TestInt8CertifiedTopk:
         scales = jnp.asarray(scales_np)
         valid = jnp.ones(n, jnp.float32)
         queries = jnp.asarray(_random_unit(3, d, seed=22))
-        pack = corpus_mirror_int8(corpus, scales, valid)
+        pack = corpus_cert_pack_default(corpus, scales, valid)
         bv, br = brute_topk(queries, corpus, valid, k, scales=scales)
         fv, fr = two_level_topk(queries, corpus, valid, k, scales, int8_pack=pack)
         np.testing.assert_array_equal(np.asarray(br), np.asarray(fr))
@@ -489,8 +500,9 @@ class TestInt8CertifiedTopk:
     def test_adversarial_ties_fall_back_exactly(self, monkeypatch):
         monkeypatch.setenv("SHODH_TOPK_IMPL", "xla")
         monkeypatch.setenv("SHODH_TOPK_FAST_MIN_ROWS", "0")
+        monkeypatch.setenv("SHODH_TOPK_INT8_MIN_ROWS", "0")
         two_level_topk._clear_cache()
-        from shodh_tpu.ops.fused_topk import _certified_parts_int8, corpus_mirror_int8
+        from shodh_tpu.ops.fused_topk import _certified_parts_int8, corpus_cert_pack_default
 
         n, d, k = 16 * TILE_N, 128, 10
         rng = np.random.default_rng(3)
@@ -504,11 +516,16 @@ class TestInt8CertifiedTopk:
         # test relied on v1's loose bound failing for the -target query.)
         tie_rows = rng.choice(n, size=640, replace=False)
         base[tie_rows] = target
-        corpus = jnp.asarray(base)
+        # production int8 shape; identical f32 rows quantize identically,
+        # so the planted EXACT ties survive quantization
+        s = np.maximum(np.abs(base).max(axis=1) / 127.0, 1e-9).astype(np.float32)
+        corpus = jnp.asarray(
+            np.clip(np.round(base / s[:, None]), -127, 127).astype(np.int8)
+        )
+        scales = jnp.asarray(s)
         queries = jnp.asarray(np.stack([target, -target]).astype(np.float32))
         valid = jnp.ones(n, jnp.float32)
-        scales = jnp.ones(n, jnp.float32)
-        pack = corpus_mirror_int8(corpus, scales, valid)
+        pack = corpus_cert_pack_default(corpus, scales, valid)
         bv, br = brute_topk(queries, corpus, valid, k, scales=scales)
         fv, fr = two_level_topk(queries, corpus, valid, k, scales, int8_pack=pack)
         np.testing.assert_array_equal(np.asarray(br), np.asarray(fr))
@@ -522,6 +539,7 @@ class TestInt8CertifiedTopk:
         rows as without (exact-or-fallback at the index surface)."""
         monkeypatch.setenv("SHODH_TOPK_IMPL", "xla")
         monkeypatch.setenv("SHODH_TOPK_FAST_MIN_ROWS", "0")
+        monkeypatch.setenv("SHODH_TOPK_INT8_MIN_ROWS", "0")
         two_level_topk._clear_cache()
         from shodh_tpu.index.device_index import DeviceVectorIndex
 
@@ -550,12 +568,13 @@ class TestPaddedBatchCertifies:
         from shodh_tpu.ops.fused_topk import (
             _certified_parts,
             _certified_parts_int8,
-            corpus_mirror_int8,
+            corpus_cert_pack_default,
             corpus_score_bound,
         )
 
         n, d, k = 16 * TILE_N, 128, 10
-        corpus = jnp.asarray(_random_unit(n, d, seed=51))
+        f32 = _random_unit(n, d, seed=51)
+        corpus = jnp.asarray(f32)
         valid = jnp.ones(n, jnp.float32)
         scales = jnp.ones(n, jnp.float32)
         q = np.zeros((8, d), np.float32)
@@ -565,6 +584,10 @@ class TestPaddedBatchCertifies:
         bound = corpus_score_bound(corpus, scales, valid)
         _, _, safe = _certified_parts(queries, corpus, valid, k, scales, bound)
         assert bool(safe), "bf16 certificate must hold on unit-padded batches"
-        pack = corpus_mirror_int8(corpus, scales, valid)
-        _, _, safe8 = _certified_parts_int8(queries, corpus, valid, k, scales, pack)
+        # int8 path runs on the production int8-corpus shape
+        s8 = np.maximum(np.abs(f32).max(axis=1) / 127.0, 1e-9).astype(np.float32)
+        c8 = jnp.asarray(np.clip(np.round(f32 / s8[:, None]), -127, 127).astype(np.int8))
+        scales8 = jnp.asarray(s8)
+        pack = corpus_cert_pack_default(c8, scales8, valid)
+        _, _, safe8 = _certified_parts_int8(queries, c8, valid, k, scales8, pack)
         assert bool(safe8), "int8 certificate must hold on unit-padded batches"

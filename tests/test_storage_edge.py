@@ -91,8 +91,15 @@ class TestIndexConsistencyUnderChurn:
         ]
         for mid in ids[:40]:
             assert system.forget(mid)
-        # force compaction (30% deleted threshold long passed)
-        system.index.maybe_compact()
+        # force compaction (30% deleted threshold long passed). Compaction
+        # remaps rows, so storage MUST be remapped in the same step — the
+        # engine's maintenance path does exactly this (run_maintenance §7);
+        # skipping it leaves storage row-maps stale and every row-indexed
+        # consumer (vector leg, device funnel) silently resolves deleted
+        # memories.
+        mapping = system.index.maybe_compact()
+        if mapping is not None:
+            system.storage.remap_rows(mapping, epoch=system.index.epoch)
         res = system.recall(Query(query_text="churn item group", max_results=20))
         assert set(res.ids) <= set(ids[40:])
         assert len(res.ids) > 0

@@ -74,7 +74,7 @@ def main():
         _slack_groups,
         _slack_rows,
         corpus_approx_bf16,
-        corpus_mirror_int8,
+        corpus_cert_pack_default,
         corpus_score_bound,
         exact_topk_scores,
         two_level_topk,
@@ -99,9 +99,9 @@ def main():
     approx_t = jnp.asarray(np.ascontiguousarray(
         (c_np.astype(np.float32) * s_np[:, None]).astype(np.float32).T
     ).astype(np.float32)).astype(jnp.bfloat16)  # (D, N) transposed mirror
-    pack = corpus_mirror_int8(corpus, scales, valid)
-    mirror8 = pack[0]
-    mirror8_t = jnp.asarray(np.ascontiguousarray(np.asarray(mirror8).T))  # (D, N)
+    pack = corpus_cert_pack_default(corpus, scales, valid)
+    mirror8 = corpus  # v3: the corpus IS the int8 selection operand
+    mirror8_t = jnp.asarray(np.ascontiguousarray(c_np.T))  # (D, N)
     jax.block_until_ready(approx_t)
     jax.block_until_ready(mirror8_t)
     log(f"corpus + mirrors built in {time.perf_counter() - t0:.1f}s")
@@ -193,7 +193,7 @@ def main():
 
     def mm_int8(q, i, o):
         raw = jax.lax.dot_general(
-            _q8(q), o["pack"][0],
+            _q8(q), o["corpus"],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32)
         return jnp.max(raw).astype(f32)
@@ -286,12 +286,42 @@ def main():
 
     timed("full_cert_bf16", cert_bf16)
 
-    def cert_int8(q, i, o):
-        vals, ids, safe = _certified_parts_int8(
-            q, o["corpus"], o["valid"], k, o["scales"], o["pack"])
-        return jnp.sum(vals[:, 0]) + safe.astype(f32)
+    # --- certificate v3 (corpus-as-mirror) knob sweep. sink ~= number of
+    # SAFE batches (vals folded in at 1e-6 so the rescore isn't DCE'd). ---
+    import os as _os
 
-    timed("full_cert_int8_v2", cert_int8)
+    from shodh_tpu.ops.fused_topk import corpus_cert_pack
+
+    def cert_v3(q, i, o):
+        vals, ids, safe = _certified_parts_int8(
+            q, o["corpus"], o["valid"], k, o["scales"], o["pack_v3"])
+        return jnp.sum(vals[:, 0]) * 1e-6 + safe.astype(f32)
+
+    for name, sg, zone, rr, s16 in (
+        ("v3_sg128_z15360_r256", 128, 15360, 256, 0),
+        ("v3_sg128_z15360_r128", 128, 15360, 128, 0),
+        ("v3_sg128_z15360_r512", 128, 15360, 512, 0),
+        ("v3_sg256_z15360_r256", 256, 15360, 256, 0),
+        ("v3_sg256_z15360_r128", 256, 15360, 128, 0),
+        ("v3_sg512_z15360_r128", 512, 15360, 128, 0),
+        ("v3_sg256_z8192_r128", 256, 8192, 128, 0),
+        ("v3_sg256_z12288_r128", 256, 12288, 128, 0),
+        ("v3_sg256_z10240_r128", 256, 10240, 128, 0),
+        ("v3_sg256_z15360_r96", 256, 15360, 96, 0),
+        ("v3_sg256_z15360_r64", 256, 15360, 64, 0),
+        ("v3_sg256_z15360_r128_s16", 256, 15360, 128, 1),
+        ("v3_sg256_z12288_r96_s16", 256, 12288, 96, 1),
+    ):
+        _os.environ["SHODH_TOPK_SGROUP"] = str(sg)
+        _os.environ["SHODH_TOPK_ZONE_ROWS"] = str(zone)
+        _os.environ["SHODH_TOPK_V3_ROWS"] = str(rr)
+        _os.environ["SHODH_TOPK_SORT_BF16"] = str(s16)
+        ops["pack_v3"] = corpus_cert_pack(corpus, scales, valid, sgroup=sg)
+        timed(f"full_cert_{name}", cert_v3)
+    for v in ("SHODH_TOPK_SGROUP", "SHODH_TOPK_ZONE_ROWS", "SHODH_TOPK_V3_ROWS",
+              "SHODH_TOPK_SORT_BF16"):
+        _os.environ.pop(v, None)
+    ops.pop("pack_v3", None)
 
     # int8-v2 certificate fire rate (the round-3 verdict's explicit ask)
     if not args.exp or "fire_rate" in args.exp.split(","):
