@@ -103,6 +103,15 @@ class QueryParser:
 
     def analyze(self, query: str, now: Optional[datetime] = None) -> QueryAnalysis:
         now = now or datetime.now(timezone.utc)
+        # Same abbreviation canonicalization as bm25.tokenize — without it
+        # the GRAPH leg sees unfolded focal terms: "pull request 79" seeded
+        # entity "Pull" (a stray capitalized token) at activation 1.0 while
+        # the gold's "PR" node was unreachable, and the fused base crowned
+        # the wrong memory on every PR-shaped smoke query (round 4;
+        # measured smoke map +0.8pp / mrr +1.7pp, locomo-gate held).
+        from shodh_tpu.nlp.normalize import fold_abbreviations
+
+        query = fold_abbreviations(query)
         a = QueryAnalysis()
         words = _WORD_RE.findall(query)
         lowered = query.lower()

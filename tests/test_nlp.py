@@ -279,7 +279,12 @@ class TestQueryParserDetails:
     def test_ic_weights_pos(self):
         qp = QueryParser()
         a = qp.analyze("Why did we pick the fast database", now=NOW)
-        assert a.ic_weights[stem("database")] == 2.3  # noun
+        # "database" folds to its canonical abbreviation BEFORE analysis
+        # (round 4: IC weights must key the same token space as BM25
+        # postings, which fold identically in bm25.tokenize — the unfolded
+        # stem "databas" never matched any "db" posting)
+        assert a.ic_weights[stem("db")] == 2.3  # noun
+        assert stem("database") not in a.ic_weights
         assert a.ic_weights[stem("pick")] == 1.0  # verb
 
     def test_polar_negated_form(self):
