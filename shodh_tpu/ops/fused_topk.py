@@ -393,14 +393,20 @@ def _v3_sgroup() -> int:
     return int(os.environ.get("SHODH_TOPK_SGROUP", "0")) or 256
 
 
-def _v3_params(k: int, n: int, sg: int) -> tuple[int, int, bool]:
+def _v3_params(k: int, n: int, sg: int) -> tuple[int, int, bool, int]:
     import os
 
     zone = int(os.environ.get("SHODH_TOPK_ZONE_ROWS", "0")) or max(1536 * k, 15360)
     rr = int(os.environ.get("SHODH_TOPK_V3_ROWS", "0")) or max(12 * k, 128)
     m = max(1, min(zone // sg, n // sg))
     sort16 = os.environ.get("SHODH_TOPK_SORT_BF16", "0") == "1"
-    return m, min(rr, m * sg), sort16
+    # SHODH_TOPK_SUB=s arms hierarchical stage-2: rank s-row SUBUNITS of
+    # the zone by their padded max and rescore whole subunits — the wide
+    # (B, m*sg) top_k shrinks by s at the cost of a slightly looser gamma.
+    sub = int(os.environ.get("SHODH_TOPK_SUB", "0"))
+    if sub and (sub < 2 or (m * sg) % sub or rr % sub):
+        sub = 0  # incompatible shape: fall back to flat stage-2
+    return m, min(rr, m * sg), sort16, sub
 
 
 @partial(jax.jit, static_argnames=("sgroup",))
@@ -457,7 +463,7 @@ def _certified_parts_int8(queries, corpus, valid, k: int, scales, pack):
     n = corpus.shape[0]
     g = cg.shape[0]
     sg = n // g
-    m, rr, sort16 = _v3_params(k, n, sg)
+    m, rr, sort16, sub = _v3_params(k, n, sg)
 
     s_q = jnp.maximum(jnp.max(jnp.abs(queries), axis=1) / 127.0, 1e-30)  # (B,)
     q8 = jnp.clip(jnp.round(queries / s_q[:, None]), -127, 127).astype(jnp.int8)
@@ -496,16 +502,35 @@ def _certified_parts_int8(queries, corpus, valid, k: int, scales, pack):
     ).reshape(b, m * sg)
     row_offsets = jnp.arange(sg, dtype=jnp.int32)[None, None, :]
     cand_rows = (top_groups[:, :, None] * sg + row_offsets).reshape(b, m * sg)
-    if sort16:
+    if sub:
+        # Hierarchical stage 2: rank sub-row subunits by padded max; a
+        # dropped row's upper bound <= its subunit's max <= gamma_pad, so
+        # the certificate is unchanged (slightly looser boundary). Rescored
+        # rows are whole CONTIGUOUS subunits, which also DMAs better than
+        # scattered single rows.
+        n_su = (m * sg) // sub
+        su_max = jnp.max(upper_rows.reshape(b, n_su, sub), axis=-1)
+        tau = rr // sub
+        top_su_vals, top_su = jax.lax.top_k(su_max, tau)
+        gamma_pad = top_su_vals[:, -1]
+        top_su = jnp.sort(top_su, axis=-1)
+        su_rows = cand_rows.reshape(b, n_su, sub)
+        rows = jnp.take_along_axis(
+            su_rows, top_su[:, :, None], axis=1
+        ).reshape(b, rr)
+        rows = jnp.sort(rows, axis=-1)
+    elif sort16:
         top_row_vals, top_row_pos = jax.lax.top_k(
             upper_rows.astype(jnp.bfloat16), rr
         )
         gamma_pad = _inflate(top_row_vals[:, -1].astype(jnp.float32))
+        rows = jnp.take_along_axis(cand_rows, top_row_pos, axis=-1)
+        rows = jnp.sort(rows, axis=-1)  # ascending ids => brute tie-breaks
     else:
         top_row_vals, top_row_pos = jax.lax.top_k(upper_rows, rr)
         gamma_pad = top_row_vals[:, -1]
-    rows = jnp.take_along_axis(cand_rows, top_row_pos, axis=-1)
-    rows = jnp.sort(rows, axis=-1)  # ascending ids => brute tie-breaks
+        rows = jnp.take_along_axis(cand_rows, top_row_pos, axis=-1)
+        rows = jnp.sort(rows, axis=-1)  # ascending ids => brute tie-breaks
 
     # Exact rescore (identical math to the bf16 path and brute force).
     gathered = corpus[rows]
