@@ -634,6 +634,27 @@ class GraphMemory:
         if not seeds:
             return {}
 
+        # Hub-only-seed confidence damp (round-4 experiment,
+        # SHODH_GRAPH_HUB_CONF < 1 arms): when EVERY resolvable seed is a
+        # hub (speaker names — "melanie" touches 1,370 memories), the
+        # leg's max-normalized output is near query-independent (measured:
+        # top-1 activation non-gold on 55/60 multi_hop cases), so its
+        # claimed confidence is scaled down instead of the full 1.0.
+        conf = 1.0
+        hub_conf = C.env_float("SHODH_GRAPH_HUB_CONF", 1.0)
+        if hub_conf < 1.0:
+            hub_deg = int(C.env_float("SHODH_GRAPH_HUB_DEG", 100.0))
+            if all(
+                len(self.entity_memories.get(eid, ())) >= hub_deg
+                for eid in seeds
+            ):
+                conf = hub_conf
+
+        def _scaled(mem_act: dict[str, float]) -> dict[str, float]:
+            if conf >= 1.0 or not mem_act:
+                return mem_act
+            return {m: a * conf for m, a in mem_act.items()}
+
         # Large graphs: the device CSR spreader is the default engine —
         # all seeds (joint + per-seed bidirectional rows) propagate in one
         # vmapped program instead of O(seeds) host walks over E edges.
@@ -644,8 +665,10 @@ class GraphMemory:
             and len(self.entities) >= C.SPREADING_DEVICE_MIN_ENTITIES
             and _os.environ.get("SHODH_DEVICE_SPREADING", "1") != "0"
         ):
-            return self._device_spreader().spreading_activation_from_seeds(
-                seeds, max_hops
+            return _scaled(
+                self._device_spreader().spreading_activation_from_seeds(
+                    seeds, max_hops
+                )
             )
 
         if mode == "ppr":
@@ -676,7 +699,7 @@ class GraphMemory:
             mx = max(mem_activation.values())
             if mx > 0:
                 mem_activation = {m: a / mx for m, a in mem_activation.items()}
-        return mem_activation
+        return _scaled(mem_activation)
 
     def _device_spreader(self):
         if getattr(self, "_device_spreader_inst", None) is None:
