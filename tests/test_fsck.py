@@ -205,3 +205,32 @@ class TestCli:
 
         clean = run_fsck()
         assert clean.returncode == 0
+
+
+class TestRowmapRemapRegression:
+    def test_fsck_catches_and_repairs_interleaved_remap_loss(self, system):
+        """Round-4 storage bug class: remap_rows once interleaved dels and
+        puts, so a kept row's NEW key (== a deleted row's OLD key, scanned
+        later) was erased — vecmaps pointed at rows with no rowmap entry.
+        fsck must see the mismatch and repair must restore recall."""
+        from shodh_tpu.storage.fsck import check_store, repair_store
+        from shodh_tpu.storage.store import NS_ROWMAP
+        from shodh_tpu.types import Query
+
+        # Reproduce the corrupt SHAPE directly: drop the rowmap entry for
+        # one live memory's text row (what the del-after-put erased).
+        mem = next(system.storage.iter_memories())
+        rows = system.storage.get_vector_map(mem.id).get("text", [])
+        assert rows
+        system.storage.kv.write_batch(
+            [("del", NS_ROWMAP, f"text:{rows[0]}", None)]
+        )
+        report = check_store(system)
+        assert not report["ok"]
+        assert report["vector_map"]["row_mismatches"] >= 1
+
+        repair_store(system, report)
+        report2 = check_store(system)
+        assert report2["ok"], report2
+        res = system.recall(Query(query_text="roadmap Friday", max_results=3))
+        assert mem.id in res.ids

@@ -591,3 +591,33 @@ class TestPaddedBatchCertifies:
         pack = corpus_cert_pack_default(c8, scales8, valid)
         _, _, safe8 = _certified_parts_int8(queries, c8, valid, k, scales8, pack)
         assert bool(safe8), "int8 certificate must hold on unit-padded batches"
+
+
+class TestCertPackDeltaAppend:
+    def test_pack_delta_append_stays_sound(self, monkeypatch):
+        """DeviceVectorIndex delta-appends update the cert pack in place
+        (svalid/cnorm scatter + per-group max raise). Search results after
+        an append must match a freshly-built index bit-for-bit."""
+        monkeypatch.setenv("SHODH_TOPK_IMPL", "xla")
+        monkeypatch.setenv("SHODH_TOPK_INT8_MIN_ROWS", "0")
+        monkeypatch.setenv("SHODH_TOPK_FAST_MIN_ROWS", "0")
+        two_level_topk._clear_cache()
+        from shodh_tpu.index.device_index import DeviceVectorIndex
+
+        n, d = 4 * TILE_N, 64
+        vecs = _random_unit(n, d, seed=71)
+        extra = _random_unit(64, d, seed=72) * 1.7  # larger norms raise cg
+        q = _random_unit(40, d, seed=73)
+
+        idx = DeviceVectorIndex(dim=d, dtype="int8")
+        idx.add(vecs)
+        idx.search(q, 5)  # build device arrays + pack
+        idx.add(extra)    # delta-append path (pack updated in place)
+        v1, r1 = idx.search(q, 10)
+
+        fresh = DeviceVectorIndex(dim=d, dtype="int8")
+        fresh.add(np.concatenate([vecs, extra]))
+        v2, r2 = fresh.search(q, 10)
+        np.testing.assert_array_equal(r1, r2)
+        np.testing.assert_allclose(v1, v2, rtol=1e-6)
+        two_level_topk._clear_cache()
