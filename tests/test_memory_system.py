@@ -533,3 +533,30 @@ def test_time_seeking_temporal_refs_boost(tmp_path):
     r = system.recall(Query(query_text="When did Nate adopt the turtles?", max_results=2))
     assert r.ids[0] == dated.id
     system.close()
+
+
+class TestEnumerationShape:
+    def test_enumeration_shape_predicate(self):
+        from shodh_tpu.engine.memory_system import _enumeration_shape
+
+        yes = [
+            "What activities does Melanie partake in?",
+            "What books has Melanie read?",
+            "Where has Melanie camped?",
+            "What has Melanie painted?",
+            "How many times has Melanie gone to the beach in 2023?",
+            "Which instruments does Melanie play?",
+        ]
+        no = [
+            "What did Caroline research?",
+            "What is Caroline's identity?",
+            "What is Caroline's relationship status?",  # 'status' guard
+            "Where did Caroline move from 4 years ago?",
+            "Why did the cache blow up?",
+            "",
+            None,
+        ]
+        for q in yes:
+            assert _enumeration_shape(q), q
+        for q in no:
+            assert not _enumeration_shape(q), q
