@@ -39,17 +39,21 @@ PEAK_BF16_TFLOPS = float(os.environ.get("SHODH_TPU_PEAK_TFLOPS", "197"))
 PEAK_HBM_GBPS = float(os.environ.get("SHODH_TPU_PEAK_HBM_GBPS", "819"))
 
 
-def roofline(n: int, d: int, b: int, per_batch_s: float) -> dict:
+def roofline(n: int, d: int, b: int, per_batch_s: float, score_bytes: int = 2) -> dict:
     """MFU + HBM-bytes columns for one measured batch.
 
     flops: the scoring matmul (2*b*n*d — int8 MACs counted as the bf16
     roofline's FLOPs for comparability across rounds). bytes: int8 corpus
-    read + bf16 score-matrix write+read (the certified int8 pass-1
-    materializes (B, N) bf16 once and re-reads it for group max +
-    stage-2 selection).
+    read + score-matrix write+read + query read. ``score_bytes`` is the
+    serving path's score-matrix element size: 2 for the certified int8
+    pass-1 (>= SHODH_TOPK_INT8_MIN_ROWS — materializes (B, N) bf16 once
+    and re-reads it for group max + stage-2 selection), 4 for the exact
+    XLA path below the crossover (f32 masked scores). A certificate
+    fallback batch additionally pays an uncounted exact f32 pass; at the
+    shipped config the cert fires 8/8 so the columns track the fast path.
     """
     flops = 2.0 * b * n * d
-    bytes_xla = n * d * 1 + 2 * (b * n * 2) + b * d * 4
+    bytes_xla = n * d * 1 + 2 * (b * n * score_bytes) + b * d * 4
     tflops = flops / per_batch_s / 1e12
     return {
         "mfu_pct": round(100.0 * tflops / PEAK_BF16_TFLOPS, 2),
@@ -179,7 +183,11 @@ def run_scales() -> None:
             per_rep.append((time.perf_counter() - t0) / iters)
         per_batch = sorted(per_rep)[len(per_rep) // 2]
         qps = b / per_batch
-        roof = roofline(n, d, b, per_batch)
+        from shodh_tpu.ops.fused_topk import _int8_min_rows
+
+        roof = roofline(
+            n, d, b, per_batch, score_bytes=2 if n >= _int8_min_rows() else 4
+        )
         log(f"{label}: {per_batch*1e3:.2f} ms/batch (median of {reps}, "
             f"min {min(per_rep)*1e3:.2f} / max {max(per_rep)*1e3:.2f}) "
             f"-> {qps:,.0f} QPS/chip "
@@ -342,8 +350,9 @@ def run_scales() -> None:
         return
     measure(64 * TILE_N, "65k", iters=32, verify_iters=0)  # below the fast-path
     measure(256 * TILE_N, "262k", iters=24, verify_iters=0)
-    # 4M exercises the certified bf16 fast path (auto-enabled >= 2M rows;
-    # measured 1.33x over the exact path at this tier)
+    # 4M serves the v3 int8 certified path like 1M (>= 512k rows); the
+    # bf16 bound/approx formulation (still the serving path for
+    # float32-dtype DeviceVectorIndex) is covered by unit tests, not here
     measure(4096 * TILE_N, "4M", iters=12, verify_iters=2)
     measure(1024 * TILE_N, "1M", iters=32)
     # Funnel rows run via --funnel-only, NOT here: the default ladder must

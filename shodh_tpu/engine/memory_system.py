@@ -702,7 +702,7 @@ class MemorySystem:
         t0 = time.perf_counter()
         vec_k = pool_k * (C.POLAR_QUERY_VECTOR_POOL_MULTIPLIER if len(qvecs) > 1 else 1)
         mem_scores: dict[str, float] = {}
-        vals, rows = self.index.search(np.stack(qvecs), k=min(vec_k * 2, max(16, vec_k * 2)))
+        vals, rows = self.index.search(np.stack(qvecs), k=vec_k * 2)
         for b in range(rows.shape[0]):
             for val, row in zip(vals[b], rows[b]):
                 if row < 0:
@@ -800,17 +800,24 @@ class MemorySystem:
                 fused, mem_scores, bm25_scores, qvecs, bm25_query,
                 term_weights, bm25_k, vec_k, pool_k, k,
             )
-            from shodh_tpu.retrieval.fusion import fuse_legs
+            # Re-fuse under the SAME branch predicate as the original
+            # fusion — routing a vector-only pool through fuse_legs would
+            # rescale every incumbent's base score even with zero admits
+            # ("union only adds candidates" must hold).
+            if bm25_scores or graph_activation:
+                from shodh_tpu.retrieval.fusion import fuse_legs
 
-            density = self.graph.edge_density() if self.graph is not None else 0.0
-            fused = fuse_legs(
-                semantic=mem_scores,
-                bm25=bm25_scores,
-                graph=graph_activation,
-                density=density,
-                overrides=overrides,
-                consensus=self._store_consensus(),
-            )
+                density = self.graph.edge_density() if self.graph is not None else 0.0
+                fused = fuse_legs(
+                    semantic=mem_scores,
+                    bm25=bm25_scores,
+                    graph=graph_activation,
+                    density=density,
+                    overrides=overrides,
+                    consensus=self._store_consensus(),
+                )
+            else:
+                fused = dict(mem_scores)
             timings["enum_union_ms"] = (time.perf_counter() - t0u) * 1000
 
         return self._rank_pool(
@@ -848,11 +855,8 @@ class MemorySystem:
         candidates' true leg scores so fusion math stays uniform."""
         import numpy as np
 
-        def day_of(mid):
-            mem = self.storage.get(mid)
-            if mem is None or mem.created_at is None:
-                return None
-            return mem.created_at.date()
+        day_of = self.storage.created_date  # LRU'd; avoids a full record
+        # decode per scanned candidate (hundreds per enum query)
 
         top_pool = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:pool_k]
         seen_days = {day_of(mid) for mid, _ in top_pool}
@@ -864,10 +868,7 @@ class MemorySystem:
         cap = 2 * k
 
         # deep vector leg (4x the normal pool depth)
-        deep_vals, deep_rows = self.index.search(
-            np.stack(qvecs), k=min(vec_k * 4, max(16, vec_k * 4))
-        )
-        deep_vec: list[tuple[str, float]] = []
+        deep_vals, deep_rows = self.index.search(np.stack(qvecs), k=vec_k * 4)
         dedup: dict[str, float] = {}
         for b in range(deep_rows.shape[0]):
             for val, row in zip(deep_vals[b], deep_rows[b]):
@@ -1919,6 +1920,7 @@ class MemorySystem:
             C.env_flag("SHODH_ENUM_DAY_UNION", False)
             and analysis is not None
             and (analysis.multihop or _enumeration_shape(query.query_text))
+            and query.layers >= LayerMode.FULL  # staged union gates on FULL too
         ):
             return None
 

@@ -74,6 +74,11 @@ class MemoryStorage:
         self._count: Optional[int] = None
         self._next_seq: Optional[int] = None
         self._text_rows_hwm: Optional[int] = None  # lazy; see text_rows_hwm
+        # id -> created_at.date() LRU: the enum-day-union admission scans
+        # hundreds of candidates per query for nothing but the day bucket;
+        # decoding the full record each time dominated union latency on
+        # the 1-core serving host. created_at is immutable after store().
+        self._date_cache: "OrderedDict[str, object]" = OrderedDict()
 
     def _cache_put(self, mem: Memory, keys: frozenset[str]) -> None:
         with self._cache_lock:
@@ -151,6 +156,26 @@ class MemoryStorage:
         self._cache_put(mem, self._index_keys(mem))
         return mem
 
+    def created_date(self, memory_id: str):
+        """``created_at.date()`` without decoding the full record on repeat
+        lookups (LRU over ids; falls back to ``get`` on first touch)."""
+        with self._cache_lock:
+            hit = self._cache.get(memory_id)
+            if hit is not None:
+                ca = hit[0].created_at
+                return ca.date() if ca is not None else None
+            if memory_id in self._date_cache:
+                self._date_cache.move_to_end(memory_id)
+                return self._date_cache[memory_id]
+        mem = self.get(memory_id)
+        d = mem.created_at.date() if mem is not None and mem.created_at is not None else None
+        with self._cache_lock:
+            self._date_cache[memory_id] = d
+            self._date_cache.move_to_end(memory_id)
+            while len(self._date_cache) > 64 * _CACHE_CAP:
+                self._date_cache.popitem(last=False)
+        return d
+
     def update(self, mem: Memory) -> None:
         with self._cache_lock:
             hit = self._cache.get(mem.id)
@@ -176,6 +201,7 @@ class MemoryStorage:
     def delete(self, memory_id: str) -> bool:
         with self._cache_lock:
             self._cache.pop(memory_id, None)
+            self._date_cache.pop(memory_id, None)
         mem = self.get(memory_id)
         if mem is None:
             return False

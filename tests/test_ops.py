@@ -604,7 +604,10 @@ class TestCertPackDeltaAppend:
         two_level_topk._clear_cache()
         from shodh_tpu.index.device_index import DeviceVectorIndex
 
-        n, d = 4 * TILE_N, 64
+        # 4*TILE_N would land exactly on the capacity quantum, so the
+        # append would force growth -> full rebuild and never touch the
+        # delta branch; leave headroom so the in-place path actually runs.
+        n, d = 4 * TILE_N - 512, 64
         vecs = _random_unit(n, d, seed=71)
         extra = _random_unit(64, d, seed=72) * 1.7  # larger norms raise cg
         q = _random_unit(40, d, seed=73)
@@ -613,6 +616,10 @@ class TestCertPackDeltaAppend:
         idx.add(vecs)
         idx.search(q, 5)  # build device arrays + pack
         idx.add(extra)    # delta-append path (pack updated in place)
+        assert idx._device is not None, (
+            "append was expected to take the in-place delta branch, not a "
+            "capacity-growth rebuild"
+        )
         v1, r1 = idx.search(q, 10)
 
         fresh = DeviceVectorIndex(dim=d, dtype="int8")
