@@ -409,6 +409,48 @@ def _v3_params(k: int, n: int, sg: int) -> tuple[int, int, bool, int]:
     return m, min(rr, m * sg), sort16, sub
 
 
+def _hier_blks() -> tuple[int, int]:
+    """Superblock sizes for the exact hierarchical top_k in the v3 stage-1
+    / stage-2 selections (0 = flat lax.top_k)."""
+    import os
+
+    return (
+        int(os.environ.get("SHODH_TOPK_HIER_S1", "0")),
+        int(os.environ.get("SHODH_TOPK_HIER_S2", "0")),
+    )
+
+
+def _hier_topk(vals, kk: int, blk: int):
+    """Exact-by-value top-kk over the last axis via one superblock level.
+
+    The module's rows->groups containment argument applied AGAIN: at most
+    kk superblocks can hold an element >= the kk-th largest value, so the
+    top-kk superblock maxes provably cover every such element, and the
+    sort length drops from L to L/blk (+ a kk*blk re-sort). Unlike the
+    measured-dead SHODH_TOPK_SUB (which kept only rr/sub subunits and
+    loosened gamma to a subunit max), this selects kk FULL superblocks,
+    so the returned top-kk VALUES — including the boundary the
+    certificate compares against — are exactly the flat sort's. Returned
+    POSITIONS can differ from lax.top_k only across exactly-equal values
+    (superblock-then-element ranking); use only where a certificate or
+    exact rescore guards the final result. Falls back to flat when the
+    shape is incompatible or the split would not shrink the sort.
+    """
+    b, L = vals.shape
+    if blk < 2 or L % blk or L // blk < kk or kk * blk + L // blk >= L:
+        return jax.lax.top_k(vals, kk)
+    nb = L // blk
+    v3 = vals.reshape(b, nb, blk)
+    _, top_blk = jax.lax.top_k(jnp.max(v3, axis=-1), kk)
+    top_blk = jnp.sort(top_blk, axis=-1)  # ascending position order
+    cand = jnp.take_along_axis(v3, top_blk[:, :, None], axis=1).reshape(b, kk * blk)
+    cand_pos = (
+        top_blk[:, :, None] * blk + jnp.arange(blk, dtype=top_blk.dtype)[None, None, :]
+    ).reshape(b, kk * blk)
+    tv, tp = jax.lax.top_k(cand, kk)
+    return tv, jnp.take_along_axis(cand_pos, tp, axis=-1)
+
+
 @partial(jax.jit, static_argnames=("sgroup",))
 def corpus_cert_pack(corpus, scales, valid, sgroup: int = 256):
     """Per-index-version pack for the int8 certificate: NO mirror, just the
@@ -485,9 +527,12 @@ def _certified_parts_int8(queries, corpus, valid, k: int, scales, pack):
     a3 = scaled.reshape(b, g, sg)
     gmax = jnp.max(a3, axis=-1).astype(jnp.float32)  # (B, G)
 
-    # Stage 1: rank groups by the true-score UPPER bound.
+    # Stage 1: rank groups by the true-score UPPER bound. The hierarchical
+    # selection returns the same top-m VALUES (so beta_pad is unchanged);
+    # the dropped-superblock containment proof is in _hier_topk.
+    h1, h2 = _hier_blks()
     upper_g = _inflate(gmax) + coef_b[:, None] * cg[None, :]
-    top_vals, top_groups = jax.lax.top_k(upper_g, m)
+    top_vals, top_groups = _hier_topk(upper_g, m, h1)
     beta_pad = top_vals[:, -1]
     top_groups = jnp.sort(top_groups, axis=-1)
 
@@ -527,7 +572,7 @@ def _certified_parts_int8(queries, corpus, valid, k: int, scales, pack):
         rows = jnp.take_along_axis(cand_rows, top_row_pos, axis=-1)
         rows = jnp.sort(rows, axis=-1)  # ascending ids => brute tie-breaks
     else:
-        top_row_vals, top_row_pos = jax.lax.top_k(upper_rows, rr)
+        top_row_vals, top_row_pos = _hier_topk(upper_rows, rr, h2)
         gamma_pad = top_row_vals[:, -1]
         rows = jnp.take_along_axis(cand_rows, top_row_pos, axis=-1)
         rows = jnp.sort(rows, axis=-1)  # ascending ids => brute tie-breaks

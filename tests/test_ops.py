@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from shodh_tpu.ops.distance import NEG_INF, brute_topk, l2_normalize, score_rows
@@ -591,6 +592,116 @@ class TestPaddedBatchCertifies:
         pack = corpus_cert_pack_default(c8, scales8, valid)
         _, _, safe8 = _certified_parts_int8(queries, c8, valid, k, scales8, pack)
         assert bool(safe8), "int8 certificate must hold on unit-padded batches"
+
+
+class TestHierTopk:
+    def test_values_match_flat_topk(self):
+        """_hier_topk returns the exact top-kk VALUES of the flat sort (the
+        certificate boundary it feeds must be bit-equal), and its positions
+        index elements carrying those values."""
+        from shodh_tpu.ops.fused_topk import _hier_topk
+
+        rng = np.random.default_rng(11)
+        for b, L, kk, blk in ((4, 4096, 60, 8), (3, 15360, 128, 8), (2, 1920, 96, 16)):
+            vals = jnp.asarray(rng.standard_normal((b, L)).astype(np.float32))
+            fv, _ = jax.lax.top_k(vals, kk)
+            hv, hp = _hier_topk(vals, kk, blk)
+            np.testing.assert_array_equal(np.asarray(fv), np.asarray(hv))
+            gathered = jnp.take_along_axis(vals, hp, axis=-1)
+            np.testing.assert_array_equal(np.asarray(gathered), np.asarray(hv))
+
+    def test_values_exact_under_planted_ties(self):
+        """Ties straddling the kk-th value: the returned value multiset (and
+        the boundary value) must still equal the flat sort's."""
+        from shodh_tpu.ops.fused_topk import _hier_topk
+
+        rng = np.random.default_rng(12)
+        base = rng.standard_normal((2, 4096)).astype(np.float32) * 0.1
+        tie_pos = rng.choice(4096, size=100, replace=False)
+        base[:, tie_pos] = 5.0  # more tied maxima than kk=60
+        vals = jnp.asarray(base)
+        fv, _ = jax.lax.top_k(vals, 60)
+        hv, hp = _hier_topk(vals, 60, 8)
+        np.testing.assert_array_equal(np.asarray(fv), np.asarray(hv))
+        gathered = jnp.take_along_axis(vals, hp, axis=-1)
+        np.testing.assert_array_equal(np.asarray(gathered), np.asarray(hv))
+
+    def test_incompatible_shapes_fall_back_flat(self):
+        from shodh_tpu.ops.fused_topk import _hier_topk
+
+        rng = np.random.default_rng(13)
+        vals = jnp.asarray(rng.standard_normal((2, 1000)).astype(np.float32))
+        for kk, blk in ((10, 0), (10, 7), (200, 8)):  # off / L%blk / nb<kk
+            fv, fp = jax.lax.top_k(vals, kk)
+            hv, hp = _hier_topk(vals, kk, blk)
+            np.testing.assert_array_equal(np.asarray(fv), np.asarray(hv))
+            np.testing.assert_array_equal(np.asarray(fp), np.asarray(hp))
+
+    def test_certified_int8_with_hier_armed_matches_brute(self, monkeypatch):
+        """Both hier stages engaged (n large enough that stage-1's group
+        axis splits): rows bit-identical to brute force, certificate fires."""
+        monkeypatch.setenv("SHODH_TOPK_IMPL", "xla")
+        monkeypatch.setenv("SHODH_TOPK_INT8_MIN_ROWS", "0")
+        monkeypatch.setenv("SHODH_TOPK_HIER_S1", "8")
+        monkeypatch.setenv("SHODH_TOPK_HIER_S2", "8")
+        two_level_topk._clear_cache()
+        from shodh_tpu.ops.fused_topk import (
+            _certified_parts_int8,
+            corpus_cert_pack_default,
+        )
+
+        n, d, k = 128 * TILE_N, 64, 10  # g=512 groups >= m=60 superblocks*8
+        f32 = _random_unit(n, d, seed=31)
+        s = np.maximum(np.abs(f32).max(axis=1) / 127.0, 1e-9).astype(np.float32)
+        corpus = jnp.asarray(
+            np.clip(np.round(f32 / s[:, None]), -127, 127).astype(np.int8)
+        )
+        scales = jnp.asarray(s)
+        valid = jnp.ones(n, jnp.float32)
+        queries = jnp.asarray(_random_unit(3, d, seed=32))
+        pack = corpus_cert_pack_default(corpus, scales, valid)
+        vals, ids, safe = _certified_parts_int8(queries, corpus, valid, k, scales, pack)
+        bv, br = brute_topk(queries, corpus, valid, k, scales=scales)
+        np.testing.assert_array_equal(np.asarray(br), np.asarray(ids))
+        np.testing.assert_allclose(np.asarray(bv), np.asarray(vals), rtol=1e-6)
+        # separated unit-norm data at this scale certifies without hier;
+        # hier must not change that (same beta/gamma values)
+        assert bool(safe)
+        two_level_topk._clear_cache()
+
+    def test_hier_ties_still_fall_back_exactly(self, monkeypatch):
+        """The adversarial-ties corpus under hier selection: dropped tied
+        rows still pin the boundary at the kth value, strict < fails, and
+        the exact branch serves the same rows as brute force."""
+        monkeypatch.setenv("SHODH_TOPK_IMPL", "xla")
+        monkeypatch.setenv("SHODH_TOPK_FAST_MIN_ROWS", "0")
+        monkeypatch.setenv("SHODH_TOPK_INT8_MIN_ROWS", "0")
+        monkeypatch.setenv("SHODH_TOPK_HIER_S1", "8")
+        monkeypatch.setenv("SHODH_TOPK_HIER_S2", "8")
+        two_level_topk._clear_cache()
+        from shodh_tpu.ops.fused_topk import _certified_parts_int8, corpus_cert_pack_default
+
+        n, d, k = 16 * TILE_N, 128, 10
+        rng = np.random.default_rng(3)
+        base = _random_unit(n, d, seed=3) * 0.1
+        target = _random_unit(1, d, seed=4)[0]
+        tie_rows = rng.choice(n, size=640, replace=False)
+        base[tie_rows] = target
+        s = np.maximum(np.abs(base).max(axis=1) / 127.0, 1e-9).astype(np.float32)
+        corpus = jnp.asarray(
+            np.clip(np.round(base / s[:, None]), -127, 127).astype(np.int8)
+        )
+        scales = jnp.asarray(s)
+        queries = jnp.asarray(np.stack([target, -target]).astype(np.float32))
+        valid = jnp.ones(n, jnp.float32)
+        pack = corpus_cert_pack_default(corpus, scales, valid)
+        bv, br = brute_topk(queries, corpus, valid, k, scales=scales)
+        fv, fr = two_level_topk(queries, corpus, valid, k, scales, int8_pack=pack)
+        np.testing.assert_array_equal(np.asarray(br), np.asarray(fr))
+        np.testing.assert_array_equal(np.asarray(bv), np.asarray(fv))
+        _, _, safe = _certified_parts_int8(queries, corpus, valid, k, scales, pack)
+        assert not bool(safe)
+        two_level_topk._clear_cache()
 
 
 class TestCertPackDeltaAppend:

@@ -297,33 +297,45 @@ def main():
             q, o["corpus"], o["valid"], k, o["scales"], o["pack_v3"])
         return jnp.sum(vals[:, 0]) * 1e-6 + safe.astype(f32)
 
-    for name, sg, zone, rr, s16, sub in (
-        ("v3_sg128_z15360_r256", 128, 15360, 256, 0, 0),
-        ("v3_sg128_z15360_r128", 128, 15360, 128, 0, 0),
-        ("v3_sg128_z15360_r512", 128, 15360, 512, 0, 0),
-        ("v3_sg256_z15360_r256", 256, 15360, 256, 0, 0),
-        ("v3_sg256_z15360_r128", 256, 15360, 128, 0, 0),
-        ("v3_sg512_z15360_r128", 512, 15360, 128, 0, 0),
-        ("v3_sg256_z8192_r128", 256, 8192, 128, 0, 0),
-        ("v3_sg256_z12288_r128", 256, 12288, 128, 0, 0),
-        ("v3_sg256_z10240_r128", 256, 10240, 128, 0, 0),
-        ("v3_sg256_z15360_r96", 256, 15360, 96, 0, 0),
-        ("v3_sg256_z15360_r64", 256, 15360, 64, 0, 0),
-        ("v3_sg256_z15360_r128_s16", 256, 15360, 128, 1, 0),
-        ("v3_sg256_z12288_r96_s16", 256, 12288, 96, 1, 0),
-        ("v3_sg256_z15360_r256_sub8", 256, 15360, 256, 0, 8),
-        ("v3_sg256_z15360_r256_sub16", 256, 15360, 256, 0, 16),
-        ("v3_sg256_z15360_r128_sub8", 256, 15360, 128, 0, 8),
+    for name, sg, zone, rr, s16, sub, h1, h2 in (
+        ("v3_sg128_z15360_r256", 128, 15360, 256, 0, 0, 0, 0),
+        ("v3_sg128_z15360_r128", 128, 15360, 128, 0, 0, 0, 0),
+        ("v3_sg128_z15360_r512", 128, 15360, 512, 0, 0, 0, 0),
+        ("v3_sg256_z15360_r256", 256, 15360, 256, 0, 0, 0, 0),
+        ("v3_sg256_z15360_r128", 256, 15360, 128, 0, 0, 0, 0),
+        ("v3_sg512_z15360_r128", 512, 15360, 128, 0, 0, 0, 0),
+        ("v3_sg256_z8192_r128", 256, 8192, 128, 0, 0, 0, 0),
+        ("v3_sg256_z12288_r128", 256, 12288, 128, 0, 0, 0, 0),
+        ("v3_sg256_z10240_r128", 256, 10240, 128, 0, 0, 0, 0),
+        ("v3_sg256_z15360_r96", 256, 15360, 96, 0, 0, 0, 0),
+        ("v3_sg256_z15360_r64", 256, 15360, 64, 0, 0, 0, 0),
+        ("v3_sg256_z15360_r128_s16", 256, 15360, 128, 1, 0, 0, 0),
+        ("v3_sg256_z12288_r96_s16", 256, 12288, 96, 1, 0, 0, 0),
+        ("v3_sg256_z15360_r256_sub8", 256, 15360, 256, 0, 8, 0, 0),
+        ("v3_sg256_z15360_r256_sub16", 256, 15360, 256, 0, 16, 0, 0),
+        ("v3_sg256_z15360_r128_sub8", 256, 15360, 128, 0, 8, 0, 0),
+        # Exact hierarchical selection (SHODH_TOPK_HIER_*): same top-m/rr
+        # VALUES as the flat sort (certificate boundary unchanged), sort
+        # lengths cut ~4-5x. Sweep each stage alone then jointly.
+        ("v3_sg256_z15360_r128_h1x8", 256, 15360, 128, 0, 0, 8, 0),
+        ("v3_sg256_z15360_r128_h2x8", 256, 15360, 128, 0, 0, 0, 8),
+        ("v3_sg256_z15360_r128_h8x8", 256, 15360, 128, 0, 0, 8, 8),
+        ("v3_sg256_z15360_r128_h16x16", 256, 15360, 128, 0, 0, 16, 16),
+        ("v3_sg256_z15360_r128_h8x16", 256, 15360, 128, 0, 0, 8, 16),
+        ("v3_sg128_z15360_r128_h8x8", 128, 15360, 128, 0, 0, 8, 8),
     ):
         _os.environ["SHODH_TOPK_SGROUP"] = str(sg)
         _os.environ["SHODH_TOPK_ZONE_ROWS"] = str(zone)
         _os.environ["SHODH_TOPK_V3_ROWS"] = str(rr)
         _os.environ["SHODH_TOPK_SORT_BF16"] = str(s16)
         _os.environ["SHODH_TOPK_SUB"] = str(sub)
+        _os.environ["SHODH_TOPK_HIER_S1"] = str(h1)
+        _os.environ["SHODH_TOPK_HIER_S2"] = str(h2)
         ops["pack_v3"] = corpus_cert_pack(corpus, scales, valid, sgroup=sg)
         timed(f"full_cert_{name}", cert_v3)
     for v in ("SHODH_TOPK_SGROUP", "SHODH_TOPK_ZONE_ROWS", "SHODH_TOPK_V3_ROWS",
-              "SHODH_TOPK_SORT_BF16", "SHODH_TOPK_SUB"):
+              "SHODH_TOPK_SORT_BF16", "SHODH_TOPK_SUB",
+              "SHODH_TOPK_HIER_S1", "SHODH_TOPK_HIER_S2"):
         _os.environ.pop(v, None)
     ops.pop("pack_v3", None)
 
