@@ -411,12 +411,18 @@ def _v3_params(k: int, n: int, sg: int) -> tuple[int, int, bool, int]:
 
 def _hier_blks() -> tuple[int, int]:
     """Superblock sizes for the exact hierarchical top_k in the v3 stage-1
-    / stage-2 selections (0 = flat lax.top_k)."""
+    / stage-2 selections (0 = flat lax.top_k).
+
+    Defaults 16/32 since the round-4 TPU sweep (v5e, 1M x 384, B=256,
+    iters=32): 7.77 ms/batch vs 8.46 flat = 32.9k QPS/chip (+8.9%), sink
+    checksum byte-identical across all nine swept variants (exactness on
+    real data). S2=32 is the big term (the (B, zone) stage-2 sort is the
+    longest); sweep table in BENCHMARKS 'hierarchical exact top_k'."""
     import os
 
     return (
-        int(os.environ.get("SHODH_TOPK_HIER_S1", "0")),
-        int(os.environ.get("SHODH_TOPK_HIER_S2", "0")),
+        int(os.environ.get("SHODH_TOPK_HIER_S1", "16")),
+        int(os.environ.get("SHODH_TOPK_HIER_S2", "32")),
     )
 
 

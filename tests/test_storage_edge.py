@@ -34,6 +34,23 @@ class TestCorruption:
         assert mem.id in res.ids
         system.close()
 
+    def test_created_date_accessor(self, tmp_path):
+        """created_date: matches the record, caches across evictions, and
+        invalidates on delete (the enum-day-union bucket reader)."""
+        system = MemorySystem(tmp_path / "cd")
+        mem = system.remember(Experience(content="dated record"))
+        store = system.storage
+        want = store.get(mem.id).created_at.date()
+        assert store.created_date(mem.id) == want
+        # evict from the main LRU; the date cache (or kv fallback) serves
+        with store._cache_lock:
+            store._cache.clear()
+        assert store.created_date(mem.id) == want
+        assert store.created_date("no-such-id") is None
+        store.delete(mem.id)
+        assert store.created_date(mem.id) is None
+        system.close()
+
     def test_unicode_and_hostile_content(self, tmp_path):
         system = MemorySystem(tmp_path / "u")
         hostile = [

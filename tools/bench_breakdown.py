@@ -323,6 +323,11 @@ def main():
         ("v3_sg256_z15360_r128_h16x16", 256, 15360, 128, 0, 0, 16, 16),
         ("v3_sg256_z15360_r128_h8x16", 256, 15360, 128, 0, 0, 8, 16),
         ("v3_sg128_z15360_r128_h8x8", 128, 15360, 128, 0, 0, 8, 8),
+        ("v3_sg256_z15360_r128_h0x16", 256, 15360, 128, 0, 0, 0, 16),
+        ("v3_sg256_z15360_r128_h0x32", 256, 15360, 128, 0, 0, 0, 32),
+        ("v3_sg256_z15360_r128_h16x8", 256, 15360, 128, 0, 0, 16, 8),
+        ("v3_sg256_z15360_r128_h16x32", 256, 15360, 128, 0, 0, 16, 32),
+        ("v3_sg256_z15360_r128_h32x16", 256, 15360, 128, 0, 0, 32, 16),
     ):
         _os.environ["SHODH_TOPK_SGROUP"] = str(sg)
         _os.environ["SHODH_TOPK_ZONE_ROWS"] = str(zone)
