@@ -45,9 +45,12 @@ assert acks, "brain never acked the remember"
 
 query = signer.sign({"query_text": "obstacle at the dock", "max_results": 3})
 robot_bus.publish(f"{KEY_PREFIX}/rover1/recall", json.dumps(query).encode())
-deadline = time.monotonic() + 5
+# Same generous deadline as the ack wait: the first recall JIT-compiles the
+# scoring ops, which can take >5 s on a loaded single-core host.
+deadline = time.monotonic() + 30
 while time.monotonic() < deadline and not results:
     time.sleep(0.05)
+assert results, "brain never answered the recall"
 
 print("recall over the mesh:", results[0]["memories"][0]["content"])
 print("fleet members discovered by the robot:",
