@@ -292,6 +292,98 @@ def main():
 
     from shodh_tpu.ops.fused_topk import corpus_cert_pack
 
+    # --- v3 stage anatomy at the SHIPPED env defaults (cumulative: each
+    # probe adds one pipeline stage, so deltas isolate stage costs; the
+    # first probe lets XLA fuse gmax into the matmul epilogue WITHOUT the
+    # (B, N) materialization that stage-2's data-dependent gather forces,
+    # so v3i_stage2 - v3i_stage1 includes that materialization cost). ---
+    from shodh_tpu.ops.fused_topk import (
+        _hier_blks,
+        _hier_topk,
+        _inflate,
+        _v3_params,
+        _v3_sgroup,
+    )
+
+    def _v3i_stages(q, o, stop, barrier=False):
+        svalid, cnorm, cg = o["pack_v3"]
+        gg = cg.shape[0]
+        sgv = n // gg
+        mm, rr2, _, _ = _v3_params(k, n, sgv)
+        s_q = jnp.maximum(jnp.max(jnp.abs(q), axis=1) / 127.0, 1e-30)
+        q8 = jnp.clip(jnp.round(q / s_q[:, None]), -127, 127).astype(jnp.int8)
+        fres = q - s_q[:, None] * q8.astype(jnp.float32)
+        coef_b = 1.02 * jnp.sqrt(jnp.sum(fres * fres, axis=1))
+        raw = jax.lax.dot_general(
+            q8, o["corpus"], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        scaled = (raw.astype(f32) * s_q[:, None] * svalid[None, :]).astype(
+            jnp.bfloat16)
+        a3 = scaled.reshape(b, gg, sgv)
+        gmax = jnp.max(a3, axis=-1).astype(f32)
+        if stop == "gmax":
+            return jnp.max(gmax)
+        if barrier == "g":
+            # Seal only gmax: a3 is dead downstream in the s1 probe, so this
+            # tests whether the sort's fusion boundary alone causes the
+            # (B, N) materialization.
+            gmax = jax.lax.optimization_barrier(gmax)
+        elif barrier == "ag":
+            # Production shape: ONE matmul island that emits the scaled
+            # matrix (needed by stage-2's gather) AND the group maxes, then
+            # sealed — the selection stages can't be merged back into it.
+            a3, gmax = jax.lax.optimization_barrier((a3, gmax))
+        h1, h2 = _hier_blks()
+        upper_g = _inflate(gmax) + coef_b[:, None] * cg[None, :]
+        top_vals, top_groups = _hier_topk(upper_g, mm, h1)
+        if stop == "s1":
+            return jnp.sum(top_vals[:, -1]) + jnp.sum(top_groups[:, 0]).astype(f32)
+        top_groups = jnp.sort(top_groups, axis=-1)
+        cand = jnp.take_along_axis(a3, top_groups[:, :, None], axis=1)
+        cn_sel = cnorm.reshape(gg, sgv)[top_groups]
+        upper_rows = (
+            _inflate(cand.astype(f32)) + coef_b[:, None, None] * cn_sel
+        ).reshape(b, mm * sgv)
+        row_offsets = jnp.arange(sgv, dtype=jnp.int32)[None, None, :]
+        cand_rows = (top_groups[:, :, None] * sgv + row_offsets).reshape(
+            b, mm * sgv)
+        top_row_vals, top_row_pos = _hier_topk(upper_rows, rr2, h2)
+        rows = jnp.sort(
+            jnp.take_along_axis(cand_rows, top_row_pos, axis=-1), axis=-1)
+        if stop == "s2":
+            return jnp.sum(top_row_vals[:, -1]) + jnp.sum(rows[:, 0]).astype(f32)
+        gathered = o["corpus"][rows]
+        raw_exact = jnp.einsum(
+            "bd,brd->br", q, gathered.astype(f32),
+            precision=jax.lax.Precision.HIGHEST)
+        v = o["valid"][rows]
+        cand_exact = raw_exact * o["scales"][rows] * v + (1.0 - v) * NEG_INF
+        vals, pos = jax.lax.top_k(cand_exact, k)
+        return jnp.sum(vals[:, 0])
+
+    if not args.exp or any(e.startswith("v3i_") for e in args.exp.split(",")):
+        ops["pack_v3"] = corpus_cert_pack(
+            corpus, scales, valid, sgroup=_v3_sgroup())
+        timed("v3i_mm_scaled_gmax", lambda q, i, o: _v3i_stages(q, o, "gmax"))
+        timed("v3i_stage1", lambda q, i, o: _v3i_stages(q, o, "s1"))
+        timed("v3i_stage2", lambda q, i, o: _v3i_stages(q, o, "s2"))
+        timed("v3i_full", lambda q, i, o: _v3i_stages(q, o, "full"))
+        timed("v3i_stage1_barG",
+              lambda q, i, o: _v3i_stages(q, o, "s1", barrier="g"))
+        timed("v3i_stage1_barAG",
+              lambda q, i, o: _v3i_stages(q, o, "s1", barrier="ag"))
+        timed("v3i_full_barAG",
+              lambda q, i, o: _v3i_stages(q, o, "full", barrier="ag"))
+        ops.pop("pack_v3", None)
+        ops["g_const"] = jax.random.normal(
+            jax.random.PRNGKey(11), (b, n // _v3_sgroup()), jnp.float32)
+        from shodh_tpu.ops.fused_topk import _slack_groups as _sg_fn
+        _m_v3 = _v3_params(k, n, _v3_sgroup())[0]
+        timed("probe_hier_topk_groups",
+              lambda q, i, o: jnp.sum(
+                  _hier_topk(o["g_const"] * q[0, 0], _m_v3,
+                             _hier_blks()[0])[0][:, -1]))
+
     def cert_v3(q, i, o):
         vals, ids, safe = _certified_parts_int8(
             q, o["corpus"], o["valid"], k, o["scales"], o["pack_v3"])
