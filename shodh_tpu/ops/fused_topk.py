@@ -500,6 +500,111 @@ def _inflate(x):
     return x + jnp.abs(x) * _BF16_UP
 
 
+# --------------------------------------------------------------------------
+# Pallas pass-1 for the v3 certified path (round-4 "hidden layout copy").
+#
+# AOT memory_analysis at 1M x 384, B=256 (BENCHMARKS "hidden 512 MB layout
+# copy"): when the XLA dot's (B, N) bf16 scaled matrix is consumed by BOTH
+# the group-max reduce (stage 1) and the data-dependent group gather
+# (stage 2), XLA keeps the dot output in its batch-in-sublanes tiled
+# layout (bf16[32,8,4096,256]{3,1,2,0}) and inserts an explicit 512 MB
+# `copy` HLO to the standard layout the reduce/gather emitters need —
+# ~1 GB of pure relayout HBM traffic per batch. Every XLA-level fix was
+# falsified (optimization_barrier, reduce_window, transposed dot,
+# batch-split dots — see BENCHMARKS). This kernel emits BOTH consumers'
+# operands directly: int8 MXU dot per corpus tile, scale epilogue in f32,
+# one bf16 (B, TILE) block of the standard-layout scaled matrix, and the
+# per-selection-group maxes — one pass, no relayout, half the temp bytes.
+# --------------------------------------------------------------------------
+
+
+def _p1_tile() -> int:
+    import os
+
+    return int(os.environ.get("SHODH_TOPK_P1_TILE", "0")) or 2048
+
+
+def _p1_impl() -> str:
+    """'pallas' (default on real TPU) or 'xla' for the v3 certified pass-1
+    (SHODH_TOPK_P1). Measured same-session at 1M x 384, B=256, iters=32
+    (tools/bench_breakdown.py --exp v3p_*,v3i_*): stage-1 5.27 -> 2.70 ms
+    (the 512 MB relayout copy is gone), full certified path 7.83 -> 6.96
+    ms, sink checksums byte-identical on hardware. Interpret-mode Pallas
+    is much slower than XLA on CPU, so non-TPU backends keep 'xla'."""
+    import os
+
+    v = os.environ.get("SHODH_TOPK_P1", "").lower()
+    if v:
+        return v
+    return "xla" if _interpret() else "pallas"
+
+
+def _v3_pass1_kernel(sq_ref, q8_ref, c_ref, sv_ref, scaled_ref, gmax_ref, *, sg):
+    """One grid step: int8 scores for a (TILE, D) corpus tile.
+
+    Emits the (B, TILE) bf16 scaled block (standard layout — stage-2's
+    gather operand) AND the (TILE//sg, B) group maxes (transposed so the
+    output block's trailing dim is the 128-divisible B, as in
+    _groupmax_kernel). Math is kept operation-for-operation identical to
+    the XLA formulation in _certified_parts_int8 so the fast path stays
+    byte-equal regardless of SHODH_TOPK_P1.
+    """
+    raw = jax.lax.dot_general(
+        q8_ref[:],
+        c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (B, TILE) int32 on the MXU int8 path
+    scaled = (raw.astype(jnp.float32) * sq_ref[:] * sv_ref[:][None, :]).astype(
+        jnp.bfloat16
+    )
+    scaled_ref[:] = scaled
+    bb, t = scaled.shape
+    gmax_ref[:] = (
+        jnp.max(scaled.reshape(bb, t // sg, sg), axis=-1).astype(jnp.float32).T
+    )
+
+
+def v3_pass1_pallas(q8, s_q, corpus, svalid, sg: int):
+    """Fused pass-1: (scaled (B, N) bf16, gmax (B, G) f32), G = N // sg."""
+    b, d = q8.shape
+    n = corpus.shape[0]
+    tile = min(_p1_tile(), n)
+    if tile % sg or n % tile:
+        tile = sg  # sg always tiles n (corpus_cert_pack invariant)
+    grid = (n // tile,)
+    scaled, gmax_t = pl.pallas_call(
+        partial(_v3_pass1_kernel, sg=sg),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile // sg, b), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n), jnp.bfloat16),
+            jax.ShapeDtypeStruct((n // sg, b), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d,
+            bytes_accessed=n * d + b * d + b * n * 2 + (n // sg) * b * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(s_q[:, None], q8, corpus, svalid)
+    return scaled, gmax_t.T
+
+
 def _certified_parts_int8(queries, corpus, valid, k: int, scales, pack):
     """Certificate-v3 fast path: int8 pass-1 on the CORPUS ITSELF (zero
     corpus-side quantization error), bf16 scaled score matrix, two-stage
@@ -521,17 +626,25 @@ def _certified_parts_int8(queries, corpus, valid, k: int, scales, pack):
     coef_b = 1.02 * jnp.sqrt(jnp.sum(f * f, axis=1))  # (B,)
 
     # Pass 1: int8 MXU on the corpus itself; the scale epilogue + bf16
-    # cast + group max fuse into the matmul consumer.
-    raw = jax.lax.dot_general(
-        q8, corpus,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )  # (B, N) int32
-    scaled = (
-        raw.astype(jnp.float32) * s_q[:, None] * svalid[None, :]
-    ).astype(jnp.bfloat16)  # (B, N) bf16 approx true scores
-    a3 = scaled.reshape(b, g, sg)
-    gmax = jnp.max(a3, axis=-1).astype(jnp.float32)  # (B, G)
+    # cast + group max fuse into the matmul consumer. The Pallas variant
+    # (SHODH_TOPK_P1=pallas) computes the SAME values in one fused pass
+    # that writes the scaled matrix in standard layout, sidestepping the
+    # 512 MB XLA relayout copy between the dot and the reduce/gather
+    # consumers (b must be sublane-aligned for the bf16 output block).
+    if _p1_impl() == "pallas" and b % 16 == 0:
+        scaled, gmax = v3_pass1_pallas(q8, s_q, corpus, svalid, sg)
+        a3 = scaled.reshape(b, g, sg)
+    else:
+        raw = jax.lax.dot_general(
+            q8, corpus,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (B, N) int32
+        scaled = (
+            raw.astype(jnp.float32) * s_q[:, None] * svalid[None, :]
+        ).astype(jnp.bfloat16)  # (B, N) bf16 approx true scores
+        a3 = scaled.reshape(b, g, sg)
+        gmax = jnp.max(a3, axis=-1).astype(jnp.float32)  # (B, G)
 
     # Stage 1: rank groups by the true-score UPPER bound. The hierarchical
     # selection returns the same top-m VALUES (so beta_pad is unchanged);

@@ -535,6 +535,51 @@ class TestInt8CertifiedTopk:
         assert not bool(safe)
         two_level_topk._clear_cache()
 
+    def test_pallas_pass1_byte_parity(self, monkeypatch):
+        """SHODH_TOPK_P1=pallas (the fused pass-1 that sidesteps the 512 MB
+        relayout copy, BENCHMARKS 'hidden layout copy') must produce the
+        SAME scaled matrix, group maxes, and certified result as the XLA
+        formulation — operation-for-operation identical math."""
+        from shodh_tpu.ops.fused_topk import (
+            _certified_parts_int8,
+            _v3_sgroup,
+            v3_pass1_pallas,
+        )
+
+        queries, corpus, valid, scales, pack = self._setup(b=16)
+        k = 10
+        svalid = pack[0]
+        sg = _v3_sgroup()
+        # reference pass-1 (the XLA formulation, verbatim)
+        s_q = jnp.maximum(jnp.max(jnp.abs(queries), axis=1) / 127.0, 1e-30)
+        q8 = jnp.clip(
+            jnp.round(queries / s_q[:, None]), -127, 127
+        ).astype(jnp.int8)
+        raw = jax.lax.dot_general(
+            q8, corpus, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        want_scaled = (
+            raw.astype(jnp.float32) * s_q[:, None] * svalid[None, :]
+        ).astype(jnp.bfloat16)
+        n = corpus.shape[0]
+        want_gmax = jnp.max(
+            want_scaled.reshape(queries.shape[0], n // sg, sg), axis=-1
+        ).astype(jnp.float32)
+        got_scaled, got_gmax = v3_pass1_pallas(q8, s_q, corpus, svalid, sg)
+        np.testing.assert_array_equal(
+            np.asarray(want_scaled), np.asarray(got_scaled))
+        np.testing.assert_array_equal(
+            np.asarray(want_gmax), np.asarray(got_gmax))
+        # end-to-end: certified parts identical under both P1 impls
+        v0, i0, s0 = _certified_parts_int8(
+            queries, corpus, valid, k, scales, pack)
+        monkeypatch.setenv("SHODH_TOPK_P1", "pallas")
+        v1, i1, s1 = _certified_parts_int8(
+            queries, corpus, valid, k, scales, pack)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+        assert bool(s0) == bool(s1)
+
     def test_device_index_end_to_end_with_flag(self, monkeypatch):
         """DeviceVectorIndex search under SHODH_TOPK_INT8=1 returns the same
         rows as without (exact-or-fallback at the index surface)."""

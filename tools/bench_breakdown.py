@@ -305,7 +305,7 @@ def main():
         _v3_sgroup,
     )
 
-    def _v3i_stages(q, o, stop, barrier=False):
+    def _v3i_stages(q, o, stop, barrier=False, pallas_p1=False):
         svalid, cnorm, cg = o["pack_v3"]
         gg = cg.shape[0]
         sgv = n // gg
@@ -314,13 +314,19 @@ def main():
         q8 = jnp.clip(jnp.round(q / s_q[:, None]), -127, 127).astype(jnp.int8)
         fres = q - s_q[:, None] * q8.astype(jnp.float32)
         coef_b = 1.02 * jnp.sqrt(jnp.sum(fres * fres, axis=1))
-        raw = jax.lax.dot_general(
-            q8, o["corpus"], dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        scaled = (raw.astype(f32) * s_q[:, None] * svalid[None, :]).astype(
-            jnp.bfloat16)
-        a3 = scaled.reshape(b, gg, sgv)
-        gmax = jnp.max(a3, axis=-1).astype(f32)
+        if pallas_p1:
+            from shodh_tpu.ops.fused_topk import v3_pass1_pallas
+
+            scaled, gmax = v3_pass1_pallas(q8, s_q, o["corpus"], svalid, sgv)
+            a3 = scaled.reshape(b, gg, sgv)
+        else:
+            raw = jax.lax.dot_general(
+                q8, o["corpus"], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            scaled = (raw.astype(f32) * s_q[:, None] * svalid[None, :]).astype(
+                jnp.bfloat16)
+            a3 = scaled.reshape(b, gg, sgv)
+            gmax = jnp.max(a3, axis=-1).astype(f32)
         if stop == "gmax":
             return jnp.max(gmax)
         if barrier == "g":
@@ -424,6 +430,26 @@ def main():
         timed("v3iT_stage1", lambda q, i, o: _v3iT_stages(q, o, "s1"))
         timed("v3iT_stage2", lambda q, i, o: _v3iT_stages(q, o, "s2"))
         timed("v3iT_full", lambda q, i, o: _v3iT_stages(q, o, "full"))
+        ops.pop("pack_v3", None)
+
+    if not args.exp or any(e.startswith("v3p_") for e in args.exp.split(",")):
+        # Pallas pass-1 (SHODH_TOPK_P1): emits the standard-layout scaled
+        # matrix + group maxes in ONE pass — no XLA relayout copy.
+        ops["pack_v3"] = corpus_cert_pack(
+            corpus, scales, valid, sgroup=_v3_sgroup())
+        timed("v3p_mm_scaled_gmax",
+              lambda q, i, o: _v3i_stages(q, o, "gmax", pallas_p1=True))
+        timed("v3p_stage1",
+              lambda q, i, o: _v3i_stages(q, o, "s1", pallas_p1=True))
+        timed("v3p_stage2",
+              lambda q, i, o: _v3i_stages(q, o, "s2", pallas_p1=True))
+        timed("v3p_full",
+              lambda q, i, o: _v3i_stages(q, o, "full", pallas_p1=True))
+        for t in (1024, 4096, 8192):
+            _os.environ["SHODH_TOPK_P1_TILE"] = str(t)
+            timed(f"v3p_full_tile{t}",
+                  lambda q, i, o: _v3i_stages(q, o, "full", pallas_p1=True))
+        _os.environ.pop("SHODH_TOPK_P1_TILE", None)
         ops.pop("pack_v3", None)
 
     if not args.exp or any(e.startswith("v3i_") for e in args.exp.split(",")):
