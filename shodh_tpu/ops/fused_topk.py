@@ -569,9 +569,13 @@ def v3_pass1_pallas(q8, s_q, corpus, svalid, sg: int):
     """Fused pass-1: (scaled (B, N) bf16, gmax (B, G) f32), G = N // sg."""
     b, d = q8.shape
     n = corpus.shape[0]
+    # Mosaic block rules: the gmax output block (tile//sg, b) needs its
+    # sublane dim divisible by 8 (or == the full array dim), so a legal
+    # tile is a multiple of 8*sg that divides n — or n itself (full-array
+    # blocks are always legal).
     tile = min(_p1_tile(), n)
-    if tile % sg or n % tile:
-        tile = sg  # sg always tiles n (corpus_cert_pack invariant)
+    if n % tile or tile % sg or ((tile // sg) % 8 and tile != n):
+        tile = 8 * sg if (n % (8 * sg) == 0 and 8 * sg <= n) else n
     grid = (n // tile,)
     scaled, gmax_t = pl.pallas_call(
         partial(_v3_pass1_kernel, sg=sg),
@@ -630,8 +634,11 @@ def _certified_parts_int8(queries, corpus, valid, k: int, scales, pack):
     # (SHODH_TOPK_P1=pallas) computes the SAME values in one fused pass
     # that writes the scaled matrix in standard layout, sidestepping the
     # 512 MB XLA relayout copy between the dot and the reduce/gather
-    # consumers (b must be sublane-aligned for the bf16 output block).
-    if _p1_impl() == "pallas" and b % 16 == 0:
+    # consumers. Blocks span the full B dim (index 0 on that axis), so
+    # Mosaic's full-array-dim rule makes every padded batch shape legal;
+    # the b % 8 guard just keeps un-padded odd shapes on the proven XLA
+    # path (DeviceVectorIndex pads b to 8/32/128/256 before this call).
+    if _p1_impl() == "pallas" and b % 8 == 0:
         scaled, gmax = v3_pass1_pallas(q8, s_q, corpus, svalid, sg)
         a3 = scaled.reshape(b, g, sg)
     else:
@@ -711,8 +718,166 @@ def _certified_parts_int8(queries, corpus, valid, k: int, scales, pack):
     return vals, ids, safe
 
 
+# --------------------------------------------------------------------------
+# Certificate v4 (round-4 late): hierarchical UPPER-BOUND selection.
+#
+# v3 ranks 256-row selection groups by bound, then re-ranks a ~15k-row
+# zone — two wide sorts plus a 15k-row gather per query. But the pass-1
+# kernel holds everything the per-ROW upper bound needs (the bf16 score,
+# the per-query residual coefficient, the packed row norms), so it can
+# emit the EXACT max of upper = inflate(score) + coef*cnorm over every
+# SU=32 consecutive rows: a (B, N/32) f32 matrix. Selection collapses to
+# one global containment argument (the _hier_topk lemma applied to row
+# uppers): the top-R superblocks by exact max provably contain the top-R
+# rows by upper, so gathering those R*32 scores and re-ranking yields the
+# EXACT global R-th best row upper — a certificate boundary at least as
+# tight as v3's max(beta, gamma) (v3's gamma is zone-restricted and its
+# beta is a 256-row group bound). Dropped-row proof: an unselected
+# block's max cannot exceed the R-th best row upper (else >= R rows would
+# beat it — contradiction); within selected blocks the re-rank is exact.
+# Ties at the boundary fail the strict < and fall back exactly as v3.
+# Sorts shrink from (B, N/256)+(B, 15360) to (B, N/1024)+(B, 4096)x2.
+# --------------------------------------------------------------------------
+
+
+def _v4_enabled() -> bool:
+    import os
+
+    return os.environ.get("SHODH_TOPK_V4", "0") == "1"
+
+
+def _v4_su() -> int:
+    import os
+
+    return int(os.environ.get("SHODH_TOPK_V4_SU", "0")) or 32
+
+
+def _v4_pass1_kernel(
+    sq_ref, q8_ref, coef_ref, c_ref, sv_ref, cn_ref, scaled_ref, su_ref, *, su
+):
+    """v3 pass-1 plus the per-SU-block exact max of the row upper bound."""
+    raw = jax.lax.dot_general(
+        q8_ref[:],
+        c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (B, T) int32
+    scaled = (raw.astype(jnp.float32) * sq_ref[:] * sv_ref[:][None, :]).astype(
+        jnp.bfloat16
+    )
+    scaled_ref[:] = scaled
+    sf = scaled.astype(jnp.float32)
+    upper = sf + jnp.abs(sf) * _BF16_UP + coef_ref[:] * cn_ref[:][None, :]
+    bb, t = upper.shape
+    su_ref[:] = jnp.max(upper.reshape(bb, t // su, su), axis=-1).T
+
+
+def v4_pass1_pallas(q8, s_q, coef_b, corpus, svalid, cnorm, su: int):
+    """Fused v4 pass-1: (scaled (B, N) bf16, su_upper (B, N//su) f32)."""
+    b, d = q8.shape
+    n = corpus.shape[0]
+    tile = min(_p1_tile(), n)
+    if n % tile or tile % (8 * su) or tile % 128:
+        tile = 8 * su * max(1, 2048 // (8 * su))
+        if n % tile:
+            tile = n
+    grid = (n // tile,)
+    scaled, su_t = pl.pallas_call(
+        partial(_v4_pass1_kernel, su=su),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile // su, b), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n), jnp.bfloat16),
+            jax.ShapeDtypeStruct((n // su, b), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d,
+            bytes_accessed=n * d + b * d + b * n * 2 + (n // su) * b * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(s_q[:, None], q8, coef_b[:, None], corpus, svalid, cnorm)
+    return scaled, su_t.T
+
+
+def _certified_parts_int8_v4(queries, corpus, valid, k: int, scales, pack):
+    """Certificate-v4 fast path (see block comment). Exact-or-fallback:
+    returns (vals, ids, safe) with the identical rescore math as v3."""
+    svalid, cnorm, _cg = pack
+    b, d = queries.shape
+    n = corpus.shape[0]
+    su = _v4_su()
+    rr = _v3_params(k, n, _v3_sgroup())[1]  # candidate rows (default 128)
+
+    s_q = jnp.maximum(jnp.max(jnp.abs(queries), axis=1) / 127.0, 1e-30)
+    q8 = jnp.clip(jnp.round(queries / s_q[:, None]), -127, 127).astype(jnp.int8)
+    f = queries - s_q[:, None] * q8.astype(jnp.float32)
+    coef_b = 1.02 * jnp.sqrt(jnp.sum(f * f, axis=1))  # (B,)
+
+    scaled, su_up = v4_pass1_pallas(q8, s_q, coef_b, corpus, svalid, cnorm, su)
+    nsu = n // su
+
+    # Top-rr superblocks by EXACT upper max (containment lemma) — the
+    # inner hierarchy reuses _hier_topk with its own exactness proof.
+    _, top_blk = _hier_topk(su_up, min(rr, nsu), _hier_blks()[1])
+    top_blk = jnp.sort(top_blk, axis=-1)
+
+    # Gather the selected blocks' scores + norms; exact re-rank by upper.
+    kb = top_blk.shape[1]
+    cand = jnp.take_along_axis(
+        scaled.reshape(b, nsu, su), top_blk[:, :, None], axis=1
+    )  # (B, kb, su) bf16
+    cn_sel = cnorm.reshape(nsu, su)[top_blk]  # (B, kb, su)
+    cf = cand.astype(jnp.float32)
+    upper = (cf + jnp.abs(cf) * _BF16_UP + coef_b[:, None, None] * cn_sel).reshape(
+        b, kb * su
+    )
+    cand_rows = (
+        top_blk[:, :, None] * su + jnp.arange(su, dtype=jnp.int32)[None, None, :]
+    ).reshape(b, kb * su)
+    top_row_vals, top_row_pos = jax.lax.top_k(upper, min(rr, kb * su))
+    gamma = top_row_vals[:, -1]  # EXACT global rr-th best row upper
+    rows = jnp.sort(jnp.take_along_axis(cand_rows, top_row_pos, axis=-1), axis=-1)
+
+    # Exact rescore (identical math to v3/brute).
+    gathered = corpus[rows]
+    raw_exact = jnp.einsum(
+        "bd,brd->br", queries, gathered.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    v = valid[rows]
+    cand_exact = raw_exact * scales[rows] * v + (1.0 - v) * NEG_INF
+    vals, pos = jax.lax.top_k(cand_exact, k)
+    ids = jnp.take_along_axis(rows, pos, axis=-1)
+
+    safe = jnp.all(gamma < vals[:, k - 1])
+    return vals, ids, safe
+
+
 def _certified_fast_topk_int8(queries, corpus, valid, k: int, scales, int8_pack):
-    vals, ids, safe = _certified_parts_int8(queries, corpus, valid, k, scales, int8_pack)
+    b = queries.shape[0]
+    if _v4_enabled() and b % 8 == 0:
+        vals, ids, safe = _certified_parts_int8_v4(
+            queries, corpus, valid, k, scales, int8_pack)
+    else:
+        vals, ids, safe = _certified_parts_int8(
+            queries, corpus, valid, k, scales, int8_pack)
 
     def exact_path(_):
         from shodh_tpu.ops.distance import masked_scores

@@ -580,6 +580,90 @@ class TestInt8CertifiedTopk:
         np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
         assert bool(s0) == bool(s1)
 
+    def test_pallas_pass1_tile_clamp(self, monkeypatch):
+        """Illegal SHODH_TOPK_P1_TILE values (gmax block sublane dim not
+        8-divisible — Mosaic rejects (tile//sg, b) blocks like (4, 256))
+        must clamp to a legal tile and still produce identical outputs."""
+        from shodh_tpu.ops.fused_topk import _v3_sgroup, v3_pass1_pallas
+
+        queries, corpus, valid, scales, pack = self._setup(b=16)
+        sg = _v3_sgroup()
+        s_q = jnp.maximum(jnp.max(jnp.abs(queries), axis=1) / 127.0, 1e-30)
+        q8 = jnp.clip(
+            jnp.round(queries / s_q[:, None]), -127, 127
+        ).astype(jnp.int8)
+        want_scaled, want_gmax = v3_pass1_pallas(q8, s_q, corpus, pack[0], sg)
+        for bad in ("1024", "999", str(corpus.shape[0] * 2)):
+            monkeypatch.setenv("SHODH_TOPK_P1_TILE", bad)
+            got_scaled, got_gmax = v3_pass1_pallas(
+                q8, s_q, corpus, pack[0], sg)
+            np.testing.assert_array_equal(
+                np.asarray(want_scaled), np.asarray(got_scaled))
+            np.testing.assert_array_equal(
+                np.asarray(want_gmax), np.asarray(got_gmax))
+
+    def test_v4_hier_upper_selection_bit_identical(self, monkeypatch):
+        """Certificate v4 (SHODH_TOPK_V4): in-kernel superblock maxes of the
+        row UPPER BOUND + one global containment selection. Must be
+        bit-identical to brute force when it certifies, and identical to
+        the v3 result either way (same exact rescore math)."""
+        from shodh_tpu.ops.fused_topk import (
+            _certified_parts_int8,
+            _certified_parts_int8_v4,
+        )
+
+        queries, corpus, valid, scales, pack = self._setup(b=16)
+        k = 10
+        v3v, v3i, v3s = _certified_parts_int8(
+            queries, corpus, valid, k, scales, pack)
+        v4v, v4i, v4s = _certified_parts_int8_v4(
+            queries, corpus, valid, k, scales, pack)
+        assert bool(v4s)  # well-separated data must certify
+        np.testing.assert_array_equal(np.asarray(v3i), np.asarray(v4i))
+        np.testing.assert_array_equal(np.asarray(v3v), np.asarray(v4v))
+        bv, br = brute_topk(queries, corpus, valid, k, scales=scales)
+        np.testing.assert_array_equal(np.asarray(br), np.asarray(v4i))
+        # v4's boundary is the EXACT global rr-th best upper — at least as
+        # tight as v3's max(beta, gamma), so it must certify whenever v3 does
+        assert bool(v4s) >= bool(v3s)
+
+    def test_v4_adversarial_ties_fall_back(self, monkeypatch):
+        """More exact duplicates than the candidate set can hold: the tied
+        boundary fails the strict < and the exact branch must serve."""
+        monkeypatch.setenv("SHODH_TOPK_IMPL", "xla")
+        monkeypatch.setenv("SHODH_TOPK_FAST_MIN_ROWS", "0")
+        monkeypatch.setenv("SHODH_TOPK_INT8_MIN_ROWS", "0")
+        monkeypatch.setenv("SHODH_TOPK_V4", "1")
+        two_level_topk._clear_cache()
+        from shodh_tpu.ops.fused_topk import (
+            _certified_parts_int8_v4,
+            corpus_cert_pack_default,
+        )
+
+        n, d, k = 16 * TILE_N, 128, 10
+        rng = np.random.default_rng(3)
+        base = _random_unit(n, d, seed=3) * 0.1
+        target = _random_unit(1, d, seed=4)[0]
+        tie_rows = rng.choice(n, size=640, replace=False)
+        base[tie_rows] = target
+        s = np.maximum(np.abs(base).max(axis=1) / 127.0, 1e-9).astype(np.float32)
+        corpus = jnp.asarray(
+            np.clip(np.round(base / s[:, None]), -127, 127).astype(np.int8)
+        )
+        scales = jnp.asarray(s)
+        queries = jnp.asarray(
+            np.stack([target] * 8 + [-target] * 8).astype(np.float32))
+        valid = jnp.ones(n, jnp.float32)
+        pack = corpus_cert_pack_default(corpus, scales, valid)
+        bv, br = brute_topk(queries, corpus, valid, k, scales=scales)
+        fv, fr = two_level_topk(queries, corpus, valid, k, scales, int8_pack=pack)
+        np.testing.assert_array_equal(np.asarray(br), np.asarray(fr))
+        np.testing.assert_array_equal(np.asarray(bv), np.asarray(fv))
+        _, _, safe = _certified_parts_int8_v4(
+            queries, corpus, valid, k, scales, pack)
+        assert not bool(safe)
+        two_level_topk._clear_cache()
+
     def test_device_index_end_to_end_with_flag(self, monkeypatch):
         """DeviceVectorIndex search under SHODH_TOPK_INT8=1 returns the same
         rows as without (exact-or-fallback at the index surface)."""

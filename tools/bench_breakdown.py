@@ -445,11 +445,26 @@ def main():
               lambda q, i, o: _v3i_stages(q, o, "s2", pallas_p1=True))
         timed("v3p_full",
               lambda q, i, o: _v3i_stages(q, o, "full", pallas_p1=True))
-        for t in (1024, 4096, 8192):
-            _os.environ["SHODH_TOPK_P1_TILE"] = str(t)
-            timed(f"v3p_full_tile{t}",
-                  lambda q, i, o: _v3i_stages(q, o, "full", pallas_p1=True))
-        _os.environ.pop("SHODH_TOPK_P1_TILE", None)
+        # Certificate v4: hierarchical upper-bound selection with in-kernel
+        # superblock maxes (one global containment stage, tighter boundary).
+        from shodh_tpu.ops.fused_topk import _certified_parts_int8_v4
+
+        def cert_v4(q, i, o):
+            vals, ids, safe = _certified_parts_int8_v4(
+                q, o["corpus"], o["valid"], k, o["scales"], o["pack_v3"])
+            return jnp.sum(vals[:, 0]) * 1e-6 + safe.astype(f32)
+
+        timed("v4_full", cert_v4)
+        for s2 in (8, 16, 64):
+            _os.environ["SHODH_TOPK_V4_SU"] = str(s2)
+            timed(f"v4_full_su{s2}", cert_v4)
+        _os.environ.pop("SHODH_TOPK_V4_SU", None)
+
+        # NOTE: tile=4096/8192 OOM Mosaic's 16 MB scoped VMEM at B=256
+        # (18.15M scoped for the 8192 kernel; the int32 (B, T) accumulator
+        # + double-buffered in/out blocks). 2048 is the shipped default
+        # and is already ~at the pass-1 floor (2.52 ms vs 1.9 ms matmul-only
+        # + the 512 MB scaled write).
         ops.pop("pack_v3", None)
 
     if not args.exp or any(e.startswith("v3i_") for e in args.exp.split(",")):
