@@ -747,9 +747,26 @@ def _v4_enabled() -> bool:
 
 
 def _v4_su() -> int:
+    """Superblock rows for the v4 upper-bound maxes. In-kernel ('kernel'
+    impl) the Mosaic lane-split reshape needs su to keep a 128-multiple
+    lane dim (su=32 fails: 'unsupported shape cast (256x2048xf32) ->
+    (256x64x32)'); the 'xla' impl reduces over the Pallas-written
+    standard-layout matrix and supports any su."""
     import os
 
-    return int(os.environ.get("SHODH_TOPK_V4_SU", "0")) or 32
+    return int(os.environ.get("SHODH_TOPK_V4_SU", "0")) or (
+        128 if _v4_impl() == "kernel" else 32
+    )
+
+
+def _v4_impl() -> str:
+    """'xla' (default): su maxes reduced by XLA from the v3p kernel's
+    standard-layout scaled matrix (one fused 512 MB read, no relayout —
+    the input is a Pallas output). 'kernel': su maxes emitted by the v4
+    kernel itself (su must be lane-aligned, >= 128)."""
+    import os
+
+    return os.environ.get("SHODH_TOPK_V4_IMPL", "xla").lower()
 
 
 def _v4_pass1_kernel(
@@ -830,8 +847,23 @@ def _certified_parts_int8_v4(queries, corpus, valid, k: int, scales, pack):
     f = queries - s_q[:, None] * q8.astype(jnp.float32)
     coef_b = 1.02 * jnp.sqrt(jnp.sum(f * f, axis=1))  # (B,)
 
-    scaled, su_up = v4_pass1_pallas(q8, s_q, coef_b, corpus, svalid, cnorm, su)
     nsu = n // su
+    if _v4_impl() == "kernel":
+        scaled, su_up = v4_pass1_pallas(
+            q8, s_q, coef_b, corpus, svalid, cnorm, su)
+    else:
+        # XLA su reduce over the Pallas-written standard-layout matrix:
+        # the elementwise upper fuses into the reduce's single 512 MB
+        # read (no relayout copy — the input layout is already standard).
+        # The v3p kernel's gmax side-output (lane-aligned sg, ~4 MB) is
+        # simply dropped — cheaper than a second kernel variant.
+        scaled, _gmax = v3_pass1_pallas(q8, s_q, corpus, svalid, _v3_sgroup())
+        sf = scaled.reshape(b, nsu, su).astype(jnp.float32)
+        su_up = jnp.max(
+            sf + jnp.abs(sf) * _BF16_UP
+            + coef_b[:, None, None] * cnorm.reshape(nsu, su)[None, :, :],
+            axis=-1,
+        )
 
     # Top-rr superblocks by EXACT upper max (containment lemma) — the
     # inner hierarchy reuses _hier_topk with its own exactness proof.

@@ -459,6 +459,9 @@ def main():
             _os.environ["SHODH_TOPK_V4_SU"] = str(s2)
             timed(f"v4_full_su{s2}", cert_v4)
         _os.environ.pop("SHODH_TOPK_V4_SU", None)
+        _os.environ["SHODH_TOPK_V4_IMPL"] = "kernel"
+        timed("v4_full_kernel_su128", cert_v4)
+        _os.environ.pop("SHODH_TOPK_V4_IMPL", None)
 
         # NOTE: tile=4096/8192 OOM Mosaic's 16 MB scoped VMEM at B=256
         # (18.15M scoped for the 8192 kernel; the int32 (B, T) accumulator
