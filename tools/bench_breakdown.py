@@ -346,10 +346,14 @@ def main():
             return jnp.sum(top_vals[:, -1]) + jnp.sum(top_groups[:, 0]).astype(f32)
         top_groups = jnp.sort(top_groups, axis=-1)
         cand = jnp.take_along_axis(a3, top_groups[:, :, None], axis=1)
+        if stop == "s2gather":
+            return jnp.sum(cand.astype(f32))
         cn_sel = cnorm.reshape(gg, sgv)[top_groups]
         upper_rows = (
             _inflate(cand.astype(f32)) + coef_b[:, None, None] * cn_sel
         ).reshape(b, mm * sgv)
+        if stop == "s2upper":
+            return jnp.sum(upper_rows)
         row_offsets = jnp.arange(sgv, dtype=jnp.int32)[None, None, :]
         cand_rows = (top_groups[:, :, None] * sgv + row_offsets).reshape(
             b, mm * sgv)
@@ -441,6 +445,10 @@ def main():
               lambda q, i, o: _v3i_stages(q, o, "gmax", pallas_p1=True))
         timed("v3p_stage1",
               lambda q, i, o: _v3i_stages(q, o, "s1", pallas_p1=True))
+        timed("v3p_s2gather",
+              lambda q, i, o: _v3i_stages(q, o, "s2gather", pallas_p1=True))
+        timed("v3p_s2upper",
+              lambda q, i, o: _v3i_stages(q, o, "s2upper", pallas_p1=True))
         timed("v3p_stage2",
               lambda q, i, o: _v3i_stages(q, o, "s2", pallas_p1=True))
         timed("v3p_full",
