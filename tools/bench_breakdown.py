@@ -536,6 +536,12 @@ def main():
         ("v3_sg256_z15360_r128_h0x32", 256, 15360, 128, 0, 0, 0, 32),
         ("v3_sg256_z15360_r128_h16x8", 256, 15360, 128, 0, 0, 16, 8),
         ("v3_sg256_z15360_r128_h16x32", 256, 15360, 128, 0, 0, 16, 32),
+        # round-4-late: zone shrink candidates under the Pallas pass-1 (the
+        # s2 zone gather is now the dominant stage term at +1.83 ms; sink
+        # integer part == certified batches, watch it stay == iters)
+        ("v3_sg256_z12288_r128_h16x32", 256, 12288, 128, 0, 0, 16, 32),
+        ("v3_sg256_z13824_r128_h16x32", 256, 13824, 128, 0, 0, 16, 32),
+        ("v3_sg128_z12288_r128_h16x32", 128, 12288, 128, 0, 0, 16, 32),
         ("v3_sg256_z15360_r128_h32x16", 256, 15360, 128, 0, 0, 32, 16),
     ):
         _os.environ["SHODH_TOPK_SGROUP"] = str(sg)
