@@ -255,12 +255,133 @@ def fused_recall_batch(
     graph_density,  # scalar f32
     k: int,
 ):
-    """Batched fused funnel: (B, k) scores+rows in ONE program.
+    """Batched fused funnel, sparse-correction form: (B, k) in ONE program.
 
-    Identical math to :func:`fused_recall` vectorized over the query axis;
-    the sparse BM25/graph legs ship as (B, H) hit lists and scatter-max
-    into dense (B, N) planes ON DEVICE (shipping dense planes from host
-    would move B*N floats per batch)."""
+    Bit-identical ranking to :func:`fused_recall_batch_dense` (parity test
+    ``tests/test_ops.py::test_batch_funnel_sparse_parity``) but without the
+    two dense (B, N) scatter planes: with B=32 at 1M rows those planes cost
+    ~512 MB of pure HBM traffic per batch (2x zero-init write + 2x epilogue
+    read) to carry <=512 hits/query. Here the BM25/graph legs stay sparse:
+
+      1. base plane  = hybrid_w * clip(cos) * rowfactor  (pure elementwise
+         on the dot output — the exact dense value wherever both legs are 0,
+         term-for-term in the same op order);
+      2. the two hit lists are JOINED on device ((Hb x Hg) equality — tiny)
+         so every entry sees BOTH leg values, then the full fusion formula
+         runs on the (B, Hb+Hg) entries only;
+      3. corrected finals scatter-max into the base plane (corrections are
+         provably >= base: hi >= vn, consensus/graph terms are non-negative,
+         the activation bonus multiplier >= 1, rowfactor >= 0 — so max =
+         replace, and cross-list duplicates compute the same joined value);
+      4. selection via the two-level group gather (exact_topk_scores,
+         bit-identical to lax.top_k and ~1.5x cheaper at corpus scale —
+         measured on the pool program, BENCHMARKS 'reunified pool program').
+
+    Per-query leg scalars (max_bm, max_act, graph_on) come straight from the
+    sparse value lists: scores are non-negative, so the max over a 0-padded
+    list equals the max over the 0-initialized dense plane."""
+    from shodh_tpu.ops.fused_topk import exact_topk_scores
+
+    b = queries.shape[0]
+
+    raw = jax.lax.dot_general(
+        queries, corpus,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (B, N)
+    cos = raw * scales[None, :]
+
+    # per-query leg scalars from the sparse lists (identical to the dense
+    # plane maxes: scores >= 0, pad val 0)
+    graph_on = jnp.any(graph_vals > 0, axis=1, keepdims=True)  # (B, 1)
+    graph_w = jnp.where(
+        graph_on,
+        jnp.clip(
+            C.DENSITY_GRAPH_WEIGHT_MAX
+            + (graph_density - C.DENSITY_THRESHOLD_MIN)
+            / (C.DENSITY_THRESHOLD_MAX - C.DENSITY_THRESHOLD_MIN)
+            * (C.DENSITY_GRAPH_WEIGHT_MIN - C.DENSITY_GRAPH_WEIGHT_MAX),
+            C.DENSITY_GRAPH_WEIGHT_MIN,
+            C.DENSITY_GRAPH_WEIGHT_MAX,
+        ),
+        0.0,
+    )
+    hybrid_w = 1.0 - graph_w
+    max_bm = jnp.maximum(jnp.max(bm25_vals, axis=1, keepdims=True), 1e-6)
+    max_act = jnp.maximum(jnp.max(graph_vals, axis=1, keepdims=True), 1e-6)
+
+    # row factor — same (N,) op order as the dense form so gathered entries
+    # reproduce its bits exactly
+    recency = jnp.exp(-C.RECENCY_DECAY_RATE * hours_old) * C.RECENCY_BOOST_SCALE
+    arousal_f = arousal * C.AROUSAL_BOOST_SCALE
+    cred_f = jnp.maximum(credibility - 0.5, 0.0) * C.CREDIBILITY_BOOST_SCALE
+    boosts = jnp.minimum(C.SCORING_BOOST_CAP, 1.0 + recency + arousal_f + cred_f)
+    imp = C.SCORING_IMPORTANCE_FLOOR + importance * C.SCORING_IMPORTANCE_RANGE
+    mom = jnp.clip(
+        momentum * C.FEEDBACK_MOMENTUM_SCALE,
+        -C.FEEDBACK_MOMENTUM_SCALE,
+        C.FEEDBACK_MOMENTUM_SCALE,
+    )
+    rowfactor = imp * boosts * (1.0 + mom) * tag_penalty  # (N,)
+
+    # base plane: both legs zero -> hi = vn, lo = 0, no graph term, bonus
+    # multiplier 1 — dense value reduces term-for-term to hybrid_w * vn
+    vn = jnp.clip(cos, 0.0, 1.0)
+    final = (hybrid_w * vn) * rowfactor[None, :]
+    final = final * valid[None, :] + (1.0 - valid[None, :]) * NEG_INF
+
+    # device-side join: every hit entry sees BOTH leg values
+    eq = bm25_rows[:, :, None] == graph_rows[:, None, :]  # (B, Hb, Hg)
+    act_for_b = jnp.max(jnp.where(eq, graph_vals[:, None, :], 0.0), axis=2)
+    bm_for_g = jnp.max(jnp.where(eq, bm25_vals[:, :, None], 0.0), axis=1)
+    rows_all = jnp.concatenate([bm25_rows, graph_rows], axis=1)  # (B, H)
+    bm_all = jnp.concatenate([bm25_vals, bm_for_g], axis=1)
+    act_all = jnp.concatenate([act_for_b, graph_vals], axis=1)
+
+    # full fusion formula on the entries, dense op order preserved
+    vn_e = jnp.clip(jnp.take_along_axis(cos, rows_all, axis=1), 0.0, 1.0)
+    bn_e = jnp.clip(bm_all / max_bm, 0.0, 1.0)
+    hi = jnp.maximum(vn_e, bn_e)
+    lo = jnp.minimum(vn_e, bn_e)
+    fused_e = hybrid_w * (hi + FLAT_CONSENSUS * lo)
+    fused_e = fused_e + graph_w * jnp.clip(act_all / max_act, 0.0, 1.0)
+    fused_e = fused_e * (
+        1.0 + graph_w * C.ACTIVATION_BONUS_SCALE * jnp.clip(act_all, 0.0, 1.0)
+    )
+    valid_e = jnp.take(valid, rows_all)
+    corr_e = fused_e * jnp.take(rowfactor, rows_all)
+    corr_e = corr_e * valid_e + (1.0 - valid_e) * NEG_INF
+
+    bidx = jnp.arange(b)[:, None]
+    final = final.at[bidx, rows_all].max(corr_e)
+    vals, rows = exact_topk_scores(final, k)
+    return vals, rows
+
+
+@partial(jax.jit, static_argnames=("k",))
+def fused_recall_batch_dense(
+    queries,  # (B, D) f32 L2-normalized
+    corpus,  # (N, D) f32 or int8
+    scales,  # (N,) f32
+    valid,  # (N,) f32 {0,1}
+    bm25_rows,  # (B, Hb) int32 sparse BM25 hit rows (pad: row 0, val 0)
+    bm25_vals,  # (B, Hb) f32
+    graph_rows,  # (B, Hg) int32 sparse graph-activation rows
+    graph_vals,  # (B, Hg) f32
+    importance,  # (N,) f32
+    hours_old,  # (N,) f32
+    arousal,  # (N,) f32
+    credibility,  # (N,) f32
+    momentum,  # (N,) f32
+    tag_penalty,  # (N,) f32
+    graph_density,  # scalar f32
+    k: int,
+):
+    """Dense-plane reference form of :func:`fused_recall_batch` (identical
+    math to :func:`fused_recall` vectorized over the query axis; the sparse
+    legs scatter-max into dense (B, N) planes). Kept as the parity oracle
+    and A/B arm — the sparse-correction form above is the serving default."""
     b = queries.shape[0]
     n = corpus.shape[0]
 

@@ -322,6 +322,78 @@ class TestBatchedFunnel:
             np.testing.assert_array_equal(np.asarray(sr), np.asarray(br[i]))
             np.testing.assert_allclose(np.asarray(sv), np.asarray(bv[i]), rtol=2e-6)
 
+    def test_batch_funnel_sparse_parity(self):
+        """The sparse-correction form must be BIT-identical to the dense
+        scatter-plane oracle on adversarial fixtures: pad entries colliding
+        with a real row 0, rows hit by both legs, duplicate rows inside one
+        leg (dense takes scatter-max; sparse relies on monotonicity in the
+        leg value), invalid hit rows, queries with no hits at all, and
+        score ties (same two-level tie-break)."""
+        from shodh_tpu.ops.device_recall import (
+            fused_recall_batch,
+            fused_recall_batch_dense,
+        )
+
+        rng = np.random.default_rng(11)
+        n, d, b, k = 1024, 32, 5, 16
+        corpus = rng.standard_normal((n, d)).astype(np.float32)
+        corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+        # force score ties: duplicate a block of rows exactly
+        corpus[200:210] = corpus[100:110]
+        queries = rng.standard_normal((b, d)).astype(np.float32)
+        queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+        scales = np.ones(n, np.float32)
+        valid = np.ones(n, np.float32)
+        valid[50:70] = 0.0
+        meta = [rng.uniform(0, 1, n).astype(np.float32) for _ in range(4)]
+        momentum = rng.uniform(-1, 1, n).astype(np.float32)
+        tag_penalty = np.ones(n, np.float32)
+        tag_penalty[100:110] = tag_penalty[200:210] = 0.8  # tied rows stay tied
+        hours = rng.uniform(0, 300, n).astype(np.float32)
+        hours[200:210] = hours[100:110]  # keep the duplicates fully tied
+        for m in meta:
+            m[200:210] = m[100:110]
+        momentum[200:210] = momentum[100:110]
+
+        Hb, Hg = 16, 8
+        b_rows = rng.integers(0, n, (b, Hb)).astype(np.int32)
+        b_vals = rng.uniform(0.1, 5, (b, Hb)).astype(np.float32)
+        g_rows = rng.integers(0, n, (b, Hg)).astype(np.int32)
+        g_vals = rng.uniform(0.1, 1, (b, Hg)).astype(np.float32)
+        # duplicate rows inside one leg with different values
+        b_rows[0, 1] = b_rows[0, 0]
+        b_vals[0, 1] = b_vals[0, 0] * 2.0
+        # a row hit by BOTH legs
+        g_rows[0, 0] = b_rows[0, 2]
+        # hits on invalid rows
+        b_rows[1, 0] = 55
+        g_rows[1, 0] = 60
+        # a REAL hit on row 0 (the pad row) in one leg only
+        g_rows[2, 0] = 0
+        g_vals[2, 0] = 0.9
+        # query 3: no hits at all (all pad)
+        b_rows[3, :] = 0
+        b_vals[3, :] = 0.0
+        g_rows[3, :] = 0
+        g_vals[3, :] = 0.0
+        # query 4: graph leg empty -> graph_on False (hybrid_w = 1)
+        g_rows[4, :] = 0
+        g_vals[4, :] = 0.0
+
+        argv = [
+            jnp.asarray(queries), jnp.asarray(corpus), jnp.asarray(scales),
+            jnp.asarray(valid), jnp.asarray(b_rows), jnp.asarray(b_vals),
+            jnp.asarray(g_rows), jnp.asarray(g_vals),
+            jnp.asarray(meta[0]), jnp.asarray(hours),
+            jnp.asarray(meta[1]), jnp.asarray(meta[2]),
+            jnp.asarray(momentum), jnp.asarray(tag_penalty),
+            jnp.float32(1.7),
+        ]
+        sv, sr = fused_recall_batch(*argv, k=k)
+        dv, dr = fused_recall_batch_dense(*argv, k=k)
+        np.testing.assert_array_equal(np.asarray(sr), np.asarray(dr))
+        np.testing.assert_array_equal(np.asarray(sv), np.asarray(dv))
+
     def test_engine_windows_large_batches(self, tmp_path):
         """B > CHUNK_B is windowed into CHUNK_B-query dispatches at the
         engine layer (device-side chunking measured and rejected — see
