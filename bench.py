@@ -311,8 +311,15 @@ def run_scales() -> None:
                 def body(c, i):
                     q = jax.random.normal(jax.random.fold_in(seed, i), (bq, d), jnp.float32)
                     q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+                    # vary the hit rows per iteration: loop-INVARIANT lists
+                    # let XLA hoist the whole sparse-leg work out of the
+                    # scan, flattering the row ~13x (the pre-round-4 dense
+                    # 5.44 ms "record" was exactly this artifact — real
+                    # dense cost with fresh lists was ~70 ms/batch at 1M)
+                    br = (b_rows + i * 9973) % n
+                    gr = (g_rows + i * 7919) % n
                     vals, rows = fused_recall_batch(
-                        q, corpus, scales, valid, b_rows, b_vals, g_rows, g_vals,
+                        q, corpus, scales, valid, br, b_vals, gr, g_vals,
                         meta["importance"], hours, meta["arousal"], meta["credibility"],
                         meta["momentum"], penalty, jnp.float32(1.2), k=10,
                     )

@@ -224,16 +224,19 @@ def fused_recall_pool(
     return vals, rows, fused[rows], cos_adm[rows]
 
 
-# Working-set sweet spot for the batched funnel, measured at 1M x 384 on
-# v5e: B=32 runs 5.5 ms/batch (5.8k QPS) while one flat B=256 program takes
-# 90 ms (2.8k QPS) — the (B, N) scatter planes + top_k blow past the
-# cache-friendly regime. Device-side chunking was measured and REJECTED:
-# lax.map pays 14-15 ms/chunk (scan bodies lose matmul pipelining against
-# the resident corpus) and static unrolling exceeds the remote-compile
-# 2 GiB HLO serialization limit at 8 chunks. Large batches are therefore
-# WINDOWED AT THE HOST layer (engine/device_funnel.py slices into CHUNK_B
-# dispatches — ~100 us dispatch overhead per window on local TPUs).
-CHUNK_B = 32
+# Dispatch window for the batched funnel. Under the old dense scatter-plane
+# form B=32 looked like a sweet spot (5.5 ms/batch vs "90 ms" flat B=256) —
+# both numbers were constant-hoisting artifacts: the probe's hit lists were
+# loop-invariant, so XLA lifted the scatter out of the timing scan; with
+# fresh lists every batch (the serving reality) dense B=32 really cost
+# ~70 ms and B=256 ~740 ms at 1M x 384. The sparse-correction form scales
+# cleanly with B (measured round 4, H=256 hit lists, fresh per batch):
+#   B=32 5.71 ms (5.6k QPS) / B=64 9.43 / B=128 16.41 / B=256 30.26 ms
+#   (8.5k QPS — best per-query cost, and one tunnel dispatch instead of 8).
+# Device-side chunking stays REJECTED (lax.map loses matmul pipelining;
+# static unrolling exceeds the remote-compile 2 GiB HLO limit); batches
+# beyond CHUNK_B are WINDOWED AT THE HOST layer (engine/device_funnel.py).
+CHUNK_B = 256
 
 
 @partial(jax.jit, static_argnames=("k",))
