@@ -51,7 +51,7 @@ class DeviceRecallEngine:
         self.system = system
         self._built_rows = -1
         self._built_epoch = -1
-        self._meta: dict[str, np.ndarray] = {}
+        self._meta_dev: dict = {}
 
     # -- mirrors ----------------------------------------------------------------
 
@@ -108,9 +108,41 @@ class DeviceRecallEngine:
                 meta["momentum"][r] = mom
                 meta["speaker_hash"][r] = spk
                 meta["row_flags"][r] = flags
-        self._meta = meta
+        # Device-resident copies, uploaded ONCE per index version: the
+        # fused programs read ~40 MB of row metadata per call at 1M rows
+        # (6 (N,) f32 planes + speaker i32 + (N,3) flags); re-shipping
+        # host numpy through jnp.asarray on every recall paid that upload
+        # per query — through the axon tunnel, dominating the program
+        # itself. hours_old is derived on device from created_hours and a
+        # scalar now (see _hours_old_dev).
+        import jax.numpy as jnp
+
+        self._meta_dev = {k: jnp.asarray(v) for k, v in meta.items()}
         self._built_rows = len(index)
         self._built_epoch = getattr(index, "epoch", 0)
+
+    def _hours_old_dev(self, now: datetime):
+        """(N,) device hours_old from the resident created_hours mirror."""
+        import jax.numpy as jnp
+
+        return jnp.maximum(
+            0.0,
+            jnp.float32(_hours_since_epoch(now)) - self._meta_dev["created_hours"],
+        )
+
+    def _scatter_leg_dev(self, hits: dict[int, float], cap: int):
+        """Sparse host {row: val} -> dense (N,) device plane. The scatter
+        runs on device so the host->device transfer is the hit list (KBs),
+        not the 4 MB plane."""
+        import jax.numpy as jnp
+
+        zeros = jnp.zeros(cap, jnp.float32)
+        if not hits:
+            return zeros
+        items = sorted(hits.items())  # deterministic order
+        rows = np.fromiter((r for r, _ in items), np.int32, len(items))
+        vals = np.fromiter((v for _, v in items), np.float32, len(items))
+        return zeros.at[jnp.asarray(rows)].max(jnp.asarray(vals))
 
     def invalidate(self) -> None:
         """Force a mirror rebuild (call after maintenance/feedback sweeps)."""
@@ -135,14 +167,14 @@ class DeviceRecallEngine:
 
         qvec = system.embedder.encode_query(query_text)
 
-        # Sparse host legs -> dense row arrays (touch only the hits)
-        bm25 = np.zeros(cap, np.float32)
+        # Sparse host legs (touch only the hits; densified ON DEVICE)
+        bm25_hits: dict[int, float] = {}
         if system.bm25 is not None:
             for mid, score in system.bm25.search(query_text, limit=max(64, k * 4)):
                 for r in system.storage.get_vector_map(mid).get("text", []):
                     if r < cap:
-                        bm25[r] = max(bm25[r], score)
-        graph = np.zeros(cap, np.float32)
+                        bm25_hits[r] = max(bm25_hits.get(r, 0.0), score)
+        graph_hits: dict[int, float] = {}
         density = 0.0
         if system.graph is not None and system.query_parser is not None:
             analysis = system.query_parser.analyze(query_text, now=now)
@@ -152,12 +184,8 @@ class DeviceRecallEngine:
                 for mid, act in activation.items():
                     for r in system.storage.get_vector_map(mid).get("text", []):
                         if r < cap:
-                            graph[r] = max(graph[r], act)
+                            graph_hits[r] = max(graph_hits.get(r, 0.0), act)
             density = system.graph.edge_density()
-
-        meta = self._meta
-        now_h = _hours_since_epoch(now)
-        hours_old = np.maximum(0.0, now_h - meta["created_hours"]).astype(np.float32)
 
         arrays = index._device_arrays()
         if arrays is None or index._device_start > 0:
@@ -165,13 +193,15 @@ class DeviceRecallEngine:
             # corpus — the host funnel (full-featured) takes over
             return []
         vecs, scales, valid = arrays[:3]
+        meta = self._meta_dev
         kk = min(k * 2, cap)
         vals, rows = fused_recall(
             jnp.asarray(qvec), vecs, scales, valid,
-            jnp.asarray(bm25), jnp.asarray(graph),
-            jnp.asarray(meta["importance"]), jnp.asarray(hours_old),
-            jnp.asarray(meta["arousal"]), jnp.asarray(meta["credibility"]),
-            jnp.asarray(meta["momentum"]), jnp.asarray(meta["tag_penalty"]),
+            self._scatter_leg_dev(bm25_hits, cap),
+            self._scatter_leg_dev(graph_hits, cap),
+            meta["importance"], self._hours_old_dev(now),
+            meta["arousal"], meta["credibility"],
+            meta["momentum"], meta["tag_penalty"],
             jnp.float32(density), k=kk,
         )
         vals, rows = np.asarray(vals), np.asarray(rows)
@@ -228,20 +258,19 @@ class DeviceRecallEngine:
             return None  # HBM spill: mirrors no longer row-aligned
         vecs, scales, valid = arrays[:3]
 
-        bm25 = np.zeros(cap, np.float32)
+        bm25_hits: dict[int, float] = {}
         for mid, score in bm25_scores.items():
             for r in system.storage.get_vector_map(mid).get("text", []):
                 if r < cap:
-                    bm25[r] = max(bm25[r], score)
-        graph = np.zeros(cap, np.float32)
+                    bm25_hits[r] = max(bm25_hits.get(r, 0.0), score)
+        graph_hits: dict[int, float] = {}
         for mid, act in graph_activation.items():
             for r in system.storage.get_vector_map(mid).get("text", []):
                 if r < cap:
-                    graph[r] = max(graph[r], act)
+                    graph_hits[r] = max(graph_hits.get(r, 0.0), act)
 
-        meta = self._meta
+        meta = self._meta_dev
         now_h = _hours_since_epoch(now)
-        hours_old = np.maximum(0.0, now_h - meta["created_hours"]).astype(np.float32)
 
         q_hashes = np.full(8, -1, np.int32)
         for i, ent in enumerate(q_entities[:8]):
@@ -281,12 +310,13 @@ class DeviceRecallEngine:
         kk = min(pool_size, cap)
         vals, rows, fused_vals, cos_vals = fused_recall_pool(
             jnp.asarray(qmat), vecs, scales, valid,
-            jnp.asarray(bm25), jnp.asarray(graph),
-            jnp.asarray(meta["importance"]), jnp.asarray(hours_old),
-            jnp.asarray(meta["arousal"]), jnp.asarray(meta["credibility"]),
-            jnp.asarray(meta["momentum"]), jnp.asarray(meta["tag_penalty"]),
+            self._scatter_leg_dev(bm25_hits, cap),
+            self._scatter_leg_dev(graph_hits, cap),
+            meta["importance"], self._hours_old_dev(now),
+            meta["arousal"], meta["credibility"],
+            meta["momentum"], meta["tag_penalty"],
             jnp.float32(density),
-            jnp.asarray(meta["speaker_hash"]), jnp.asarray(meta["row_flags"]),
+            meta["speaker_hash"], meta["row_flags"],
             jnp.asarray(q_hashes), jnp.asarray(q_flags),
             jnp.asarray(age), jnp.asarray(q_scalars), k=kk,
             vec_k=min(vec_k, cap),
@@ -398,21 +428,19 @@ class DeviceRecallEngine:
         b_rows, b_vals = self._sparse_leg(bm25_hits, hb)
         g_rows, g_vals = self._sparse_leg(graph_hits, hg)
 
-        meta = self._meta
-        now_h = _hours_since_epoch(now)
-        hours_old = np.maximum(0.0, now_h - meta["created_hours"]).astype(np.float32)
         arrays = index._device_arrays()
         if arrays is None or index._device_start > 0:
             return [[] for _ in query_texts]  # spill active -> host funnel
         vecs, scales, valid = arrays[:3]
+        meta = self._meta_dev
         kk = min(k * 2, cap)
         vals, rows = fused_recall_batch(
             jnp.asarray(qvecs), vecs, scales, valid,
             jnp.asarray(b_rows), jnp.asarray(b_vals),
             jnp.asarray(g_rows), jnp.asarray(g_vals),
-            jnp.asarray(meta["importance"]), jnp.asarray(hours_old),
-            jnp.asarray(meta["arousal"]), jnp.asarray(meta["credibility"]),
-            jnp.asarray(meta["momentum"]), jnp.asarray(meta["tag_penalty"]),
+            meta["importance"], self._hours_old_dev(now),
+            meta["arousal"], meta["credibility"],
+            meta["momentum"], meta["tag_penalty"],
             jnp.float32(density), k=kk,
         )
         vals, rows = np.asarray(vals), np.asarray(rows)
