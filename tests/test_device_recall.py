@@ -165,6 +165,33 @@ class TestDeviceFunnelFastPath:
         assert all(sm.attribution.get("device_funnel") is None for sm in res.memories)
         sys_.close()
 
+    def test_mirrors_upload_once_per_index_version(self, tmp_path, monkeypatch):
+        """Round-4 serving fix: the ~36 MB/1M-row metadata mirrors are
+        device-resident, shipped once per index version — NOT re-uploaded
+        per recall (that upload cost ~35 ms/query through the tunnel)."""
+        from shodh_tpu.engine.memory_system import MemorySystem
+        from shodh_tpu.types import Experience, Query
+
+        monkeypatch.setenv("SHODH_DEVICE_FUNNEL", "1")
+        sys_ = MemorySystem(tmp_path / "res")
+        sys_.remember(Experience(content="resident mirror check alpha"))
+        sys_.remember(Experience(content="resident mirror check beta"))
+        sys_.recall(Query(query_text="resident mirror", max_results=2))
+        eng = sys_._device_funnel
+        assert eng is not None and eng._meta_dev
+        first = {k: id(v) for k, v in eng._meta_dev.items()}
+        import jax.numpy as jnp
+
+        assert all(isinstance(v, jnp.ndarray) for v in eng._meta_dev.values())
+        sys_.recall(Query(query_text="resident mirror beta", max_results=2))
+        # same device arrays object-for-object: no rebuild, no re-upload
+        assert {k: id(v) for k, v in eng._meta_dev.items()} == first
+        # a write invalidates; the next recall rebuilds to NEW arrays
+        sys_.remember(Experience(content="resident mirror check gamma"))
+        sys_.recall(Query(query_text="resident mirror gamma", max_results=2))
+        assert {k: id(v) for k, v in eng._meta_dev.items()} != first
+        sys_.close()
+
     def test_reinforce_invalidates_mirrors(self, tmp_path, monkeypatch):
         from shodh_tpu.engine.memory_system import MemorySystem
         from shodh_tpu.types import Experience, Query

@@ -543,6 +543,13 @@ def main():
         ("v3_sg256_z13824_r128_h16x32", 256, 13824, 128, 0, 0, 16, 32),
         ("v3_sg128_z12288_r128_h16x32", 128, 12288, 128, 0, 0, 16, 32),
         ("v3_sg256_z15360_r128_h32x16", 256, 15360, 128, 0, 0, 32, 16),
+        # sg128 small-zone candidates: finer groups halve the per-group max
+        # slack, so beta (and the zone boundary) tightens — the cert may
+        # hold 32/32 at zones where sg256 drops batches (z12288 was 31/32
+        # at sg256 but sg128_z12288 fired 32/32 at ~the shipped latency).
+        ("v3_sg128_z11264_r128_h16x32", 128, 11264, 128, 0, 0, 16, 32),
+        ("v3_sg128_z10240_r128_h16x32", 128, 10240, 128, 0, 0, 16, 32),
+        ("v3_sg128_z8192_r128_h16x32", 128, 8192, 128, 0, 0, 16, 32),
     ):
         _os.environ["SHODH_TOPK_SGROUP"] = str(sg)
         _os.environ["SHODH_TOPK_ZONE_ROWS"] = str(zone)
