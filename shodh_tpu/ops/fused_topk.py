@@ -359,8 +359,10 @@ def _certified_parts(queries, corpus, valid, k: int, scales, bound, approx=None)
 # rescored k-th value proves bit-equality, else lax.cond takes the exact
 # path. Knobs (measured in tools/bench_breakdown.py, defaults = the 1M
 # winner): SHODH_TOPK_SGROUP selection-group rows (stage-1 top_k cost is
-# (B, N/SG)), SHODH_TOPK_ZONE_ROWS stage-2 zone width (z=15360 fires 8/8
-# at 1M, z=10240 only 2/8), SHODH_TOPK_V3_ROWS rescore rows (the
+# (B, N/SG); 128 since round 4 — finer groups tighten beta so the zone
+# halves at full margin), SHODH_TOPK_ZONE_ROWS stage-2 zone width (at
+# sg128: z=8192 fires 32/32 at 1M and 16/16 at 4M; at the old sg256,
+# z=15360 fired 8/8 but z=10240 only 2/8), SHODH_TOPK_V3_ROWS rescore rows (the
 # scattered corpus gather runs ~9.5 GB/s effective — r=512 costs ~5 ms at
 # 1M, r=128 ~1.3 ms and still fires 8/8).
 # --------------------------------------------------------------------------
@@ -388,15 +390,26 @@ def _int8_min_rows() -> int:
 
 
 def _v3_sgroup() -> int:
+    """Selection-group rows for the v3 certified path. Default 128 since
+    the round-4 sg128 re-pairing: halving the group size halves the
+    per-group max slack, so beta (and the zone boundary) tightens enough
+    to run HALF the zone at FULL certificate margin — measured at 1M
+    (6.505 vs 6.669 ms, both 32/32) and 4M (16.849 vs 17.015 ms, 16/16
+    vs 15/16 — the sg256 default was silently paying one exact fallback
+    per 16 batches at 4M). BENCHMARKS 'sg128 small-zone re-pairing'."""
     import os
 
-    return int(os.environ.get("SHODH_TOPK_SGROUP", "0")) or 256
+    return int(os.environ.get("SHODH_TOPK_SGROUP", "0")) or 128
 
 
 def _v3_params(k: int, n: int, sg: int) -> tuple[int, int, bool, int]:
     import os
 
-    zone = int(os.environ.get("SHODH_TOPK_ZONE_ROWS", "0")) or max(1536 * k, 15360)
+    # Zone default scales with k and with the group size (sg128's tighter
+    # beta carries half the sg256 zone at the same certificate margin).
+    zone = int(os.environ.get("SHODH_TOPK_ZONE_ROWS", "0")) or (
+        max(768 * k, 8192) if sg <= 128 else max(1536 * k, 15360)
+    )
     rr = int(os.environ.get("SHODH_TOPK_V3_ROWS", "0")) or max(12 * k, 128)
     m = max(1, min(zone // sg, n // sg))
     sort16 = os.environ.get("SHODH_TOPK_SORT_BF16", "0") == "1"
