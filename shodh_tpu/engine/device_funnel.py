@@ -52,6 +52,14 @@ class DeviceRecallEngine:
         self._built_rows = -1
         self._built_epoch = -1
         self._meta_dev: dict = {}
+        # Per-build time origin for the created_hours mirror (ADVICE r4):
+        # hours since the fixed 2020 epoch are ~58k by 2026, where the f32
+        # ulp is ~14 s — enough to perturb recency vs the host's f64-minus
+        # computation. Re-basing on the corpus's own earliest created_at
+        # keeps mirror magnitudes at corpus-age scale (ulp sub-second for
+        # any store younger than ~7 years), so the on-device subtract in
+        # _hours_old_dev matches the host float64 path to f32 rounding.
+        self._origin: datetime = _EPOCH
 
     # -- mirrors ----------------------------------------------------------------
 
@@ -66,6 +74,8 @@ class DeviceRecallEngine:
         ):
             return
         cap = index.capacity
+        created_abs = np.zeros(cap, np.float64)  # absolute hours, re-based below
+        origin: Optional[datetime] = None
         meta = {
             "importance": np.full(cap, 0.5, np.float32),
             "created_hours": np.zeros(cap, np.float32),
@@ -90,6 +100,8 @@ class DeviceRecallEngine:
             if not rows:
                 continue
             mom = fb.momentum(mem.id) if fb is not None else 0.0
+            if origin is None or mem.created_at < origin:
+                origin = mem.created_at
             exp = mem.experience
             spk = speaker_hash(_utterance_speaker(exp.content))
             flags = (
@@ -101,7 +113,7 @@ class DeviceRecallEngine:
                 if r >= cap:
                     continue
                 meta["importance"][r] = mem.importance
-                meta["created_hours"][r] = _hours_since_epoch(mem.created_at)
+                created_abs[r] = _hours_since_epoch(mem.created_at)
                 meta["arousal"][r] = exp.emotional.arousal
                 meta["credibility"][r] = exp.source.credibility
                 meta["tag_penalty"][r] = tag_penalty_for(exp.tags)
@@ -117,17 +129,26 @@ class DeviceRecallEngine:
         # scalar now (see _hours_old_dev).
         import jax.numpy as jnp
 
+        self._origin = origin or _EPOCH
+        origin_h = _hours_since_epoch(self._origin)
+        meta["created_hours"] = (created_abs - origin_h).astype(np.float32)
         self._meta_dev = {k: jnp.asarray(v) for k, v in meta.items()}
         self._built_rows = len(index)
         self._built_epoch = getattr(index, "epoch", 0)
 
     def _hours_old_dev(self, now: datetime):
-        """(N,) device hours_old from the resident created_hours mirror."""
+        """(N,) device hours_old from the resident created_hours mirror.
+
+        The mirror is origin-relative (see __init__): ``now`` is re-based
+        against the same origin in host float64 before the f32 cast, so the
+        device subtract reproduces the host ``hours_between(created, now)``
+        to f32 rounding at corpus-age magnitudes."""
         import jax.numpy as jnp
 
+        now_rel = (now - self._origin).total_seconds() / 3600.0
         return jnp.maximum(
             0.0,
-            jnp.float32(_hours_since_epoch(now)) - self._meta_dev["created_hours"],
+            jnp.float32(now_rel) - self._meta_dev["created_hours"],
         )
 
     def _scatter_leg_dev(self, hits: dict[int, float], cap: int):

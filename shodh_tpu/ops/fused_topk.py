@@ -470,8 +470,7 @@ def _hier_topk(vals, kk: int, blk: int):
     return tv, jnp.take_along_axis(cand_pos, tp, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("sgroup",))
-def corpus_cert_pack(corpus, scales, valid, sgroup: int = 256):
+def corpus_cert_pack(corpus, scales, valid, sgroup: int | None = None):
     """Per-index-version pack for the int8 certificate: NO mirror, just the
     pre-scaled row norms the query-residual bound needs.
 
@@ -479,7 +478,19 @@ def corpus_cert_pack(corpus, scales, valid, sgroup: int = 256):
     epilogue, cnorm (N,) f32 = ||scale*valid*c_r||_2, cg (N//sgroup,) f32
     per-selection-group max cnorm). The group size is recoverable as
     N // len(cg), so queries always match the pack they were built with.
+
+    ``sgroup=None`` (the default) resolves to the env-selected
+    :func:`_v3_sgroup` so every entry point agrees with the shipped
+    sg128/z8192 pairing (ADVICE r4: the old literal default of 256 left
+    direct callers silently on the superseded configuration).
     """
+    if sgroup is None:
+        sgroup = _v3_sgroup()
+    return _corpus_cert_pack_jit(corpus, scales, valid, sgroup=sgroup)
+
+
+@partial(jax.jit, static_argnames=("sgroup",))
+def _corpus_cert_pack_jit(corpus, scales, valid, sgroup: int):
     n = corpus.shape[0]
 
     def _tile(args):
