@@ -10,6 +10,17 @@ gather-merge pattern. Communication is O(shards * k * 8 bytes), not O(N).
 Global row id = shard_index * rows_per_shard + local row, so results are
 identical to the single-chip index (same tie-break discipline: the merge
 concatenates shards in ascending shard order, ascending local row).
+
+Round-5 (verdict #2): the per-shard selection is the SAME
+``two_level_topk`` entry the single-chip index uses — for an int8 corpus
+the certificate pack (sv, cnorm, cg; ops/fused_topk.corpus_cert_pack) is
+row-sharded alongside the corpus, so each shard runs the certified
+int8-MXU v3 selection with its own exact-or-fallback ``lax.cond``. A
+shard that falls back still returns exact local top-k, so the cross-shard
+merge is bit-equal to the flat path by construction (both branches are
+exact). The old formulation materialized the full per-shard f32 score
+matrix (``masked_scores``) — exactly the HBM traffic the single-chip
+work eliminated.
 """
 
 from __future__ import annotations
@@ -21,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from shodh_tpu.ops.distance import NEG_INF, masked_scores
+from shodh_tpu.ops.distance import NEG_INF
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -35,17 +46,22 @@ def _scatter_vals(vec, updates, rows):
     return vec.at[rows].set(updates)
 
 
-def _local_topk(queries, corpus_shard, valid_shard, scales_shard, k, axis):
-    """Per-shard partial top-k + ICI all-gather merge. Runs inside shard_map."""
+def _local_topk(queries, corpus_shard, valid_shard, scales_shard, *pack, k, axis):
+    """Per-shard partial top-k + ICI all-gather merge. Runs inside shard_map.
+
+    ``pack`` is the row-sharded certificate pack (sv, cnorm, cg) for an
+    int8 corpus — two_level_topk then runs the certified v3 selection with
+    a per-shard exact fallback; without it (f32 corpus) it runs the same
+    masked-scores group selection as before (bit-identical to lax.top_k)."""
+    from shodh_tpu.ops.fused_topk import two_level_topk
+
     rows_per_shard = corpus_shard.shape[0]
     shard_idx = jax.lax.axis_index(axis)
-    scores = masked_scores(queries, corpus_shard, valid_shard, scales_shard)
     kk = min(k, rows_per_shard)
-    # Two-level group selection on the local score matrix (bit-identical to
-    # lax.top_k; ~1.5x cheaper at large shard sizes — see ops/fused_topk.py)
-    from shodh_tpu.ops.fused_topk import exact_topk_scores
-
-    vals, local_rows = exact_topk_scores(scores, kk)  # (B, kk)
+    vals, local_rows = two_level_topk(
+        queries, corpus_shard, valid_shard, kk,
+        scales=scales_shard, int8_pack=pack if pack else None,
+    )
     global_rows = local_rows.astype(jnp.int32) + shard_idx * rows_per_shard
     # All-gather each shard's candidates over ICI -> (S, B, kk)
     all_vals = jax.lax.all_gather(vals, axis)
@@ -76,13 +92,22 @@ class ShardedVectorIndex:
         self.dtype = dtype
         n_shards = mesh.shape[axis]
         n, d = vectors.shape
-        # Pad N (+ delta-append headroom) to a multiple of the shard count.
+        if dtype == "int8":
+            from shodh_tpu.ops.fused_topk import _v3_sgroup
+
+            self._sgroup = _v3_sgroup()
+        else:
+            self._sgroup = 1
+        # Pad N (+ delta-append headroom) to a multiple of the shard count
+        # (times the certificate selection-group size for int8, so the
+        # row-sharded cg mirror tiles every shard exactly).
         # Row layout is BLOCK-partitioned (global row = shard * rows_per_shard
         # + local), so ascending-shard/ascending-local merge order IS
         # ascending global row order — equal-score ties therefore break on
         # the lowest global row exactly like the single-chip lax.top_k,
         # regardless of which shard holds which tied row.
-        padded_n = ((n + spare_capacity + n_shards - 1) // n_shards) * n_shards
+        align = n_shards * self._sgroup
+        padded_n = ((n + spare_capacity + align - 1) // align) * align
         self.n = n
         self.dim = d
         self.n_shards = n_shards
@@ -109,6 +134,44 @@ class ShardedVectorIndex:
         self._corpus = jax.device_put(corpus_np, row_sharding)
         self._scales = jax.device_put(scales_np, row_sharding)
         self._valid = jax.device_put(valid, row_sharding)
+        self._host_scales = scales_np.astype(np.float32)
+        if self.dtype == "int8":
+            # Certificate pack mirrors (corpus_cert_pack's (sv, cn, cg)),
+            # computed host-side from the SAME quantized rows the device
+            # holds and row-sharded with the corpus. Host rawnorm mirror
+            # (||int8 row||_2, scale/valid-independent) supports O(rows)
+            # incremental maintenance under add/delete.
+            self._host_rawnorm = np.sqrt(
+                (corpus_np.astype(np.float32) ** 2).sum(axis=1)
+            ).astype(np.float32)
+            sv = (scales_np * valid).astype(np.float32)
+            cn = self._host_rawnorm * sv
+            cg = cn.reshape(-1, self._sgroup).max(axis=1)
+            self._sv = jax.device_put(sv, row_sharding)
+            self._cn = jax.device_put(cn, row_sharding)
+            self._cg = jax.device_put(cg, row_sharding)
+        else:
+            self._host_rawnorm = None
+            self._sv = self._cn = self._cg = None
+
+    def _pack(self):
+        return (self._sv, self._cn, self._cg) if self._sv is not None else ()
+
+    def _refresh_pack_rows(self, rows: np.ndarray) -> None:
+        """Recompute pack entries for mutated rows + their selection groups
+        from the host mirrors, then scatter to the device pack."""
+        if self._sv is None:
+            return
+        sv_rows = (
+            self._host_scales[rows] * self._host_valid[rows]
+        ).astype(np.float32)
+        cn_rows = (self._host_rawnorm[rows] * sv_rows).astype(np.float32)
+        self._sv = _scatter_vals(self._sv, jnp.asarray(sv_rows), jnp.asarray(rows))
+        self._cn = _scatter_vals(self._cn, jnp.asarray(cn_rows), jnp.asarray(rows))
+        groups = np.unique(rows // self._sgroup).astype(np.int32)
+        cn_all = self._host_rawnorm * self._host_scales * self._host_valid
+        cg_rows = cn_all.reshape(-1, self._sgroup).max(axis=1)[groups].astype(np.float32)
+        self._cg = _scatter_vals(self._cg, jnp.asarray(cg_rows), jnp.asarray(groups))
 
     def _update_rows(self, rows: list[int], vectors: np.ndarray) -> None:
         """Incremental device update: ship ONLY the new rows and scatter
@@ -129,12 +192,19 @@ class ShardedVectorIndex:
         self._valid = _scatter_vals(
             self._valid, jnp.ones(len(idx), jnp.float32), jnp.asarray(idx)
         )
+        self._host_scales[idx] = s
+        if self._host_rawnorm is not None:
+            self._host_rawnorm[idx] = np.sqrt(
+                (q.astype(np.float32) ** 2).sum(axis=1)
+            )
+        self._refresh_pack_rows(idx)
 
     def _update_valid(self, rows: list[int], value: float) -> None:
         idx = np.asarray(rows, np.int32)
         self._valid = _scatter_vals(
             self._valid, jnp.full(len(idx), value, jnp.float32), jnp.asarray(idx)
         )
+        self._refresh_pack_rows(idx)
 
     # -- mutation (config 5 scale-out lifecycle: delta append, soft delete,
     # -- compaction; mirrors index/device_index.py single-chip semantics) --
@@ -147,7 +217,8 @@ class ShardedVectorIndex:
         grew = False
         if self.n + count > self.capacity:
             grow = max(self.capacity, self.n + count)
-            padded = ((grow + self.n_shards - 1) // self.n_shards) * self.n_shards
+            align = self.n_shards * self._sgroup
+            padded = ((grow + align - 1) // align) * align
             buf = np.zeros((padded, self.dim), np.float32)
             buf[: len(self._host_vectors)] = self._host_vectors
             valid = np.zeros(padded, np.float32)
@@ -195,20 +266,21 @@ class ShardedVectorIndex:
     def _build_search(self, k: int):
         axis = self.axis
         mesh = self.mesh
+        n_pack = len(self._pack())
 
         @jax.jit
-        def search(queries, corpus, valid, scales):
+        def search(queries, corpus, valid, scales, *pack):
             fn = jax.shard_map(
                 partial(_local_topk, k=k, axis=axis),
                 mesh=mesh,
-                in_specs=(P(), P(axis), P(axis), P(axis)),
+                in_specs=(P(), P(axis), P(axis), P(axis)) + (P(axis),) * n_pack,
                 out_specs=(P(), P()),
                 # outputs are replicated by construction (all_gather + identical
                 # merge on every shard); the static VMA check can't see through
                 # top_k, so it is disabled here.
                 check_vma=False,
             )
-            return fn(queries, corpus, valid, scales)
+            return fn(queries, corpus, valid, scales, *pack)
 
         return search
 
@@ -218,7 +290,8 @@ class ShardedVectorIndex:
             self._search_fn = self._build_search(k)
             self._search_k = k
         vals, rows = self._search_fn(
-            jnp.asarray(queries), self._corpus, self._valid, self._scales
+            jnp.asarray(queries), self._corpus, self._valid, self._scales,
+            *self._pack(),
         )
         vals = np.asarray(vals)
         rows = np.asarray(rows).astype(np.int64)

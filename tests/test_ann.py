@@ -204,6 +204,96 @@ class TestShardedIndex:
         np.testing.assert_array_equal(ri, rf)
         np.testing.assert_allclose(vi, vf, rtol=1e-5)
 
+    def test_int8_certified_inside_shard_map(self, monkeypatch):
+        """Force the certified int8-MXU v3 selection to fire INSIDE the
+        per-shard shard_map body (round-5 verdict #2): results must be
+        bit-equal to the flat single-device certified path on the same
+        quantized corpus, and the certified trace must actually be taken
+        (not the masked-scores fallthrough)."""
+        import shodh_tpu.ops.fused_topk as ft
+
+        monkeypatch.setenv("SHODH_TOPK_INT8_MIN_ROWS", "4096")
+        fired = []
+        real = ft._certified_fast_topk_int8
+
+        def spy(*a, **kw):
+            fired.append(True)
+            return real(*a, **kw)
+
+        monkeypatch.setattr(ft, "_certified_fast_topk_int8", spy)
+
+        rng = np.random.default_rng(33)
+        d, k, n = 32, 10, 8 * 4096
+        v = rng.standard_normal((n, d)).astype(np.float32)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        q = v[rng.integers(0, n, 4)] + 0.03 * rng.standard_normal((4, d)).astype(
+            np.float32
+        )
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+        mesh = make_mesh(8)
+        sharded = ShardedVectorIndex(v, mesh, dtype="int8")
+        vals_s, rows_s = sharded.search(q, k)
+        assert fired, "certified int8 path was not traced inside shard_map"
+
+        # flat single-device certified reference over the SAME quantized rows
+        from shodh_tpu.ops.fused_topk import corpus_cert_pack_default, two_level_topk
+
+        c8 = np.asarray(jax.device_get(sharded._corpus))
+        scales = np.asarray(jax.device_get(sharded._scales))
+        valid = np.asarray(jax.device_get(sharded._valid))
+        pack = corpus_cert_pack_default(
+            jnp.asarray(c8), jnp.asarray(scales), jnp.asarray(valid)
+        )
+        vals_f, rows_f = two_level_topk(
+            jnp.asarray(q), jnp.asarray(c8), jnp.asarray(valid), k,
+            scales=jnp.asarray(scales), int8_pack=pack,
+        )
+        np.testing.assert_array_equal(rows_s, np.asarray(rows_f))
+        np.testing.assert_allclose(vals_s, np.asarray(vals_f), rtol=1e-6)
+
+    def test_int8_pack_maintenance_matches_rebuild(self, monkeypatch):
+        """After delete + delta-append the incrementally-maintained device
+        certificate pack (sv, cn, cg) must equal a from-scratch
+        corpus_cert_pack over the index's own device arrays — bitwise —
+        and certified search must stay parity with the flat path."""
+        monkeypatch.setenv("SHODH_TOPK_INT8_MIN_ROWS", "4096")
+        rng = np.random.default_rng(55)
+        d, k, n = 24, 6, 8 * 4096
+        v = rng.standard_normal((n, d)).astype(np.float32)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        mesh = make_mesh(8)
+        idx = ShardedVectorIndex(v, mesh, dtype="int8", spare_capacity=1024)
+        # mutate: soft-delete scattered rows, then delta-append new rows
+        idx.delete([0, 5000, 17001, 32767])
+        extra = rng.standard_normal((64, d)).astype(np.float32)
+        extra /= np.linalg.norm(extra, axis=1, keepdims=True)
+        idx.add(extra)
+
+        from shodh_tpu.ops.fused_topk import corpus_cert_pack_default, two_level_topk
+
+        c8 = np.asarray(jax.device_get(idx._corpus))
+        scales = np.asarray(jax.device_get(idx._scales))
+        valid = np.asarray(jax.device_get(idx._valid))
+        fresh = corpus_cert_pack_default(
+            jnp.asarray(c8), jnp.asarray(scales), jnp.asarray(valid)
+        )
+        for maintained, scratch, name in zip(
+            (idx._sv, idx._cn, idx._cg), fresh, ("sv", "cn", "cg")
+        ):
+            np.testing.assert_array_equal(
+                np.asarray(jax.device_get(maintained)), np.asarray(scratch),
+                err_msg=f"maintained {name} diverged from from-scratch pack",
+            )
+        q = extra[:3]
+        vals_s, rows_s = idx.search(q, k)
+        vals_f, rows_f = two_level_topk(
+            jnp.asarray(q), jnp.asarray(c8), jnp.asarray(valid), k,
+            scales=jnp.asarray(scales), int8_pack=fresh,
+        )
+        np.testing.assert_array_equal(rows_s, np.asarray(rows_f))
+        assert 0 not in rows_s and 32767 not in rows_s
+
     def test_sharded_eval_suite_parity(self):
         """Mini retrieval suite through the mesh index: every query's full
         ranking must equal the single-chip reference ranking (the 8-device
