@@ -926,6 +926,15 @@ class MemorySystem:
         notes = len(self.bm25._doc_class)
         return FLAT_CONSENSUS_NOTES if 2 * notes > len(self.bm25) else FLAT_CONSENSUS
 
+    def _store_domain(self) -> str:
+        """Majority document class of the store, as a domain tag — the
+        scoping key for domain-fitted artifacts (learned fusion weights;
+        same majority rule as the consensus default above)."""
+        if self.bm25 is None or not len(self.bm25):
+            return "dialogue"
+        notes = len(self.bm25._doc_class)
+        return "notes" if 2 * notes > len(self.bm25) else "dialogue"
+
     def _plan_bm25_query(
         self, query: Query, analysis, seeds, pool_k: int, n_qvecs: int, disabled, now
     ):
@@ -1353,6 +1362,46 @@ class MemorySystem:
         scored.sort(
             key=lambda s: (-s.score, s.memory.created_at.isoformat(), s.memory.content_hash)
         )
+
+        # Learned per-bucket fusion re-rank (SHODH_LEARNED_FUSION) + harness
+        # feature export — one feature map serves both, so train/serve skew
+        # is impossible (retrieval/learned_fusion.py; ab_testing.rs
+        # LearnedWeights + fusion_features.rs are the reference loop).
+        from shodh_tpu.retrieval import learned_fusion as _lf
+
+        # The A/B manager carries the variant (ab_testing.rs LearnedWeights):
+        # a running scoring experiment's "learned_fusion" override arms or
+        # disarms the rerank per-subject, beating the env flag.
+        _arm = _lf.enabled()
+        if overrides and "learned_fusion" in overrides:
+            _arm = overrides["learned_fusion"] > 0.0
+        # Domain scoping: weights apply only to stores whose majority
+        # document class matches what they were fitted on (dialogue-fitted
+        # weights measured −0.62pp smoke r@10 cross-domain; same scoping
+        # discipline as the BM25 k1/b + consensus retunes).
+        _model = _lf.get_model() if _arm else None
+        if _model is not None and _model.domain != self._store_domain():
+            _model = None
+        if _lf.export_armed() or _model is not None:
+            _bucket = _lf.query_bucket(analysis, query.query_text)
+            _sem = getattr(self._base_embedder(), "_sem_model", None)
+            _feats = _lf.pool_features(
+                scored,
+                mem_scores=mem_scores,
+                bm25_scores=bm25_scores,
+                graph_activation=graph_activation,
+                fused=fused,
+                analysis=analysis,
+                query_text=query.query_text,
+                now=now,
+                temporal_ids=temporal_ids,
+                sem_model=_sem,
+                limit=None if _lf.export_armed() else _lf.RERANK_M,
+            )
+            if _lf.export_armed():
+                _lf.capture(scored, _feats, _bucket, query.query_text or "")
+            if _model is not None:
+                scored = _model.rerank(_bucket, scored, _feats)
 
         # Companion rerank over the deep pool (frozen anchors keep seats)
         if companion_gate and analysis is not None and "companion" not in disabled:

@@ -1,0 +1,348 @@
+"""Learned per-category fusion re-ranking (SHODH_LEARNED_FUSION).
+
+Reference: ``src/ab_testing.rs`` LearnedWeights + ``src/memory/
+fusion_features.rs:1-12`` — the reference fits per-query leg-trust /
+scoring weights offline on harness feature exports and serves the fitted
+variant through the A/B manager. This module is the rebuild's equivalent
+loop, closing the round-4 verdict's #1 gap: the pool provably contains
+394/396 of the multi_hop/open_domain golds, so the remaining floor is a
+RANKING failure — hand-swept global constants cannot express per-category
+trade-offs, a fitted per-bucket linear model can (or the negative gets
+recorded with learning curves, closing the family).
+
+Three pieces, one source of truth for the feature map:
+
+- :func:`pool_features` — the per-candidate feature matrix over a scored
+  pool, used identically at export time (training data) and at inference
+  (re-ranking), so train/serve skew is impossible by construction.
+- export arming (thread-local, like harness.diagnostics) — the harness
+  arms a sink per case; ``_rank_pool`` captures the pool's features +
+  gold labels right after the deterministic L5 sort.
+- :class:`LearnedFusionModel` — per-bucket weights fitted offline by
+  ``tools/fit_fusion.py`` (pairwise logistic over (gold, non-gold) pairs),
+  shipped as ``shodh_tpu/data/learned_fusion.json`` and applied as a
+  score blend ``(1-lam)·final_n + lam·sigmoid(w·f)`` over the top-M pool.
+
+Buckets are derived from the QUERY (not the suite label — production has
+no suite label): ``multihop`` / ``temporal`` / ``open`` / ``factual``
+from QueryAnalysis flags; the export records both so bucket-category
+alignment is measurable.
+
+Determinism: weights are a fixed artifact; re-ranking re-sorts with the
+same (score desc, created_at, content_hash) tie-break as the base path.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import threading
+from dataclasses import dataclass, field
+from functools import lru_cache
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from shodh_tpu.constants import env_flag
+
+FEATURE_NAMES: tuple[str, ...] = (
+    "vec",            # vector-leg cosine (raw, 0..1)
+    "bm_n",           # BM25 / per-query max
+    "graph_n",        # graph activation / per-query max
+    "fused_n",        # fused base / per-query max
+    "final_n",        # L5 final score / per-query max
+    "rr_vec",         # 1/(1+rank) in the vector leg (0 = absent)
+    "rr_bm",
+    "rr_graph",
+    "rr_final",
+    "sem_cos",        # corpus-semantic dense cosine (CorpusSemanticModel)
+    "speaker_match",  # utterance speaker is a query entity
+    "temporal_refs",  # candidate carries extracted temporal expressions
+    "toponyms",       # candidate carries toponyms
+    "causal_marker",  # candidate content has a causal discourse marker
+    "recency",        # exp(-hours_old / 720)
+    "importance",
+    "loglen",         # min(1, log1p(len(content))/7)
+    "temporal_id",    # candidate was in the L0.4 temporal prefilter set
+    "entity_overlap", # |query entities ∩ candidate entities| / |q entities|
+    "term_overlap",   # fraction of query focal stems present in content
+)
+
+# Top-M pool depth the re-ranker sees (export keeps golds beyond it so
+# fitting can measure how much mass M leaves on the table).
+RERANK_M = 128
+EXPORT_M = 256
+
+_DATA_PATH = Path(__file__).resolve().parent.parent / "data" / "learned_fusion.json"
+
+_local = threading.local()
+
+
+def enabled() -> bool:
+    return env_flag("SHODH_LEARNED_FUSION", False)
+
+
+# -- query bucket --------------------------------------------------------------
+
+
+def query_bucket(analysis, query_text: Optional[str]) -> str:
+    """Serve-time category proxy from QueryAnalysis flags alone."""
+    if analysis is not None and analysis.multihop:
+        return "multihop"
+    if analysis is not None and (
+        analysis.is_temporal_seeking or analysis.date_range is not None
+    ):
+        return "temporal"
+    ql = (query_text or "").lower().lstrip()
+    if (analysis is not None and analysis.is_polar) or ql.startswith(("why ", "how ")):
+        return "open"
+    return "factual"
+
+
+# -- features ------------------------------------------------------------------
+
+
+@lru_cache(maxsize=4096)
+def _content_stem_set(content: str) -> frozenset[str]:
+    from shodh_tpu.models.hash_embedder import content_stems
+
+    return frozenset(content_stems(content))
+
+
+# Semantic doc-vector cache: (model identity, content hash) -> unit vec.
+_sem_cache: dict[tuple[int, str], np.ndarray] = {}
+_SEM_CACHE_CAP = 65536
+
+
+def _sem_doc_vec(model, mem) -> np.ndarray:
+    key = (id(model), mem.content_hash)
+    v = _sem_cache.get(key)
+    if v is None:
+        if len(_sem_cache) >= _SEM_CACHE_CAP:
+            _sem_cache.clear()
+        v = model.text_vec(mem.experience.content)
+        _sem_cache[key] = v
+    return v
+
+
+def _rr_map(leg: dict[str, float]) -> dict[str, float]:
+    ranked = sorted(leg.items(), key=lambda kv: (-kv[1], kv[0]))
+    return {mid: 1.0 / (1.0 + i) for i, (mid, _) in enumerate(ranked)}
+
+
+def pool_features(
+    scored,
+    *,
+    mem_scores: dict[str, float],
+    bm25_scores: dict[str, float],
+    graph_activation: dict[str, float],
+    fused: dict[str, float],
+    analysis,
+    query_text: Optional[str],
+    now,
+    temporal_ids: set[str],
+    sem_model=None,
+    limit: Optional[int] = None,
+) -> np.ndarray:
+    """(n, F) f32 feature matrix over ``scored[:limit]`` (a sorted
+    list of ScoredMemory). Single source of truth for export + inference."""
+    from shodh_tpu.engine.memory_system import _CAUSAL_MARKER_RE, _utterance_speaker
+    from shodh_tpu.nlp.stemmer import stem as _stem
+    from shodh_tpu.utils.clock import hours_between
+
+    rows = scored[: limit or len(scored)]
+    n = len(rows)
+    feats = np.zeros((n, len(FEATURE_NAMES)), np.float32)
+    if n == 0:
+        return feats
+
+    max_bm = max(bm25_scores.values(), default=0.0) or 1e-6
+    max_act = max(graph_activation.values(), default=0.0) or 1e-6
+    max_fused = max(fused.values(), default=0.0) or 1e-6
+    max_final = max((s.score for s in rows), default=0.0) or 1e-6
+    rr_vec = _rr_map(mem_scores)
+    rr_bm = _rr_map(bm25_scores)
+    rr_graph = _rr_map(graph_activation)
+
+    q_ents = (
+        {e.lower() for e in analysis.entities}
+        if analysis is not None and analysis.entities
+        else set()
+    )
+    q_stems = (
+        [_stem(t.lower()) for t in analysis.focal_terms[:8]]
+        if analysis is not None and analysis.focal_terms
+        else []
+    )
+    q_sem = None
+    if sem_model is not None and query_text:
+        q_sem = sem_model.text_vec(query_text)
+        if not q_sem.any():
+            q_sem = None
+
+    for i, s in enumerate(rows):
+        mem = s.memory
+        exp = mem.experience
+        mid = mem.id
+        feats[i, 0] = min(1.0, max(0.0, mem_scores.get(mid, 0.0)))
+        feats[i, 1] = min(1.0, max(0.0, bm25_scores.get(mid, 0.0) / max_bm))
+        feats[i, 2] = min(1.0, max(0.0, graph_activation.get(mid, 0.0) / max_act))
+        feats[i, 3] = min(1.0, max(0.0, fused.get(mid, 0.0) / max_fused))
+        feats[i, 4] = min(1.0, max(0.0, s.score / max_final))
+        feats[i, 5] = rr_vec.get(mid, 0.0)
+        feats[i, 6] = rr_bm.get(mid, 0.0)
+        feats[i, 7] = rr_graph.get(mid, 0.0)
+        feats[i, 8] = 1.0 / (1.0 + i)
+        if q_sem is not None:
+            feats[i, 9] = max(0.0, float(q_sem @ _sem_doc_vec(sem_model, mem)))
+        spk = _utterance_speaker(exp.content)
+        feats[i, 10] = 1.0 if (spk is not None and spk in q_ents) else 0.0
+        feats[i, 11] = 1.0 if exp.temporal_refs else 0.0
+        feats[i, 12] = 1.0 if exp.toponyms else 0.0
+        feats[i, 13] = 1.0 if _CAUSAL_MARKER_RE.search(exp.content) else 0.0
+        feats[i, 14] = math.exp(-max(0.0, hours_between(mem.created_at, now)) / 720.0)
+        feats[i, 15] = min(1.0, max(0.0, mem.importance))
+        feats[i, 16] = min(1.0, math.log1p(len(exp.content)) / 7.0)
+        feats[i, 17] = 1.0 if mid in temporal_ids else 0.0
+        if q_ents:
+            ents = {e.lower() for e in exp.entities} if exp.entities else set()
+            feats[i, 18] = len(q_ents & ents) / len(q_ents)
+        if q_stems:
+            cs = _content_stem_set(exp.content)
+            feats[i, 19] = sum(1 for t in q_stems if t in cs) / len(q_stems)
+    return feats
+
+
+# -- export arming (harness only) ----------------------------------------------
+
+
+@dataclass
+class ExportSink:
+    records: list[dict] = field(default_factory=list)
+    gold_ids: frozenset[str] = frozenset()
+    case_id: str = ""
+    category: str = ""
+
+
+def arm_export(case_id: str, category: str, gold_ids: set[str]) -> None:
+    _local.sink = ExportSink(
+        gold_ids=frozenset(gold_ids), case_id=case_id, category=category
+    )
+
+
+def disarm_export() -> Optional[ExportSink]:
+    sink = getattr(_local, "sink", None)
+    _local.sink = None
+    return sink
+
+
+def export_armed() -> bool:
+    return getattr(_local, "sink", None) is not None
+
+
+def capture(scored, feats: np.ndarray, bucket: str, query_text: str) -> None:
+    """Record the pool's features + gold labels for the armed case. Keeps
+    the top EXPORT_M rows plus any gold ranked below them."""
+    sink: Optional[ExportSink] = getattr(_local, "sink", None)
+    if sink is None:
+        return
+    keep = list(range(min(EXPORT_M, len(scored))))
+    for i in range(EXPORT_M, len(scored)):
+        if scored[i].memory.id in sink.gold_ids:
+            keep.append(i)
+    rows = []
+    ids = []
+    for i in keep:
+        label = 1 if scored[i].memory.id in sink.gold_ids else 0
+        rows.append([label, i] + [round(float(x), 4) for x in feats[i]])
+        ids.append(scored[i].memory.content_hash)
+    n_gold_pool = sum(1 for s in scored if s.memory.id in sink.gold_ids)
+    sink.records.append(
+        {
+            "case_id": sink.case_id,
+            "category": sink.category,
+            "bucket": bucket,
+            "query": query_text,
+            "n_pool": len(scored),
+            "n_gold": len(sink.gold_ids),
+            "n_gold_pool": n_gold_pool,
+            "rows": rows,
+            # content hashes per kept row: lets offline feature experiments
+            # join pool candidates back to corpus text without re-running
+            # the suite (tools/fit_fusion.py ignores them)
+            "hashes": ids,
+        }
+    )
+
+
+# -- fitted model ---------------------------------------------------------------
+
+
+@dataclass
+class LearnedFusionModel:
+    """Per-bucket linear re-ranker: score' = (1-lam)·final_n + lam·σ(w·f+b).
+
+    ``domain`` records what the weights were fitted ON ("dialogue" for the
+    conversation suites). The engine applies the rerank only when the
+    store's majority document class matches — the same domain scoping the
+    BM25 k1/b and FLAT consensus retunes use (fusion.py): dialogue-fitted
+    weights measured −0.62pp smoke r@10 when applied cross-domain to the
+    notes-majority smoke store, while being all-5-metrics-up on the
+    dialogue suites."""
+
+    buckets: dict[str, dict]
+    domain: str = "dialogue"
+    feature_names: tuple[str, ...] = FEATURE_NAMES
+
+    @classmethod
+    def load(cls, path: Optional[Path] = None) -> Optional["LearnedFusionModel"]:
+        p = Path(path or os.environ.get("SHODH_LEARNED_FUSION_PATH", _DATA_PATH))
+        if not p.exists():
+            return None
+        d = json.loads(p.read_text())
+        names = tuple(d.get("feature_names", FEATURE_NAMES))
+        if names != FEATURE_NAMES:
+            return None  # stale artifact from an older feature map
+        return cls(buckets=d.get("buckets", {}), domain=d.get("domain", "dialogue"))
+
+    def rerank(self, bucket: str, scored, feats: np.ndarray):
+        """Blend-and-re-sort the top-M of ``scored`` in place; rows past M
+        keep their base order (they scored below every re-ranked row's
+        floor only if the blend says so — M-tail rows keep base scores and
+        re-enter the same global sort)."""
+        spec = self.buckets.get(bucket)
+        if spec is None or spec.get("lam", 0.0) <= 0.0:
+            return scored
+        lam = float(spec["lam"])
+        w = np.asarray(spec["w"], np.float32)
+        b = float(spec.get("b", 0.0))
+        m = min(len(scored), feats.shape[0])
+        if m == 0:
+            return scored
+        max_final = max((s.score for s in scored), default=0.0) or 1e-6
+        z = feats[:m] @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        new = list(scored)
+        for i in range(m):
+            final_n = min(1.0, max(0.0, new[i].score / max_final))
+            new[i] = type(new[i])(
+                memory=new[i].memory,
+                score=float(((1.0 - lam) * final_n + lam * p[i]) * max_final),
+                attribution=new[i].attribution,
+            )
+        new.sort(
+            key=lambda s: (-s.score, s.memory.created_at.isoformat(), s.memory.content_hash)
+        )
+        return new
+
+
+_model_cache: dict[str, Optional[LearnedFusionModel]] = {}
+
+
+def get_model() -> Optional[LearnedFusionModel]:
+    key = os.environ.get("SHODH_LEARNED_FUSION_PATH", str(_DATA_PATH))
+    if key not in _model_cache:
+        _model_cache[key] = LearnedFusionModel.load()
+    return _model_cache[key]
