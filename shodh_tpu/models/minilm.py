@@ -146,9 +146,61 @@ def params_from_state_dict(state: dict, cfg: dict = CONFIG) -> dict:
     return params
 
 
+def flatten_params(params: dict) -> dict:
+    """Param pytree -> flat npz key space ('layers/<i>/<name>[/q|/s]');
+    the converted-artifact layout tools/convert_minilm.py writes."""
+    flat = {}
+    for k, v in params.items():
+        if k == "layers":
+            for i, lp in enumerate(v):
+                for kk, vv in lp.items():
+                    if isinstance(vv, dict):  # int8 {q, s}
+                        flat[f"layers/{i}/{kk}/q"] = np.asarray(vv["q"])
+                        flat[f"layers/{i}/{kk}/s"] = np.asarray(vv["s"])
+                    else:
+                        flat[f"layers/{i}/{kk}"] = np.asarray(vv)
+        else:
+            flat[k] = np.asarray(v)
+    return flat
+
+
+def unflatten_params(data) -> dict:
+    """Inverse of :func:`flatten_params` (accepts an npz handle or dict)."""
+    params: dict = {"layers": []}
+    layer_buf: dict[int, dict] = {}
+    files = data.files if hasattr(data, "files") else list(data)
+    for key in files:
+        parts = key.split("/")
+        if parts[0] == "layers":
+            lp = layer_buf.setdefault(int(parts[1]), {})
+            if len(parts) == 4:  # quantized {q, s}
+                lp.setdefault(parts[2], {})[parts[3]] = data[key]
+            else:
+                lp[parts[2]] = data[key]
+        else:
+            params[key] = data[key]
+    params["layers"] = [layer_buf[i] for i in sorted(layer_buf)]
+    return params
+
+
 def load_checkpoint(ckpt_dir: str | Path, cfg: dict = CONFIG) -> dict:
-    """Load params from a HF checkpoint dir (model.safetensors or pytorch_model.bin)."""
+    """Load params from a checkpoint dir: model.npz (our converted layout,
+    tools/convert_minilm.py), model.safetensors, or pytorch_model.bin."""
     ckpt_dir = Path(ckpt_dir)
+    npz_path = ckpt_dir / "model.npz"
+    if npz_path.exists():
+        params = unflatten_params(np.load(npz_path))
+        return {
+            k: (v if k == "layers" else jnp.asarray(v)) for k, v in params.items()
+        } | {
+            "layers": [
+                {
+                    kk: (vv if isinstance(vv, dict) else jnp.asarray(vv))
+                    for kk, vv in lp.items()
+                }
+                for lp in params["layers"]
+            ]
+        }
     st_path = ckpt_dir / "model.safetensors"
     bin_path = ckpt_dir / "pytorch_model.bin"
     if st_path.exists():

@@ -287,3 +287,92 @@ class TestWrappers:
         e = default_embedder()
         assert e.dimension == 384
         assert e.encode("test").shape == (384,)
+
+
+class TestConvertTools:
+    """Weights-arrival runbook (tools/convert_minilm.py, convert_gliner.py):
+    synthetic tiny HF checkpoint -> converted npz artifact -> loads and
+    serves identically. The day a real checkpoint arrives, the same two
+    commands close the trained-embedder gap."""
+
+    def _synthetic_checkpoint(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        from transformers import BertConfig, BertModel
+
+        from shodh_tpu.models.minilm import CONFIG
+
+        cfg = BertConfig(
+            vocab_size=None,
+            hidden_size=CONFIG["hidden"],
+            num_hidden_layers=2,
+            num_attention_heads=CONFIG["heads"],
+            intermediate_size=CONFIG["ffn"],
+            max_position_embeddings=128,
+        )
+        words = (
+            "[PAD] [UNK] [CLS] [SEP] [MASK] the we to for a of on with use "
+            "decided sqlite storage layer first deploy failed permissions "
+            "error socket alice prefers reviewing pull requests in morning "
+            "quarterly numbers revenue grew while churn stayed flat remind "
+            "me rotate api credentials before friday robot lidar flagged an "
+            "obstacle near waypoint seven how do transformers handle long "
+            "range dependencies migration vector index finished without "
+            "data loss ##s ##ed ##ing ##er 14 % . : ' ?"
+        ).split()
+        cfg.vocab_size = len(words)
+        tmp_path.mkdir(parents=True, exist_ok=True)
+        (tmp_path / "vocab.txt").write_text("\n".join(words) + "\n")
+        torch.manual_seed(0)
+        BertModel(cfg).eval().save_pretrained(tmp_path)
+        return tmp_path
+
+    @pytest.mark.slow
+    def test_convert_minilm_roundtrip(self, tmp_path):
+        """convert() writes model.npz + parity report; the npz artifact
+        loads through load_checkpoint and encodes bit-identically to the
+        safetensors-loaded params."""
+        import sys
+        from pathlib import Path as _P
+
+        sys.path.insert(0, str(_P(__file__).resolve().parent.parent))
+        from tools.convert_minilm import convert
+
+        ckpt = self._synthetic_checkpoint(tmp_path / "hf")
+        out = tmp_path / "npz"
+        report = convert(ckpt, out, int8=True)
+        assert report["pass"], report
+        assert (out / "model.npz").exists() and (out / "vocab.txt").exists()
+
+        import jax
+
+        from shodh_tpu.models.minilm import load_checkpoint
+
+        p_hf = load_checkpoint(ckpt)
+        p_npz = load_checkpoint(out)
+        for a, b in zip(jax.tree.leaves(p_hf), jax.tree.leaves(p_npz)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    @pytest.mark.slow
+    def test_convert_gliner_synthetic(self, tmp_path):
+        """convert() builds a loadable typer artifact (141-label embeds from
+        the converted tower, random-init span head flagged in the report)."""
+        import sys
+        from pathlib import Path as _P
+
+        sys.path.insert(0, str(_P(__file__).resolve().parent.parent))
+        from tools.convert_gliner import convert
+
+        ckpt = self._synthetic_checkpoint(tmp_path / "hf")
+        out = tmp_path / "gliner"
+        report = convert(ckpt, out)
+        assert report["n_labels"] == 141
+        assert "random-init" in report["span_head"]
+
+        from shodh_tpu.models.gliner import load_typer
+
+        typer = load_typer(out)
+        spans_a = typer.extract("alice reviewed the pull requests")
+        spans_b = typer.extract("alice reviewed the pull requests")
+        assert [(s.text, s.fine_label) for s in spans_a] == [
+            (s.text, s.fine_label) for s in spans_b
+        ]
