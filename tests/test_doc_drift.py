@@ -87,3 +87,17 @@ def test_claude_md_flat_consensus():
     m = re.search(r"FLAT_CONSENSUS=([0-9.]+)", CLAUDE_MD)
     assert m, "FLAT_CONSENSUS claim not found in CLAUDE.md"
     assert abs(float(m.group(1)) - fusion.FLAT_CONSENSUS) < 1e-9
+
+
+def test_readme_bench_table_matches_driver_artifact():
+    """The README throughput ladder must be the generator's output over the
+    newest BENCH_r*.json (round-4 verdict #7: doc numbers drifted from the
+    driver capture; now drift fails CI by construction)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools/gen_bench_table.py"), "--check"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
