@@ -441,3 +441,166 @@ def fused_recall_batch_dense(
     final = final * valid[None, :] + (1.0 - valid[None, :]) * NEG_INF
     vals, rows = jax.lax.top_k(final, k)
     return vals, rows
+
+
+def fused_recall_pool_sharded(mesh, axis: str, k: int, vec_k: int):
+    """Row-sharded :func:`fused_recall_pool` over a device mesh (round-4
+    verdict #3: the north-star funnel past one chip's HBM).
+
+    Returns a jitted callable with the SAME signature and bit-identical
+    outputs as ``fused_recall_pool(..., k=k, vec_k=vec_k)``. Every per-row
+    input (corpus + the eleven metadata mirrors) splits along ``axis``;
+    query-side inputs replicate. Global reductions become per-shard
+    partials + ICI merges, each exact:
+
+    - ``max_bm`` / ``max_act`` / ``graph_on``: per-shard max + ``pmax``
+      (max is associative — bitwise the same result);
+    - the vector-leg admission threshold (per-query global vec_k-th
+      cosine): per-shard exact top-vec_k VALUES + all_gather + merged
+      top_k — containment gives exactness, values carry no shard bias;
+    - the final pool selection: per-shard exact top-k carrying
+      (final, fused, cos_adm, global row), all-gathered in ascending
+      shard order and merged — equal-score ties break on the lowest
+      global row exactly like the flat ``exact_topk_scores``.
+
+    Communication is O(S·Q·vec_k + S·k) floats over ICI; no (Q, N) or
+    (N,) array ever leaves its shard.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from shodh_tpu.ops.fused_topk import exact_topk_scores
+
+    n_shards = mesh.shape[axis]
+
+    def _local(queries, corpus, scales, valid, bm25, graph_activation,
+               importance, hours_old, arousal, credibility, momentum,
+               tag_penalty, graph_density, speaker_hash, row_flags,
+               q_ent_hashes, q_flags, q_age_range, q_scalars):
+        rows_per_shard = corpus.shape[0]
+        shard_idx = jax.lax.axis_index(axis)
+        consensus = q_scalars[2]
+        rscale = q_scalars[1]
+
+        raw = jax.lax.dot_general(
+            queries, corpus,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        cos_q = raw * scales[None, :]
+        masked_q = cos_q * valid[None, :] + (1.0 - valid[None, :]) * NEG_INF
+
+        # global per-query vec_k-th cosine: shard-local top-kk values +
+        # ICI merge (containment: the global vec_k-th is among the union
+        # of shard-local top-vec_k sets)
+        n_total = rows_per_shard * n_shards
+        global_vk = min(vec_k, n_total)
+        kk_v = min(global_vk, rows_per_shard)
+        loc_vk = exact_topk_scores(masked_q, kk_v)[0]  # (Q, kk_v)
+        all_vk = jax.lax.all_gather(loc_vk, axis)  # (S, Q, kk_v)
+        merged_vk = jnp.transpose(all_vk, (1, 0, 2)).reshape(
+            loc_vk.shape[0], n_shards * kk_v
+        )
+        thr = jax.lax.top_k(merged_vk, global_vk)[0][:, -1]  # (Q,)
+
+        admitted_q = jnp.where(masked_q >= thr[:, None], cos_q, NEG_INF)
+        cos_adm = jnp.max(admitted_q, axis=0)
+        cos = jnp.where(cos_adm > NEG_INF * 0.5, cos_adm, 0.0)
+
+        # L4 fusion with pmax'd leg scalars
+        graph_on = (
+            jax.lax.pmax(jnp.any(graph_activation > 0).astype(jnp.int32), axis) > 0
+        )
+        graph_w = jnp.where(
+            graph_on,
+            jnp.clip(
+                C.DENSITY_GRAPH_WEIGHT_MAX
+                + (graph_density - C.DENSITY_THRESHOLD_MIN)
+                / (C.DENSITY_THRESHOLD_MAX - C.DENSITY_THRESHOLD_MIN)
+                * (C.DENSITY_GRAPH_WEIGHT_MIN - C.DENSITY_GRAPH_WEIGHT_MAX),
+                C.DENSITY_GRAPH_WEIGHT_MIN,
+                C.DENSITY_GRAPH_WEIGHT_MAX,
+            ),
+            0.0,
+        )
+        hybrid_w = 1.0 - graph_w
+        max_bm = jnp.maximum(jax.lax.pmax(jnp.max(bm25), axis), 1e-6)
+        vn = jnp.clip(cos, 0.0, 1.0)
+        bn = jnp.clip(bm25 / max_bm, 0.0, 1.0)
+        hi = jnp.maximum(vn, bn)
+        lo = jnp.minimum(vn, bn)
+        fused = hybrid_w * (hi + consensus * lo)
+        max_act = jnp.maximum(jax.lax.pmax(jnp.max(graph_activation), axis), 1e-6)
+        fused = fused + graph_w * jnp.clip(graph_activation / max_act, 0.0, 1.0)
+        fused = fused * (
+            1.0 + graph_w * C.ACTIVATION_BONUS_SCALE
+            * jnp.clip(graph_activation, 0.0, 1.0)
+        )
+
+        # boost stack + L5 (pure elementwise — identical op order per slice)
+        spk_match = jnp.logical_and(
+            speaker_hash > 0,
+            jnp.any(speaker_hash[:, None] == q_ent_hashes[None, :], axis=1),
+        ).astype(jnp.float32)
+        boosted = fused * (1.0 + C.SPEAKER_MATCH_BOOST * spk_match)
+        boosted = boosted * (
+            1.0 + C.SEEK_TEMPORAL_REFS_BOOST * q_flags[0] * row_flags[:, 0]
+        )
+        boosted = boosted * (
+            1.0 + C.ANSWER_TYPE_BOOST
+            * (q_flags[1] * row_flags[:, 1] + q_flags[2] * row_flags[:, 2])
+        )
+        in_window = jnp.logical_and(
+            hours_old >= q_age_range[0], hours_old <= q_age_range[1]
+        ).astype(jnp.float32) * q_flags[3]
+        boosted = boosted * (1.0 + C.TEMPORAL_PREFILTER_BOOST * in_window)
+
+        recency = jnp.exp(-C.RECENCY_DECAY_RATE * hours_old) * rscale
+        arousal_f = arousal * C.AROUSAL_BOOST_SCALE
+        cred_f = jnp.maximum(credibility - 0.5, 0.0) * C.CREDIBILITY_BOOST_SCALE
+        tmatch = in_window * q_scalars[0]
+        boosts = jnp.minimum(
+            C.SCORING_BOOST_CAP, 1.0 + recency + arousal_f + cred_f + tmatch
+        )
+        imp = C.SCORING_IMPORTANCE_FLOOR + importance * C.SCORING_IMPORTANCE_RANGE
+        mom = jnp.clip(
+            momentum * C.FEEDBACK_MOMENTUM_SCALE,
+            -C.FEEDBACK_MOMENTUM_SCALE,
+            C.FEEDBACK_MOMENTUM_SCALE,
+        )
+        final = boosted * imp * boosts * (1.0 + mom) * tag_penalty
+        final = final * valid + (1.0 - valid) * NEG_INF
+
+        # per-shard pool top-k, carrying the epilogue values of each
+        # candidate, then the ascending-shard ICI merge
+        kk = min(k, rows_per_shard)
+        loc_vals, loc_rows = exact_topk_scores(final[None, :], kk)
+        loc_vals, loc_rows = loc_vals[0], loc_rows[0]
+        cand = jnp.stack(
+            [
+                loc_vals,
+                fused[loc_rows],
+                cos_adm[loc_rows],
+                (loc_rows + shard_idx * rows_per_shard).astype(jnp.float32),
+            ]
+        )  # (4, kk)
+        all_cand = jax.lax.all_gather(cand, axis)  # (S, 4, kk)
+        merged = jnp.transpose(all_cand, (1, 0, 2)).reshape(4, n_shards * kk)
+        out_k = min(k, n_shards * kk)
+        out_vals, pos = jax.lax.top_k(merged[0], out_k)
+        out_rows = merged[3][pos].astype(jnp.int32)
+        return out_vals, out_rows, merged[1][pos], merged[2][pos]
+
+    row = P(axis)
+    rep = P()
+    fn = jax.shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(
+            rep, row, row, row, row, row, row, row, row, row, row, row,
+            rep, row, (P(axis, None)), rep, rep, rep, rep,
+        ),
+        out_specs=(rep, rep, rep, rep),
+        check_vma=False,  # outputs replicated by construction (all_gather)
+    )
+    return jax.jit(fn)

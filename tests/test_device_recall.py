@@ -469,3 +469,97 @@ class TestBatchedFunnel:
                 [s for _, s in hits], [s for _, s in single], rtol=5e-5
             )
         sys_.close()
+
+
+class TestShardedPool:
+    """Round-5 verdict #3: fused_recall_pool under shard_map must be
+    bit-equal to the single-device pool program — rows, finals, and the
+    epilogue's fused/cos carries — on a mixed-domain corpus."""
+
+    def _inputs(self, n, d=32, seed=7):
+        rng = np.random.default_rng(seed)
+        corpus = rng.standard_normal((n, d)).astype(np.float32)
+        corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+        queries = rng.standard_normal((2, d)).astype(np.float32)
+        queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+        bm25 = np.where(rng.random(n) < 0.1, rng.random(n) * 8, 0).astype(np.float32)
+        graph = np.where(rng.random(n) < 0.08, rng.random(n), 0).astype(np.float32)
+        meta = dict(
+            importance=rng.random(n).astype(np.float32),
+            hours_old=(rng.random(n) * 2000).astype(np.float32),
+            arousal=rng.random(n).astype(np.float32),
+            credibility=rng.random(n).astype(np.float32),
+            momentum=(rng.random(n) * 2 - 1).astype(np.float32),
+            tag_penalty=np.ones(n, np.float32),
+        )
+        valid = (rng.random(n) > 0.03).astype(np.float32)
+        speaker = rng.integers(0, 5, n).astype(np.int32) * 1000
+        row_flags = (rng.random((n, 3)) < 0.2).astype(np.float32)
+        q_ents = np.asarray([1000, 3000, -1, -1], np.int32)
+        q_flags = np.asarray([1.0, 0.0, 1.0, 1.0], np.float32)
+        q_age = np.asarray([100.0, 900.0], np.float32)
+        q_scalars = np.asarray([0.15, C.RECENCY_BOOST_SCALE, 0.4], np.float32)
+        return (queries, corpus, np.ones(n, np.float32), valid, bm25, graph,
+                meta, speaker, row_flags, q_ents, q_flags, q_age, q_scalars)
+
+    def test_sharded_pool_bit_equal(self):
+        import jax
+
+        from shodh_tpu.ops.device_recall import (
+            fused_recall_pool, fused_recall_pool_sharded,
+        )
+        from shodh_tpu.parallel.mesh import make_mesh
+
+        n, k, vec_k = 8 * 128, 64, 50
+        (queries, corpus, scales, valid, bm25, graph, meta, speaker,
+         row_flags, q_ents, q_flags, q_age, q_scalars) = self._inputs(n)
+        args = (
+            jnp.asarray(queries), jnp.asarray(corpus), jnp.asarray(scales),
+            jnp.asarray(valid), jnp.asarray(bm25), jnp.asarray(graph),
+            jnp.asarray(meta["importance"]), jnp.asarray(meta["hours_old"]),
+            jnp.asarray(meta["arousal"]), jnp.asarray(meta["credibility"]),
+            jnp.asarray(meta["momentum"]), jnp.asarray(meta["tag_penalty"]),
+            jnp.float32(1.7), jnp.asarray(speaker), jnp.asarray(row_flags),
+            jnp.asarray(q_ents), jnp.asarray(q_flags), jnp.asarray(q_age),
+            jnp.asarray(q_scalars),
+        )
+        want = fused_recall_pool(*args, k=k, vec_k=vec_k)
+        mesh = make_mesh(8)
+        fn = fused_recall_pool_sharded(mesh, "shard", k=k, vec_k=vec_k)
+        got = fn(*args)
+        np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
+        for gi, wi, name in ((0, 0, "final"), (2, 2, "fused"), (3, 3, "cos")):
+            np.testing.assert_array_equal(
+                np.asarray(got[gi]), np.asarray(want[wi]), err_msg=name
+            )
+
+    def test_sharded_pool_no_graph_leg(self):
+        """graph_on must stay globally consistent when only ONE shard has
+        any activation (the pmax'd flag decides graph_w everywhere)."""
+        import jax
+
+        from shodh_tpu.ops.device_recall import (
+            fused_recall_pool, fused_recall_pool_sharded,
+        )
+        from shodh_tpu.parallel.mesh import make_mesh
+
+        n, k, vec_k = 8 * 64, 32, 20
+        (queries, corpus, scales, valid, bm25, graph, meta, speaker,
+         row_flags, q_ents, q_flags, q_age, q_scalars) = self._inputs(n, seed=9)
+        graph[:] = 0.0
+        graph[n - 3] = 0.7  # activation only in the LAST shard
+        args = (
+            jnp.asarray(queries), jnp.asarray(corpus), jnp.asarray(scales),
+            jnp.asarray(valid), jnp.asarray(bm25), jnp.asarray(graph),
+            jnp.asarray(meta["importance"]), jnp.asarray(meta["hours_old"]),
+            jnp.asarray(meta["arousal"]), jnp.asarray(meta["credibility"]),
+            jnp.asarray(meta["momentum"]), jnp.asarray(meta["tag_penalty"]),
+            jnp.float32(1.7), jnp.asarray(speaker), jnp.asarray(row_flags),
+            jnp.asarray(q_ents), jnp.asarray(q_flags), jnp.asarray(q_age),
+            jnp.asarray(q_scalars),
+        )
+        want = fused_recall_pool(*args, k=k, vec_k=vec_k)
+        fn = fused_recall_pool_sharded(make_mesh(8), "shard", k=k, vec_k=vec_k)
+        got = fn(*args)
+        np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
