@@ -89,14 +89,18 @@ class IVFIndex:
         avg = max(1, int(np.ceil(self.n / k)))
         self.pad_width = max(8, _OVERFLOW_FACTOR * avg)
         postings = np.full((k, self.pad_width), -1, np.int32)
-        fill = np.zeros(k, np.int64)
-        overflow: list[int] = []
-        for row, c in enumerate(assign):
-            if fill[c] < self.pad_width:
-                postings[c, fill[c]] = row
-                fill[c] += 1
-            else:
-                overflow.append(row)
+        # Vectorized posting fill (the row-loop form took minutes at 8M):
+        # stable sort by cluster keeps rows ascending within each cluster
+        # — identical postings content and overflow set to the loop, and
+        # the overflow re-sort restores the loop's ascending-row order
+        # (tie-breaks in search depend on candidate concatenation order).
+        order = np.argsort(assign, kind="stable").astype(np.int64)
+        sorted_assign = assign[order]
+        starts = np.searchsorted(sorted_assign, np.arange(k))
+        pos_in_cluster = np.arange(self.n, dtype=np.int64) - starts[sorted_assign]
+        in_cap = pos_in_cluster < self.pad_width
+        postings[sorted_assign[in_cap], pos_in_cluster[in_cap]] = order[in_cap]
+        overflow = np.sort(order[~in_cap]).tolist()
         self._centroids = jnp.asarray(centroids)
         self._postings = jnp.asarray(postings)
         self._overflow = jnp.asarray(
