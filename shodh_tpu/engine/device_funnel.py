@@ -61,6 +61,9 @@ class DeviceRecallEngine:
         # _hours_old_dev matches the host float64 path to f32 rounding.
         self._origin: datetime = _EPOCH
 
+    def _corpus_rows(self) -> int:
+        return len(self.system.index)
+
     # -- mirrors ----------------------------------------------------------------
 
     def _ensure_mirrors(self) -> None:
@@ -395,14 +398,18 @@ class DeviceRecallEngine:
         """Batched fused-program recall: B queries -> device programs
         (ops/device_recall.py fused_recall_batch). The serving-throughput
         configuration for SHODH_DEVICE_FUNNEL deployments. Batches beyond
-        CHUNK_B are windowed into CHUNK_B-query dispatches — the measured
-        device sweet spot (see ops/device_recall.py CHUNK_B notes)."""
-        from shodh_tpu.ops.device_recall import CHUNK_B
+        the corpus-derated window are split into window-sized dispatches —
+        the measured device sweet spot at <=1M rows, scaled down above so
+        the program's (B, N) planes hold ~2 GB (ops/device_recall.chunk_b,
+        round-4 advisor #3)."""
+        from shodh_tpu.ops.device_recall import chunk_b
 
-        if len(query_texts) > CHUNK_B:
+        self._ensure_mirrors()
+        window = chunk_b(self._corpus_rows())
+        if len(query_texts) > window:
             out: list[list[tuple[str, float]]] = []
-            for lo in range(0, len(query_texts), CHUNK_B):
-                out.extend(self.recall_batch(query_texts[lo: lo + CHUNK_B], k, now))
+            for lo in range(0, len(query_texts), window):
+                out.extend(self.recall_batch(query_texts[lo: lo + window], k, now))
             return out
         import jax.numpy as jnp
 

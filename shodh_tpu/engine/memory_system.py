@@ -1382,6 +1382,7 @@ class MemorySystem:
         _model = _lf.get_model() if _arm else None
         if _model is not None and _model.domain != self._store_domain():
             _model = None
+        t0 = time.perf_counter()
         if _lf.export_armed() or _model is not None:
             _bucket = _lf.query_bucket(analysis, query.query_text)
             _sem = getattr(self._base_embedder(), "_sem_model", None)
@@ -1402,8 +1403,10 @@ class MemorySystem:
                 _lf.capture(scored, _feats, _bucket, query.query_text or "")
             if _model is not None:
                 scored = _model.rerank(_bucket, scored, _feats)
+        timings["learned_ms"] = (time.perf_counter() - t0) * 1000
 
         # Companion rerank over the deep pool (frozen anchors keep seats)
+        t0 = time.perf_counter()
         if companion_gate and analysis is not None and "companion" not in disabled:
             from shodh_tpu.engine.companion import companion_rerank, mmr_rerank
 
@@ -1414,6 +1417,7 @@ class MemorySystem:
             mmr_lam = C.env_float("SHODH_MMR_LAMBDA", 0.0)
             if mmr_lam > 0.0 and "mmr" not in disabled:
                 scored = mmr_rerank(scored, k, mmr_lam)
+        timings["companion_ms"] = (time.perf_counter() - t0) * 1000
 
         # Temporal diversity ("diversity" family): cap same-moment
         # near-duplicates in the top-k so multi-gold enumeration queries

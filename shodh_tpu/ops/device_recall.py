@@ -239,6 +239,18 @@ def fused_recall_pool(
 CHUNK_B = 256
 
 
+def chunk_b(n_rows: int) -> int:
+    """Host window size for the batched funnel, derated with corpus rows
+    (round-4 advisor #3): the sparse form still materializes two (B, N)
+    f32 planes in one program — 8 GB at B=256 on the 4M bucket, untested
+    and tight on 16 GB HBM next to the resident corpus. B=256 is the
+    measured sweet spot at <=1M rows; above that the window scales down
+    to hold the planes at ~2 GB until a hardware measurement says more."""
+    if n_rows <= 1 << 20:
+        return CHUNK_B
+    return max(32, int(CHUNK_B * (1 << 20) / n_rows))
+
+
 @partial(jax.jit, static_argnames=("k",))
 def fused_recall_batch(
     queries,  # (B, D) f32 L2-normalized
