@@ -491,10 +491,18 @@ DEVICE_QUERY_BATCH = 256
 # IVF: clusters = ceil(sqrt(N)) like SPANN (spann.rs); probe count default.
 IVF_DEFAULT_NPROBE = 10
 # The reference flips Vamana->SPANN at 100k (vector_db/mod.rs:53) because a
-# CPU graph walk saturates there. Measured on v5e the EXACT scan still does
-# 18,946 QPS at 1M x 384 int8 — exact wins until HBM capacity, not compute,
-# forces tiering (a v5e chip holds ~30M int8 384-d rows beside the model).
-IVF_MIN_VECTORS = 8_000_000  # below this, exact device search wins on TPU
+# CPU graph walk saturates there. Measured on v5e (round 5, tools/
+# bench_8m.py): the EXACT certified path does 6,319 QPS/chip at 8M x 384
+# int8 (20.3 ms/batch at B=128, certificate 2/2), while IVF at 8M is BOTH
+# ~14x slower (nprobe=10: 119 ms for B=32 = 268 QPS — the scattered
+# posting gather moves ~12 GB/s where the exact path's contiguous MXU
+# scan moves ~150 GB/s) AND near-zero recall on unclustered vectors
+# (r@10 vs exact .019 at nprobe 10; real embedding corpora cluster
+# better, but a 14x speed deficit is not a recall problem). Exact wins
+# until HBM CAPACITY forces tiering — a v5e chip holds ~12M int8 384-d
+# rows beside the (B, N) bf16 pass-1 plane at B=128 — so the IVF floor
+# sits at the measured capacity ceiling, not a latency crossover.
+IVF_MIN_VECTORS = 12_000_000  # exact serves every tier that fits HBM
 # PQ: 8-dim subvectors x 256 centroids (pq.rs:17-21)
 PQ_SUBVECTOR_DIM = 8
 PQ_CENTROIDS = 256

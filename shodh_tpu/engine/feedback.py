@@ -41,20 +41,34 @@ class FeedbackStore:
     def __init__(self, kv):
         self.kv = kv
         self._cache: dict[str, MomentumState] = {}
+        self._warm = False
         # prediction cache: memory id -> predicted score (mod.rs:455-479)
         self._predictions: dict[str, float] = {}
 
+    def _warm_all(self) -> None:
+        """Load the whole feedback namespace once. Only memories that ever
+        RECEIVED feedback have an entry (usually a tiny fraction of the
+        store), while recall probes momentum for EVERY pool candidate —
+        the per-id miss path cost one sqlite read per first-touched
+        candidate, which the round-5 tail profile measured at 600+ ms on
+        a 2k-row enumeration pool early in a process's life. One prefix
+        scan replaces all of them; record() keeps the map coherent."""
+        for mid, raw in self.kv.scan_prefix(NS_FEEDBACK, ""):
+            if mid not in self._cache:
+                self._cache[mid] = MomentumState.from_dict(decode(raw))
+        self._warm = True
+
     def _get(self, memory_id: str) -> Optional[MomentumState]:
-        # Misses are cached too (as None): most memories never receive
-        # feedback, and the uncached miss path was one sqlite read per
-        # candidate per recall (~420/query profiled). record() overwrites
-        # the entry on write, so negatives never go stale in-process.
-        if memory_id in self._cache:
-            return self._cache[memory_id]
-        raw = self.kv.get(NS_FEEDBACK, memory_id)
-        st = MomentumState.from_dict(decode(raw)) if raw is not None else None
-        self._cache[memory_id] = st
-        return st
+        if not self._warm:
+            self._warm_all()
+        return self._cache.get(memory_id)
+
+    def invalidate(self) -> None:
+        """Drop the warm map (read-replica followers call this after a
+        replay batch — feedback written by the writer lands in sqlite
+        without passing through this store's record())."""
+        self._cache.clear()
+        self._warm = False
 
     def record(self, memory_id: str, signal: float, now: datetime, alpha: float = _DEFAULT_ALPHA) -> float:
         """Fold a feedback signal in [-1, 1] into the momentum EMA.

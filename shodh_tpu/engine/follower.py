@@ -179,6 +179,8 @@ class FollowerReader:
                 sys_.index.flush()
                 if sys_._device_funnel is not None:
                     sys_._device_funnel.invalidate()
+                if sys_.feedback is not None:
+                    sys_.feedback.invalidate()
         self._refreshes += 1
         if not catch_up_only and self._refreshes % self._graph_refresh_every == 0:
             self.refresh_graph()
@@ -261,6 +263,8 @@ class FollowerReader:
                 sys_.bm25.load_doc(mem.id)
         if sys_._device_funnel is not None:
             sys_._device_funnel.invalidate()
+        if sys_.feedback is not None:
+            sys_.feedback.invalidate()
         return True
 
     def refresh_graph(self) -> None:

@@ -97,6 +97,9 @@ class CorpusSemanticModel:
         self.common_dir = common_dir  # (dim,) or None
         self.corpus_fingerprint = corpus_fingerprint
         self.dim = int(vectors.shape[1]) if vectors.size else 0
+        # {content_hash: final text_vec} for the fit corpus (set by fit();
+        # absent on load — consumers fall back to lazy text_vec)
+        self.doc_vec_cache: dict[str, np.ndarray] | None = None
 
     # -- fitting -------------------------------------------------------------
 
@@ -174,6 +177,29 @@ class CorpusSemanticModel:
                 v = centered.T @ (centered @ v)
                 v /= max(np.linalg.norm(v), 1e-12)
             model.common_dir = v.astype(np.float32)
+        # Precomputed final doc vectors for the fit corpus, keyed by
+        # content hash: the learned-fusion feature pass probes up to 128
+        # doc vectors PER RECALL, and the per-doc python text_vec on a
+        # cold cache measured 800+ ms tail spikes (round-5 profile). The
+        # raw vecs above are exactly text_vec's pre-removal values, so
+        # applying the same removal+normalize here is byte-identical to
+        # the lazy path. Capped — past it, lookups fall back to lazy.
+        if len(texts) <= 262_144:
+            from shodh_tpu.utils.hashing import content_hash as _chash
+
+            cache: dict[str, np.ndarray] = {}
+            for i, t in enumerate(texts):
+                # per-row scalar ops in text_vec's exact order, so cached
+                # and lazy values are bit-identical
+                v = doc_vecs[i]
+                if model.common_dir is not None:
+                    v = v - float(v @ model.common_dir) * model.common_dir
+                norm = float(np.linalg.norm(v))
+                cache[_chash(t)] = (
+                    np.zeros(model.dim, np.float32) if norm < 1e-9
+                    else (v / norm).astype(np.float32)
+                )
+            model.doc_vec_cache = cache
         return model
 
     @staticmethod

@@ -151,6 +151,13 @@ _SEM_CACHE_CAP = 65536
 
 
 def _sem_doc_vec(model, mem) -> np.ndarray:
+    # The fit-time precomputed map first (bit-identical to text_vec;
+    # kills the cold-cache tail spikes the round-5 profile measured)
+    pre = getattr(model, "doc_vec_cache", None)
+    if pre is not None:
+        v = pre.get(mem.content_hash)
+        if v is not None:
+            return v
     key = (id(model), mem.content_hash)
     v = _sem_cache.get(key)
     if v is None:
