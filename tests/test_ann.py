@@ -378,3 +378,63 @@ class TestShardedSuiteParity:
 
         np.testing.assert_array_equal(np.asarray(drows), np.asarray(srows))
         np.testing.assert_allclose(np.asarray(dvals), np.asarray(svals), rtol=1e-4)
+
+
+class TestChunkedKMeans:
+    """8M-build machinery: the chunked forms must agree with the flat fit."""
+
+    def test_single_chunk_matches_flat(self):
+        from shodh_tpu.index.kmeans import kmeans_fit, kmeans_fit_chunked
+
+        v = _clustered_data(n_clusters=8, per_cluster=32, d=16, seed=3)
+        n = len(v)
+        w = np.ones(n, np.float32)
+        idx = (np.arange(8) * (n // 8)).clip(0, n - 1)
+        c_flat, a_flat = kmeans_fit(jnp.asarray(v), k=8, iters=5)
+        c_ch, a_ch = kmeans_fit_chunked(
+            jnp.asarray(v), jnp.asarray(w), jnp.asarray(v[idx]), k=8, iters=5,
+            chunk=n,
+        )
+        np.testing.assert_array_equal(np.asarray(a_flat), np.asarray(a_ch))
+        np.testing.assert_allclose(np.asarray(c_flat), np.asarray(c_ch), rtol=1e-6)
+
+    def test_pad_rows_never_move_centroids(self):
+        from shodh_tpu.index.kmeans import kmeans_fit_chunked
+
+        v = _clustered_data(n_clusters=4, per_cluster=32, d=16, seed=5)
+        n = len(v)
+        idx = (np.arange(4) * (n // 4)).clip(0, n - 1)
+        # no pad
+        c0, a0 = kmeans_fit_chunked(
+            jnp.asarray(v), jnp.asarray(np.ones(n, np.float32)),
+            jnp.asarray(v[idx]), k=4, iters=5, chunk=n,
+        )
+        # zero-pad to 2n with weight 0
+        vp = np.concatenate([v, np.zeros_like(v)])
+        wp = np.concatenate([np.ones(n, np.float32), np.zeros(n, np.float32)])
+        c1, a1 = kmeans_fit_chunked(
+            jnp.asarray(vp), jnp.asarray(wp), jnp.asarray(v[idx]), k=4, iters=5,
+            chunk=n,
+        )
+        np.testing.assert_allclose(np.asarray(c0), np.asarray(c1), rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1)[:n])
+
+    def test_int8_form_matches_dequantized(self):
+        from shodh_tpu.index.device_index import _quantize_int8_np
+        from shodh_tpu.index.kmeans import kmeans_fit_chunked, kmeans_fit_int8
+
+        v = _clustered_data(n_clusters=4, per_cluster=32, d=16, seed=7)
+        n = len(v)
+        q, s = _quantize_int8_np(v)
+        deq = q.astype(np.float32) * s[:, None]
+        idx = (np.arange(4) * (n // 4)).clip(0, n - 1)
+        c_f, a_f = kmeans_fit_chunked(
+            jnp.asarray(deq), jnp.asarray(np.ones(n, np.float32)),
+            jnp.asarray(deq[idx]), k=4, iters=5, chunk=n // 2,
+        )
+        c_i, a_i = kmeans_fit_int8(
+            jnp.asarray(q), jnp.asarray(s), jnp.asarray(deq[idx]), k=4, iters=5,
+            chunk=n // 2,
+        )
+        np.testing.assert_array_equal(np.asarray(a_f), np.asarray(a_i))
+        np.testing.assert_allclose(np.asarray(c_f), np.asarray(c_i), rtol=1e-5)
