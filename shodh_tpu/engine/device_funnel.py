@@ -157,15 +157,26 @@ class DeviceRecallEngine:
     def _scatter_leg_dev(self, hits: dict[int, float], cap: int):
         """Sparse host {row: val} -> dense (N,) device plane. The scatter
         runs on device so the host->device transfer is the hit list (KBs),
-        not the 4 MB plane."""
+        not the 4 MB plane.
+
+        The hit list is padded to a power-of-two bucket: an unbucketed
+        length retraces the scatter per distinct hit count — measured as
+        the fresh-process p95 tail of the full suite (hundreds of one-time
+        ~100 ms CPU compiles; device_pool_ms p95 383 ms with repeats fast).
+        Padding (row 0, val 0.0) is a no-op under scatter-max onto a zero
+        plane because both legs are non-negative scores."""
         import jax.numpy as jnp
 
         zeros = jnp.zeros(cap, jnp.float32)
         if not hits:
             return zeros
         items = sorted(hits.items())  # deterministic order
-        rows = np.fromiter((r for r, _ in items), np.int32, len(items))
-        vals = np.fromiter((v for _, v in items), np.float32, len(items))
+        n = len(items)
+        width = max(8, 1 << (n - 1).bit_length())
+        rows = np.zeros(width, np.int32)
+        vals = np.zeros(width, np.float32)
+        rows[:n] = np.fromiter((r for r, _ in items), np.int32, n)
+        vals[:n] = np.fromiter((v for _, v in items), np.float32, n)
         return zeros.at[jnp.asarray(rows)].max(jnp.asarray(vals))
 
     def invalidate(self) -> None:

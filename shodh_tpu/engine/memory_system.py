@@ -184,6 +184,9 @@ class MemorySystem:
         # migrations; the follower also sets ``follower_readonly`` after
         # construction to suppress usage/coactivation writes.
         self._readonly_open = readonly
+        from shodh_tpu.utils.jitcache import enable_persistent_cache
+
+        enable_persistent_cache()  # fresh-process compile tail -> once/machine
         self.data_dir = Path(data_dir)
         self.data_dir.mkdir(parents=True, exist_ok=True)
         self.storage = MemoryStorage(self.data_dir)
