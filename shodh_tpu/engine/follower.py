@@ -143,7 +143,14 @@ class FollowerReader:
                 return 1 if swapped else 0
             lo = f"{self._last_seq + 1:014d}"
             try:
-                for key, val in list(storage.kv.scan_range(NS_SEQ, lo, "9" * 14)):
+                entries_pending = list(storage.kv.scan_range(NS_SEQ, lo, "9" * 14))
+                if entries_pending:
+                    # New writer commits: drop read-through caches so every
+                    # replay (and post-batch) read sees the writer's current
+                    # state — the pre-cache semantics were always-fresh kv
+                    # reads (round-5 vecmap/rowmap/memory caches).
+                    storage.clear_caches()
+                for key, val in entries_pending:
                     self._last_seq = int(key)
                     mid = val.decode()
                     mem = storage.get(mid)
@@ -215,6 +222,7 @@ class FollowerReader:
 
         sys_ = self.system
         storage = sys_.storage
+        storage.clear_caches()  # writer remapped rows: cached maps are void
         entries: list[tuple[int, object, list[int]]] = []
         last = self._last_seq
         for key, val in list(storage.kv.scan_range(NS_SEQ, "0" * 14, "9" * 14)):

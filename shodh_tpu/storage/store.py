@@ -13,6 +13,7 @@ Host-side analog of the reference's ``MemoryStorage`` (storage.rs):
 
 from __future__ import annotations
 
+import os
 import threading
 from collections import OrderedDict
 from dataclasses import dataclass, field
@@ -55,7 +56,12 @@ class SearchCriteria:
     limit: int = 1000
 
 
-_CACHE_CAP = 1024
+# Serving profile (round 5, cProfile over 260 warm full-layer recalls on
+# the 5,880-memory locomo store): 556 storage.get calls/recall at 47% LRU
+# miss rate = 260 full JSON decodes/recall with the old 1024 cap — the
+# epilogue's single largest host cost. 8192 keeps conversation-scale
+# stores fully resident (~tens of MB); env-tunable for bigger hosts.
+_CACHE_CAP = int(os.environ.get("SHODH_MEM_CACHE_CAP", "8192"))
 
 
 class MemoryStorage:
@@ -79,6 +85,14 @@ class MemoryStorage:
         # decoding the full record each time dominated union latency on
         # the 1-core serving host. created_at is immutable after store().
         self._date_cache: "OrderedDict[str, object]" = OrderedDict()
+        # Row-mapping caches (round-5 serving profile: 722 get_vector_map +
+        # ~256 memory_for_row kv reads PER RECALL — the fused funnel joins
+        # every sparse-leg hit and pool row through these maps). Mutation
+        # sites are all in this class: set_vector_rows / delete update in
+        # place, remap_rows clears both; cross-process readers (followers)
+        # call clear_caches() per replay batch.
+        self._vecmap_cache: "OrderedDict[str, dict]" = OrderedDict()
+        self._rowmap_cache: "OrderedDict[str, Optional[str]]" = OrderedDict()
 
     def _cache_put(self, mem: Memory, keys: frozenset[str]) -> None:
         with self._cache_lock:
@@ -214,6 +228,7 @@ class MemoryStorage:
         ops.append(("del", NS_VECMAP, memory_id, None))
         self.kv.write_batch(ops)
         with self._cache_lock:
+            self._vecmap_cache.pop(memory_id, None)
             if self._count is not None:
                 self._count -= 1
         return True
@@ -258,6 +273,10 @@ class MemoryStorage:
                 self._text_rows_hwm = hi
                 ops.append(("put", NS_META, "text_rows", str(hi).encode()))
         self.kv.write_batch(ops)
+        with self._cache_lock:
+            self._vecmap_cache[memory_id] = dict(cur)
+            for r in rows:
+                self._rowmap_cache[f"{modality}:{r}"] = memory_id
 
     @property
     def text_rows_hwm(self) -> int:
@@ -273,12 +292,42 @@ class MemoryStorage:
         self.kv.put(NS_META, "text_rows", str(n).encode())
 
     def get_vector_map(self, memory_id: str) -> dict:
+        with self._cache_lock:
+            hit = self._vecmap_cache.get(memory_id)
+            if hit is not None:
+                self._vecmap_cache.move_to_end(memory_id)
+                return dict(hit)  # callers replace modality keys; keep ours
         raw = self.kv.get(NS_VECMAP, memory_id)
-        return decode(raw) if raw else {}
+        vm = decode(raw) if raw else {}
+        with self._cache_lock:
+            self._vecmap_cache[memory_id] = dict(vm)
+            while len(self._vecmap_cache) > 4 * _CACHE_CAP:
+                self._vecmap_cache.popitem(last=False)
+        return vm
 
     def memory_for_row(self, row: int, modality: str = "text") -> Optional[str]:
-        raw = self.kv.get(NS_ROWMAP, f"{modality}:{row}")
-        return raw.decode() if raw else None
+        key = f"{modality}:{row}"
+        with self._cache_lock:
+            if key in self._rowmap_cache:
+                self._rowmap_cache.move_to_end(key)
+                return self._rowmap_cache[key]
+        raw = self.kv.get(NS_ROWMAP, key)
+        mid = raw.decode() if raw else None
+        with self._cache_lock:
+            self._rowmap_cache[key] = mid
+            while len(self._rowmap_cache) > 64 * _CACHE_CAP:
+                self._rowmap_cache.popitem(last=False)
+        return mid
+
+    def clear_caches(self) -> None:
+        """Drop every read-through cache. Cross-process readers (follower
+        replicas) call this per replay batch so reads after a batch see the
+        writer's current state, exactly as the uncached reads did."""
+        with self._cache_lock:
+            self._cache.clear()
+            self._date_cache.clear()
+            self._vecmap_cache.clear()
+            self._rowmap_cache.clear()
 
     def remap_rows(
         self, mapping: dict[int, int], modality: str = "text", epoch: int | None = None
@@ -314,6 +363,9 @@ class MemoryStorage:
         if epoch is not None:
             ops.append(("put", NS_META, "index_epoch", str(epoch).encode()))
         self.kv.write_batch(ops)
+        with self._cache_lock:  # every row mapping moved: drop both caches
+            self._vecmap_cache.clear()
+            self._rowmap_cache.clear()
 
     # -- search ---------------------------------------------------------------
 
