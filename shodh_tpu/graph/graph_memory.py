@@ -142,6 +142,13 @@ class GraphMemory:
         self.entity_memories: dict[str, list[str]] = {}  # entity id -> memory ids
         self.episodes: dict[str, dict] = {}  # episode id -> {memories, entities}
         self.alias_table: dict[str, str] = {}  # alias canonical -> entity id
+        # Inverted token index for find_entity's containment tier: token ->
+        # entity ids (APPEND order == self.entities insertion order, so the
+        # first-minimal-length tie-break of the old full scan is preserved
+        # exactly). Entities are append-only; maintained at the two add
+        # sites (_load, add_entity). Round-5 serving profile: the full scan
+        # cost 0.6 ms per miss x ~4 find calls per recall.
+        self._token_index: dict[str, list[str]] = {}
         self._dirty_entities: set[str] = set()
         self._dirty_edges: set[str] = set()
         # PMI edge-gate substrate (state.rs:3513-3514): N for birth-PMI is
@@ -171,6 +178,7 @@ class GraphMemory:
         for k, v in self.kv.scan_prefix(NS_ENTITY, ""):
             ent = EntityNode.from_dict(decode(v))
             self.entities[ent.id] = ent
+            self._token_index_add(ent.id)
             for alias in ent.aliases:
                 self.alias_table[alias] = ent.id
         for k, v in self.kv.scan_prefix(NS_EDGE, ""):
@@ -245,6 +253,7 @@ class GraphMemory:
                 if C.TYPED_SALIENCE:
                     ent.salience = _base_salience(label, ent.is_proper)
                 self.entities[canon] = ent
+                self._token_index_add(canon)
                 eid = canon
                 self._vec_append(canon)
         ent.mention_count += 1
@@ -363,6 +372,10 @@ class GraphMemory:
                 ent.aliases.append(canon)
                 self._dirty_entities.add(entity_id)
 
+    def _token_index_add(self, eid: str) -> None:
+        for tok in set(eid.split()):
+            self._token_index.setdefault(tok, []).append(eid)
+
     def find_entity(self, name: str) -> Optional[EntityNode]:
         """Strict -> alias -> token containment -> embedding-fuzzy lookup
         (graph_memory.rs:3777/:3813 find tiers)."""
@@ -371,16 +384,21 @@ class GraphMemory:
             return self.entities[canon]
         if canon in self.alias_table:
             return self.entities.get(self.alias_table[canon])
-        # fuzzy tier: token-subset containment (e.g. "rust" ~ "rust backend")
+        # fuzzy tier: token-subset containment (e.g. "rust" ~ "rust backend").
+        # Any entity containing ALL query tokens is on every token's posting
+        # list, so scanning the shortest list (in entity-insertion order)
+        # reproduces the old full scan's first-minimal-length answer.
         tokens = set(canon.split())
         if not tokens:
             return None
+        postings = [self._token_index.get(t) for t in tokens]
         best = None
         best_len = 10**9
-        for eid, ent in self.entities.items():
-            etoks = set(eid.split())
-            if tokens <= etoks and len(eid) < best_len:
-                best, best_len = ent, len(eid)
+        if all(p is not None for p in postings):
+            for eid in min(postings, key=len):
+                etoks = set(eid.split())
+                if tokens <= etoks and len(eid) < best_len:
+                    best, best_len = self.entities[eid], len(eid)
         if best is not None:
             return best
         # last tier: embedding-fuzzy (graph_memory.rs:3813) — catches
@@ -671,15 +689,21 @@ class GraphMemory:
                 )
             )
 
+        # Per-activation node memo: the main spread and the per-seed
+        # bidirectional spreads below share ``now`` and revisit the same
+        # (hub-heavy) nodes, so the capped-and-sorted edge list per node is
+        # computed once per activation instead of once per visit (round-5
+        # profile: 912 effective_strength calls per recall, ~3.5 spreads).
+        edge_memo: dict[str, tuple[list, float]] = {}
         if mode == "ppr":
             activation = self._personalized_pagerank(seeds)
         else:
-            activation = self._spread(seeds, now, max_hops)
+            activation = self._spread(seeds, now, max_hops, edge_memo=edge_memo)
 
         # Bidirectional intersection boost: entities reached from 2+ seeds
         if len(seeds) >= C.BIDIRECTIONAL_MIN_ENTITIES and mode != "ppr":
             per_seed = [
-                self._spread({sid: act}, now, max_hops=2)
+                self._spread({sid: act}, now, max_hops=2, edge_memo=edge_memo)
                 for sid, act in list(seeds.items())[:4]
             ]
             if len(per_seed) >= 2:
@@ -794,7 +818,11 @@ class GraphMemory:
         return C.BIDIRECTIONAL_HOPS_MEDIUM
 
     def _spread(
-        self, seeds: dict[str, float], now: datetime, max_hops: Optional[int] = None
+        self,
+        seeds: dict[str, float],
+        now: datetime,
+        max_hops: Optional[int] = None,
+        edge_memo: Optional[dict[str, tuple[list, float]]] = None,
     ) -> dict[str, float]:
         hops = max_hops or self._adaptive_hops()
         activation = dict(seeds)
@@ -804,25 +832,34 @@ class GraphMemory:
             for eid, act in frontier.items():
                 if act < C.SPREADING_ACTIVATION_THRESHOLD:
                     continue
-                neighbors = self.adjacency.get(eid)
-                if not neighbors:
-                    continue
-                # cap edges per node (SPREADING_EDGE_CAP), strongest first
-                scored_edges = []
-                for nid in neighbors:
-                    edge = self.edges.get(_edge_key(eid, nid))
-                    if edge is None:
+                memo_hit = edge_memo.get(eid) if edge_memo is not None else None
+                if memo_hit is not None:
+                    capped, denom = memo_hit
+                else:
+                    neighbors = self.adjacency.get(eid)
+                    if not neighbors:
+                        if edge_memo is not None:
+                            edge_memo[eid] = ([], 1.0)
                         continue
-                    w = effective_strength(edge, now) * spreading_weight(edge.rel_type)
-                    scored_edges.append((w, nid))
-                scored_edges.sort(key=lambda t: (-t[0], t[1]))
-                degree = len(scored_edges)
-                denom = (
-                    max(1.0, degree ** 0.5) * C.SPREADING_NORMALIZATION_FACTOR
-                    if C.SPREADING_DEGREE_NORMALIZATION
-                    else C.SPREADING_NORMALIZATION_FACTOR
-                )
-                for w, nid in scored_edges[: C.SPREADING_EDGE_CAP]:
+                    # cap edges per node (SPREADING_EDGE_CAP), strongest first
+                    scored_edges = []
+                    for nid in neighbors:
+                        edge = self.edges.get(_edge_key(eid, nid))
+                        if edge is None:
+                            continue
+                        w = effective_strength(edge, now) * spreading_weight(edge.rel_type)
+                        scored_edges.append((w, nid))
+                    scored_edges.sort(key=lambda t: (-t[0], t[1]))
+                    degree = len(scored_edges)
+                    denom = (
+                        max(1.0, degree ** 0.5) * C.SPREADING_NORMALIZATION_FACTOR
+                        if C.SPREADING_DEGREE_NORMALIZATION
+                        else C.SPREADING_NORMALIZATION_FACTOR
+                    )
+                    capped = scored_edges[: C.SPREADING_EDGE_CAP]
+                    if edge_memo is not None:
+                        edge_memo[eid] = (capped, denom)
+                for w, nid in capped:
                     passed = act * C.SPREADING_DECAY_RATE * w / denom
                     if passed < C.SPREADING_RELAXED_THRESHOLD:
                         continue
