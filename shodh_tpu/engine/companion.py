@@ -74,8 +74,10 @@ def companion_rerank(
                 attribution={**sm.attribution, "companion_overlap": ov},
             )
         )
+    from shodh_tpu.engine.memory_system import _created_key
+
     reranked.sort(
-        key=lambda s: (-s.score, s.memory.created_at.isoformat(), s.memory.content_hash)
+        key=lambda s: (-s.score, _created_key(s.memory), s.memory.content_hash)
     )
     return anchors + reranked
 

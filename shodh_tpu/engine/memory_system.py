@@ -66,6 +66,24 @@ def _utterance_speaker(content: str) -> Optional[str]:
     return m.group(1).lower() if m else None
 
 
+@functools.lru_cache(maxsize=16384)
+def _has_causal_marker(content: str) -> bool:
+    """Cached causal-marker regex (content is immutable after store; the
+    answer-type boost + learned-fusion features probe it per pool row)."""
+    return _CAUSAL_MARKER_RE.search(content) is not None
+
+
+def _created_key(mem) -> str:
+    """Deterministic tie-break key: ``created_at.isoformat()`` memoized on
+    the Memory record (411k isoformat calls per 260 recalls in the round-5
+    profile — every ranking sort re-derived it; created_at is immutable)."""
+    k = mem.__dict__.get("_created_iso")
+    if k is None:
+        k = mem.created_at.isoformat()
+        mem.__dict__["_created_iso"] = k
+    return k
+
+
 _ENUM_STOP_PLURALS = frozenset(
     "does was has is status news as its this thats".split()
 )
@@ -1284,7 +1302,7 @@ class MemorySystem:
                         candidates[i] = (mem, base * (1.0 + C.ANSWER_TYPE_BOOST))
             elif ql.startswith(("why ", "how does", "how did")):
                 for i, (mem, base) in enumerate(candidates):
-                    if _CAUSAL_MARKER_RE.search(mem.experience.content):
+                    if _has_causal_marker(mem.experience.content):
                         candidates[i] = (mem, base * (1.0 + C.ANSWER_TYPE_BOOST))
 
         # Temporal-neighborhood prefetch + boost (PREFETCH_TEMPORAL_WINDOW /
@@ -1303,7 +1321,7 @@ class MemorySystem:
             # processes under ties — breaking byte-identical repeats.
             ranked_cand = sorted(
                 candidates,
-                key=lambda t: (-t[1], t[0].created_at.isoformat(), t[0].content_hash),
+                key=lambda t: (-t[1], _created_key(t[0]), t[0].content_hash),
             )
             top_anchors = [(mem, base) for mem, base in ranked_cand[:3]]
             top_times = [mem.created_at for mem, _ in top_anchors]
@@ -1363,7 +1381,7 @@ class MemorySystem:
         # The hash (not the id) is the final key so fresh ingests of the same
         # corpus rank identically — ids are random per ingest, content is not.
         scored.sort(
-            key=lambda s: (-s.score, s.memory.created_at.isoformat(), s.memory.content_hash)
+            key=lambda s: (-s.score, _created_key(s.memory), s.memory.content_hash)
         )
 
         # Learned per-bucket fusion re-rank (SHODH_LEARNED_FUSION) + harness
@@ -2184,7 +2202,7 @@ class MemorySystem:
                 candidates.append((mem, 1.0))
         scored = self._score_candidates(candidates, query, None, {}, now)
         scored.sort(
-            key=lambda s: (-s.score, s.memory.created_at.isoformat(), s.memory.content_hash)
+            key=lambda s: (-s.score, _created_key(s.memory), s.memory.content_hash)
         )
         out = scored[query.offset : query.offset + max(1, query.max_results)]
         if not self._recall_is_readonly():

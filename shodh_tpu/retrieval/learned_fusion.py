@@ -189,7 +189,10 @@ def pool_features(
 ) -> np.ndarray:
     """(n, F) f32 feature matrix over ``scored[:limit]`` (a sorted
     list of ScoredMemory). Single source of truth for export + inference."""
-    from shodh_tpu.engine.memory_system import _CAUSAL_MARKER_RE, _utterance_speaker
+    from shodh_tpu.engine.memory_system import (
+        _has_causal_marker as _has_causal,
+        _utterance_speaker,
+    )
     from shodh_tpu.nlp.stemmer import stem as _stem
     from shodh_tpu.utils.clock import hours_between
 
@@ -270,7 +273,7 @@ def pool_features(
         feats[i, 10] = 1.0 if (spk is not None and spk in q_ents) else 0.0
         feats[i, 11] = 1.0 if exp.temporal_refs else 0.0
         feats[i, 12] = 1.0 if exp.toponyms else 0.0
-        feats[i, 13] = 1.0 if _CAUSAL_MARKER_RE.search(exp.content) else 0.0
+        feats[i, 13] = 1.0 if _has_causal(exp.content) else 0.0
         feats[i, 14] = math.exp(-max(0.0, hours_between(mem.created_at, now)) / 720.0)
         feats[i, 15] = min(1.0, max(0.0, mem.importance))
         feats[i, 16] = min(1.0, math.log1p(len(exp.content)) / 7.0)
@@ -386,6 +389,8 @@ class LearnedFusionModel:
         keep their base order (they scored below every re-ranked row's
         floor only if the blend says so — M-tail rows keep base scores and
         re-enter the same global sort)."""
+        from shodh_tpu.engine.memory_system import _created_key as _ckey
+
         spec = self.buckets.get(bucket)
         if spec is None or spec.get("lam", 0.0) <= 0.0:
             return scored
@@ -407,7 +412,7 @@ class LearnedFusionModel:
                 attribution=new[i].attribution,
             )
         new.sort(
-            key=lambda s: (-s.score, s.memory.created_at.isoformat(), s.memory.content_hash)
+            key=lambda s: (-s.score, _ckey(s.memory), s.memory.content_hash)
         )
         return new
 
