@@ -36,6 +36,9 @@ def check_store(system) -> dict[str, Any]:
     from shodh_tpu.retrieval.bm25 import lexical_fingerprint
     from shodh_tpu.storage.serialization import CorruptRecordError, decode
 
+    # Integrity is a statement about the ON-DISK state: the read-through
+    # caches (memory LRU, vecmap/rowmap) must not mask kv-level damage.
+    system.storage.clear_caches()
     kv = system.storage.kv
     report: dict[str, Any] = {}
 
@@ -214,6 +217,7 @@ def repair_store(system, report: dict[str, Any] | None = None) -> dict[str, Any]
     if report["ok"]:
         return report
 
+    system.storage.clear_caches()  # repairs rewrite kv under the caches
     kv = system.storage.kv
     system.storage.cleanup_corrupted()
     live = set(system.storage.iter_ids())

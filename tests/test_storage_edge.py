@@ -208,3 +208,78 @@ class TestSerializationFuzz:
         for _ in range(200):
             obj = {f"f{i}": gen() for i in range(rng.randrange(1, 6))}
             assert decode(encode(obj)) == obj
+
+
+class TestRowMapCaches:
+    """Round-5 vecmap/rowmap read-through caches: every writer mutation
+    site must invalidate, and clear_caches() must restore always-fresh kv
+    semantics for cross-process readers (follower replay batches)."""
+
+    def test_set_vector_rows_updates_both_caches(self, tmp_path):
+        store = MemoryStorage(tmp_path / "c1")
+        store.set_vector_rows("m1", [0, 1])
+        assert store.get_vector_map("m1")["text"] == [0, 1]
+        assert store.memory_for_row(0) == "m1"
+        # warm the caches, then remap the SAME memory to new rows
+        store.set_vector_rows("m1", [5, 6])
+        assert store.get_vector_map("m1")["text"] == [5, 6]
+        assert store.memory_for_row(5) == "m1"
+        # row 0 still maps in kv (set_vector_rows does not unmap old rows;
+        # compaction does) — the cache must agree with kv, stale or not
+        raw = store.kv.get("rowmap", "text:0")
+        want = raw.decode() if raw else None
+        assert store.memory_for_row(0) == want
+
+    def test_remap_rows_clears_caches(self, tmp_path):
+        store = MemoryStorage(tmp_path / "c2")
+        from shodh_tpu.types import Experience, Memory
+        from datetime import datetime, timezone
+
+        mem = Memory(
+            id="m1",
+            experience=Experience(content="row remap cache probe"),
+            created_at=datetime(2026, 1, 1, tzinfo=timezone.utc),
+        )
+        store.store(mem)
+        store.set_vector_rows("m1", [7])
+        assert store.memory_for_row(7) == "m1"  # cache warm
+        assert store.get_vector_map("m1")["text"] == [7]
+        store.remap_rows({7: 0}, epoch=1)
+        assert store.memory_for_row(7) is None
+        assert store.memory_for_row(0) == "m1"
+        assert store.get_vector_map("m1")["text"] == [0]
+
+    def test_delete_invalidates_vecmap(self, tmp_path):
+        store = MemoryStorage(tmp_path / "c3")
+        from shodh_tpu.types import Experience, Memory
+        from datetime import datetime, timezone
+
+        mem = Memory(
+            id="m1",
+            experience=Experience(content="delete cache probe"),
+            created_at=datetime(2026, 1, 1, tzinfo=timezone.utc),
+        )
+        store.store(mem)
+        store.set_vector_rows("m1", [3])
+        assert store.get_vector_map("m1")["text"] == [3]  # cache warm
+        store.delete("m1")
+        assert store.get_vector_map("m1") == {}
+
+    def test_clear_caches_restores_fresh_reads(self, tmp_path):
+        store = MemoryStorage(tmp_path / "c4")
+        store.set_vector_rows("m1", [2])
+        assert store.memory_for_row(2) == "m1"  # cache warm
+        # simulate ANOTHER process rewriting kv underneath (follower view)
+        store.kv.put("rowmap", "text:2", b"m2")
+        store.kv.put("vecmap", "m2", encode({"text": [2]}))
+        assert store.memory_for_row(2) == "m1"  # cached (stale by design)
+        store.clear_caches()
+        assert store.memory_for_row(2) == "m2"  # fresh after batch clear
+        assert store.get_vector_map("m2")["text"] == [2]
+
+    def test_returned_vecmap_is_caller_safe(self, tmp_path):
+        store = MemoryStorage(tmp_path / "c5")
+        store.set_vector_rows("m1", [1])
+        vm = store.get_vector_map("m1")
+        vm["text"] = [999]  # caller-side mutation must not poison the cache
+        assert store.get_vector_map("m1")["text"] == [1]
