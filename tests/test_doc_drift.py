@@ -45,6 +45,16 @@ def _live_default(flag: str) -> float:
         m = re.search(r'SHODH_DISTILLED_NER",\s*"([0-9.]+)"', src)
         assert m, "SHODH_DISTILLED_NER read site not found"
         return float(m.group(1))
+    if flag == "SHODH_JIT_CACHE":
+        src = (REPO / "shodh_tpu" / "utils" / "jitcache.py").read_text()
+        m = re.search(r'SHODH_JIT_CACHE",\s*"([0-9.]+)"', src)
+        assert m, "SHODH_JIT_CACHE read site not found"
+        return float(m.group(1))
+    if flag == "SHODH_MEM_CACHE_CAP":
+        src = (REPO / "shodh_tpu" / "storage" / "store.py").read_text()
+        m = re.search(r'SHODH_MEM_CACHE_CAP",\s*"([0-9.]+)"', src)
+        assert m, "SHODH_MEM_CACHE_CAP read site not found"
+        return float(m.group(1))
     if flag == "SHODH_INGEST_CHUNK":
         src = (REPO / "shodh_tpu" / "engine" / "memory_system.py").read_text()
         m = re.search(r'SHODH_INGEST_CHUNK",\s*"([0-9.]+)"', src)
