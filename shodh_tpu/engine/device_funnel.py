@@ -39,6 +39,7 @@ def _hours_since_epoch(dt: datetime) -> float:
 
 _scatter_max_jit = None
 _hours_old_jit = None
+_scatter_set_jit = None
 
 
 def _device_helpers():
@@ -48,7 +49,7 @@ def _device_helpers():
     gather/scatter lowering on EVERY call (~3.5 ms/leg on this host —
     1.8 s of the round-5 serving profile's 20 s); under jit it is one
     cached dispatch. Numerics identical: same XLA scatter-max HLO."""
-    global _scatter_max_jit, _hours_old_jit
+    global _scatter_max_jit, _hours_old_jit, _scatter_set_jit
     if _scatter_max_jit is None:
         import jax
         import jax.numpy as jnp
@@ -61,7 +62,16 @@ def _device_helpers():
         def _hours(now_rel, created_hours):
             return jnp.maximum(0.0, now_rel - created_hours)
 
-        _scatter_max_jit, _hours_old_jit = _scatter, _hours
+        @jax.jit
+        def _scatter_set(arr, rows, vals):
+            # incremental mirror update; padding repeats (row0, val0), and
+            # duplicate indices carry IDENTICAL values, so which-update-wins
+            # is immaterial
+            return arr.at[rows].set(vals)
+
+        _scatter_max_jit, _hours_old_jit, _scatter_set_jit = (
+            _scatter, _hours, _scatter_set,
+        )
     return _scatter_max_jit, _hours_old_jit
 
 
@@ -88,6 +98,11 @@ class DeviceRecallEngine:
         # any store younger than ~7 years), so the on-device subtract in
         # _hours_old_dev matches the host float64 path to f32 rounding.
         self._origin: datetime = _EPOCH
+        # Host-side mirror copies + allocation high-water mark at last
+        # build: the incremental append path (see _ensure_mirrors)
+        self._meta_host: Optional[dict] = None
+        self._created_abs: Optional[np.ndarray] = None
+        self._built_hwm: int = 0
 
     def _corpus_rows(self) -> int:
         return len(self.system.index)
@@ -99,10 +114,25 @@ class DeviceRecallEngine:
         index.flush()
         # Staleness = row count OR compaction epoch: delete-heavy churn +
         # compact can land back on the SAME count with every row remapped.
+        epoch = getattr(index, "epoch", 0)
+        if self._built_rows == len(index) and self._built_epoch == epoch:
+            return
+        # Append-only growth takes the INCREMENTAL path: same epoch, more
+        # rows, host copies live. Everything else (first build, compaction,
+        # explicit invalidate after feedback/maintenance metadata drift,
+        # shrink) falls through to the full scan. Round-5 finding: with the
+        # funnel default-ON, every recall after an ingest chunk re-scanned
+        # the WHOLE store to rebuild mirrors (concurrent-hammer recall p50
+        # 152 ms); the incremental fill touches only rows allocated since
+        # the last build.
         if (
-            self._built_rows == len(index)
-            and self._built_epoch == getattr(index, "epoch", 0)
+            self._built_rows >= 0
+            and self._built_epoch == epoch
+            and len(index) > self._built_rows
+            and self._meta_host is not None
+            and self._incremental_mirror_update()
         ):
+            self._built_rows = len(index)
             return
         cap = index.capacity
         created_abs = np.zeros(cap, np.float64)  # absolute hours, re-based below
@@ -120,7 +150,7 @@ class DeviceRecallEngine:
             "row_flags": np.zeros((cap, 3), np.float32),
         }
         from shodh_tpu.engine.memory_system import (
-            _CAUSAL_MARKER_RE,
+            _has_causal_marker,
             _utterance_speaker,
         )
 
@@ -138,7 +168,7 @@ class DeviceRecallEngine:
             flags = (
                 1.0 if exp.temporal_refs else 0.0,
                 1.0 if exp.toponyms else 0.0,
-                1.0 if _CAUSAL_MARKER_RE.search(exp.content) else 0.0,
+                1.0 if _has_causal_marker(exp.content) else 0.0,
             )
             for r in rows:
                 if r >= cap:
@@ -164,8 +194,103 @@ class DeviceRecallEngine:
         origin_h = _hours_since_epoch(self._origin)
         meta["created_hours"] = (created_abs - origin_h).astype(np.float32)
         self._meta_dev = {k: jnp.asarray(v) for k, v in meta.items()}
+        # Host copies power the incremental-growth path (no re-scan, no
+        # re-upload of untouched rows)
+        self._meta_host = meta
+        self._created_abs = created_abs
+        self._built_hwm = storage.text_rows_hwm
         self._built_rows = len(index)
         self._built_epoch = getattr(index, "epoch", 0)
+
+    def _incremental_mirror_update(self) -> bool:
+        """Fill mirror rows allocated since the last build; False => the
+        caller must full-rebuild (origin shift, capacity growth with no
+        host copies, nothing to do). Produces byte-identical state to a
+        full rebuild: old rows' metadata is immutable between explicit
+        invalidate() calls (feedback/maintenance call invalidate), new
+        rows compute through the exact same per-memory code."""
+        import jax.numpy as jnp
+
+        from shodh_tpu.engine.memory_system import (
+            _has_causal_marker as _has_causal,
+            _utterance_speaker,
+        )
+
+        index = self.system.index
+        storage = self.system.storage
+        hwm = storage.text_rows_hwm
+        cap = index.capacity
+        meta = self._meta_host
+        if hwm < self._built_hwm:
+            return False  # allocation counter went backwards: rebuild
+        if cap != len(meta["importance"]):
+            # capacity grew (doubling): extend host arrays with the same
+            # defaults the full build uses, then re-upload once below
+            old = len(meta["importance"])
+            grow = {
+                "importance": np.full(cap, 0.5, np.float32),
+                "created_hours": np.zeros(cap, np.float32),
+                "arousal": np.zeros(cap, np.float32),
+                "credibility": np.full(cap, 0.5, np.float32),
+                "tag_penalty": np.ones(cap, np.float32),
+                "momentum": np.zeros(cap, np.float32),
+                "speaker_hash": np.zeros(cap, np.int32),
+                "row_flags": np.zeros((cap, 3), np.float32),
+            }
+            for k in meta:
+                grow[k][:old] = meta[k]
+            ca = np.zeros(cap, np.float64)
+            ca[:old] = self._created_abs
+            self._meta_host, self._created_abs = grow, ca
+            meta = grow
+        fb = self.system.feedback
+        origin_h = _hours_since_epoch(self._origin)
+        new_rows: list[int] = []
+        mem_cache: dict[str, object] = {}
+        for r in range(self._built_hwm, min(hwm, cap)):
+            mid = storage.memory_for_row(r)
+            if mid is None:
+                continue
+            mem = mem_cache.get(mid)
+            if mem is None:
+                mem = storage.get(mid)
+                if mem is None:
+                    continue  # deleted after allocation: row stays masked
+                mem_cache[mid] = mem
+            if mem.created_at < self._origin:
+                return False  # back-dated import moves the f32 re-base origin
+            exp = mem.experience
+            meta["importance"][r] = mem.importance
+            self._created_abs[r] = _hours_since_epoch(mem.created_at)
+            meta["created_hours"][r] = np.float32(self._created_abs[r] - origin_h)
+            meta["arousal"][r] = exp.emotional.arousal
+            meta["credibility"][r] = exp.source.credibility
+            meta["tag_penalty"][r] = tag_penalty_for(exp.tags)
+            meta["momentum"][r] = fb.momentum(mem.id) if fb is not None else 0.0
+            meta["speaker_hash"][r] = speaker_hash(_utterance_speaker(exp.content))
+            meta["row_flags"][r] = (
+                1.0 if exp.temporal_refs else 0.0,
+                1.0 if exp.toponyms else 0.0,
+                1.0 if _has_causal(exp.content) else 0.0,
+            )
+            new_rows.append(r)
+        if cap != int(self._meta_dev["importance"].shape[0]):
+            # capacity changed: one full upload (rare, doubling-amortized)
+            self._meta_dev = {k: jnp.asarray(v) for k, v in meta.items()}
+        elif new_rows:
+            _device_helpers()  # ensure _scatter_set_jit built
+            n = len(new_rows)
+            width = max(8, 1 << (n - 1).bit_length())
+            rows = np.full(width, new_rows[0], np.int32)
+            rows[:n] = new_rows
+            idx = jnp.asarray(rows)
+            for k, host in meta.items():
+                vals = host[rows]  # padding repeats row0's value: set-safe
+                self._meta_dev[k] = _scatter_set_jit(
+                    self._meta_dev[k], idx, jnp.asarray(vals)
+                )
+        self._built_hwm = hwm
+        return True
 
     def _hours_old_dev(self, now: datetime):
         """(N,) device hours_old from the resident created_hours mirror.

@@ -13,6 +13,12 @@ Enabled by default (``SHODH_JIT_CACHE=0`` disables); cache dir is
 slower than 0.2 s are persisted, so tiny elementwise dispatches don't
 churn the disk. Safe across backends/topologies: XLA keys entries by
 computation fingerprint + compile options + platform.
+
+Known cosmetic noise: loading a cached XLA:CPU AOT entry logs an E-level
+"machine feature +prefer-no-scatter/+prefer-no-gather not supported"
+warning. Those are XLA-internal tuning pseudo-features (not CPU ISA
+bits) that the feature-string comparison doesn't special-case; outputs
+are byte-identical (verified against uncached runs on both eval gates).
 """
 
 from __future__ import annotations

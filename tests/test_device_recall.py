@@ -563,3 +563,88 @@ class TestShardedPool:
         got = fn(*args)
         np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
         np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+
+
+class TestIncrementalMirrors:
+    """Round-5 concurrent-serving fix: append-only index growth updates
+    the mirrors incrementally (scatter of the new rows) instead of
+    re-scanning the whole store — and the result must be byte-identical
+    to a full rebuild."""
+
+    def _snap(self, eng):
+        import numpy as np
+
+        return {k: np.asarray(v) for k, v in eng._meta_dev.items()}
+
+    def test_incremental_equals_full_rebuild(self, tmp_path, monkeypatch):
+        import numpy as np
+
+        from shodh_tpu.engine.memory_system import MemorySystem
+        from shodh_tpu.types import Experience, Query
+
+        monkeypatch.setenv("SHODH_DEVICE_FUNNEL", "1")
+        sys_ = MemorySystem(tmp_path / "inc")
+        for i in range(6):
+            sys_.remember(Experience(
+                content=f"Alice: incremental mirror corpus item {i} because reasons",
+                tags=["t1"],
+            ))
+        sys_.recall(Query(query_text="incremental mirror corpus", max_results=3))
+        eng = sys_._device_funnel
+        assert eng._built_rows >= 0 and eng._meta_host is not None
+        # append-only growth: new memories, then a recall triggers the
+        # incremental path (same epoch, more rows)
+        for i in range(4):
+            sys_.remember(Experience(
+                content=f"Bob went to Paris on trip {i}", tags=["t2"],
+            ))
+        sys_.recall(Query(query_text="Paris trip", max_results=3))
+        incremental = self._snap(eng)
+        # force the full scan and compare byte-for-byte
+        eng.invalidate()
+        sys_.recall(Query(query_text="Paris trip", max_results=3))
+        full = self._snap(eng)
+        for k in full:
+            np.testing.assert_array_equal(incremental[k], full[k], err_msg=k)
+        sys_.close()
+
+    def test_incremental_after_delete_then_growth(self, tmp_path, monkeypatch):
+        """Soft deletes mask rows; net growth afterwards must still take a
+        correct path (deleted rows' metadata is irrelevant — they can
+        never be selected — but live rows must match the full scan)."""
+        import numpy as np
+
+        from shodh_tpu.engine.memory_system import MemorySystem
+        from shodh_tpu.types import Experience, Query
+
+        monkeypatch.setenv("SHODH_DEVICE_FUNNEL", "1")
+        sys_ = MemorySystem(tmp_path / "incdel")
+        kept = [
+            sys_.remember(Experience(content=f"delta corpus row {i} stays", tags=["k"]))
+            for i in range(5)
+        ]
+        victim = sys_.remember(Experience(content="delta corpus row victim", tags=["k"]))
+        sys_.recall(Query(query_text="delta corpus row", max_results=3))
+        eng = sys_._device_funnel
+        sys_.forget(victim.id)
+        for i in range(3):
+            sys_.remember(Experience(content=f"delta corpus addition {i}", tags=["k"]))
+        res = sys_.recall(Query(query_text="delta corpus addition", max_results=5))
+        assert victim.id not in res.ids
+        incremental = self._snap(eng)
+        eng.invalidate()
+        sys_.recall(Query(query_text="delta corpus addition", max_results=5))
+        full = self._snap(eng)
+        index = sys_.index
+        valid = np.asarray(index._device_arrays()[2]) if index._device_arrays() else None
+        for k in full:
+            a, b = incremental[k], full[k]
+            if valid is not None and a.shape[:1] == valid.shape:
+                live = valid > 0  # masked rows may legitimately differ
+                np.testing.assert_array_equal(a[live], b[live], err_msg=k)
+            else:
+                np.testing.assert_array_equal(a, b, err_msg=k)
+        assert kept[0].id in sys_.recall(
+            Query(query_text="delta corpus row stays", max_results=5)
+        ).ids
+        sys_.close()
