@@ -113,6 +113,11 @@ def main() -> int:
     fast_conc_rate = args.items / dt05
     fast_conc_qps = len(lat05) / dt05 if dt05 else 0.0
     fast_conc_p50 = statistics.median(lat05) * 1000 if lat05 else 0.0
+    fast_conc_p95 = (
+        sorted(lat05)[min(len(lat05) - 1, int(round(0.95 * (len(lat05) - 1))))] * 1000
+        if lat05
+        else 0.0
+    )
 
     # Phase 0.75: the production shape of config 5 — a READ-REPLICA
     # FOLLOWER PROCESS (engine/follower.py) serves recalls over the same
@@ -196,6 +201,7 @@ def main() -> int:
             "ingest_items_per_sec": round(fast_conc_rate, 1),
             "query_qps": round(fast_conc_qps, 1),
             "query_p50_ms": round(fast_conc_p50, 1),
+            "query_p95_ms": round(fast_conc_p95, 1),
         },
         "read_replica": {
             "writer_ingest_items_per_sec": round(replica_rate, 1),
