@@ -22,6 +22,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--ipc", default="", metavar="SOCKET",
                    help="local IPC socket path (default: <data-dir>/shodh.sock; "
                         "SHODH_IPC_ENABLED=false disables)")
+    s.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (hosts where the TPU is a "
+                        "shared/remote tunnel: a claim can stall first "
+                        "recall for minutes)")
 
     rp = sub.add_parser(
         "replica",
@@ -95,6 +99,10 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     if args.cmd == "serve":
+        if args.cpu:
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
         from shodh_tpu.server.app import run_server
 
         run_server(data_dir=args.data_dir, host=args.host, port=args.port,
