@@ -1418,7 +1418,10 @@ class MemorySystem:
                 now=now,
                 temporal_ids=temporal_ids,
                 sem_model=_sem,
-                limit=None if _lf.export_armed() else _lf.RERANK_M,
+                bm25_index=self.bm25,
+                limit=None
+                if _lf.export_armed()
+                else max(_lf.RERANK_M, _model.max_m if _model else 0),
             )
             if _lf.export_armed():
                 _lf.capture(scored, _feats, _bucket, query.query_text or "")

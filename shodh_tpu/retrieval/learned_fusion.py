@@ -74,6 +74,12 @@ FEATURE_NAMES: tuple[str, ...] = (
     # vs 58%; sem_support AUC .555):
     "speaker_majority",  # candidate speaker == top-8 pool majority speaker
     "sem_support",       # sem doc-vec cosine to the top-8 pool centroid
+    # Round-5-late pool-support additions (fitted in the v3 artifact;
+    # same true-confusion-set methodology as speaker_majority):
+    "tag_majority",      # candidate carries the top-8 pool's majority tag
+    "head_ent_overlap",  # candidate entities ∩ top-8 pool entity union
+    "head_adjacent",     # exp(-min hours gap to another top-8 row / 2)
+    "idf_overlap",       # idf-weighted focal-stem coverage of the content
 )
 
 # Top-M pool depth the re-ranker sees (export keeps golds beyond it so
@@ -185,6 +191,7 @@ def pool_features(
     now,
     temporal_ids: set[str],
     sem_model=None,
+    bm25_index=None,
     limit: Optional[int] = None,
 ) -> np.ndarray:
     """(n, F) f32 feature matrix over ``scored[:limit]`` (a sorted
@@ -241,6 +248,25 @@ def pool_features(
         if _spk_counts
         else None
     )
+    _tag_counts: dict[str, int] = {}
+    for s in head:
+        for t in set(s.memory.experience.tags or ()):
+            _tag_counts[t] = _tag_counts.get(t, 0) + 1
+    maj_tag = (
+        max(sorted(_tag_counts), key=lambda k: _tag_counts[k])
+        if _tag_counts
+        else None
+    )
+    head_ents: set[str] = set()
+    for s in head:
+        if s.memory.experience.entities:
+            head_ents.update(e.lower() for e in s.memory.experience.entities)
+    head_times = [(s.memory.id, s.memory.created_at) for s in head]
+    idf_den = 0.0
+    idf_w: list[float] = []
+    if bm25_index is not None and q_stems:
+        idf_w = [max(0.0, float(bm25_index.idf(t))) for t in q_stems]
+        idf_den = sum(idf_w)
     centroid = None
     if sem_model is not None:
         hv = [
@@ -289,6 +315,26 @@ def pool_features(
             dv = _sem_doc_vec(sem_model, mem)
             if dv.any():
                 feats[i, 21] = max(0.0, float(dv @ centroid))
+        if maj_tag is not None and exp.tags and maj_tag in exp.tags:
+            feats[i, 22] = 1.0
+        if head_ents and exp.entities:
+            n_hit = sum(1 for e in exp.entities if e.lower() in head_ents)
+            feats[i, 23] = min(1.0, n_hit / 4.0)
+        gap_h = min(
+            (
+                abs((mem.created_at - t).total_seconds()) / 3600.0
+                for hid, t in head_times
+                if hid != mid
+            ),
+            default=None,
+        )
+        if gap_h is not None:
+            feats[i, 24] = math.exp(-gap_h / 2.0)
+        if idf_den > 0.0:
+            cs = _content_stem_set(exp.content)
+            feats[i, 25] = (
+                sum(w for t, w in zip(q_stems, idf_w) if t in cs) / idf_den
+            )
     return feats
 
 
@@ -372,6 +418,10 @@ class LearnedFusionModel:
     buckets: dict[str, dict]
     domain: str = "dialogue"
     feature_names: tuple[str, ...] = FEATURE_NAMES
+    # optional interaction terms: products of base-feature index pairs,
+    # appended after the base columns (fit side: tools/fit_fusion.py
+    # expand_quads — keep in sync)
+    quad_pairs: tuple[tuple[int, int], ...] = ()
 
     @classmethod
     def load(cls, path: Optional[Path] = None) -> Optional["LearnedFusionModel"]:
@@ -382,7 +432,28 @@ class LearnedFusionModel:
         names = tuple(d.get("feature_names", FEATURE_NAMES))
         if names != FEATURE_NAMES:
             return None  # stale artifact from an older feature map
-        return cls(buckets=d.get("buckets", {}), domain=d.get("domain", "dialogue"))
+        return cls(
+            buckets=d.get("buckets", {}),
+            domain=d.get("domain", "dialogue"),
+            quad_pairs=tuple(
+                (int(i), int(j)) for i, j in d.get("quad_pairs", [])
+            ),
+        )
+
+    @property
+    def max_m(self) -> int:
+        """Deepest per-bucket rerank window the artifact asks for (the
+        engine computes pool features down to this depth)."""
+        return max(
+            (int(s.get("m", RERANK_M)) for s in self.buckets.values()),
+            default=RERANK_M,
+        )
+
+    def _expand(self, X: np.ndarray) -> np.ndarray:
+        if not self.quad_pairs:
+            return X
+        cols = [X] + [(X[:, i] * X[:, j])[:, None] for i, j in self.quad_pairs]
+        return np.concatenate(cols, axis=1)
 
     def rerank(self, bucket: str, scored, feats: np.ndarray):
         """Blend-and-re-sort the top-M of ``scored`` in place; rows past M
@@ -397,11 +468,11 @@ class LearnedFusionModel:
         lam = float(spec["lam"])
         w = np.asarray(spec["w"], np.float32)
         b = float(spec.get("b", 0.0))
-        m = min(len(scored), feats.shape[0])
+        m = min(len(scored), feats.shape[0], int(spec.get("m", RERANK_M)))
         if m == 0:
             return scored
         max_final = max((s.score for s in scored), default=0.0) or 1e-6
-        z = feats[:m] @ w + b
+        z = self._expand(feats[:m]) @ w + b
         p = 1.0 / (1.0 + np.exp(-z))
         new = list(scored)
         for i in range(m):

@@ -45,14 +45,23 @@ LR = 0.5
 FINAL_N_COL = 4  # feature index of final_n (blend base)
 
 
-def load_dump(path: str):
+def expand_quads(X: np.ndarray, quad_pairs) -> np.ndarray:
+    """Append products of the given base-feature index pairs (mirrors
+    LearnedFusionModel._expand at inference — keep in sync)."""
+    if not quad_pairs:
+        return X
+    cols = [X] + [(X[:, i] * X[:, j])[:, None] for i, j in quad_pairs]
+    return np.concatenate(cols, axis=1)
+
+
+def load_dump(path: str, quad_pairs=None):
     lines = Path(path).read_text().splitlines()
     header = json.loads(lines[0])
     cases = [json.loads(l) for l in lines[1:]]
     for c in cases:
         rows = np.asarray([r[2:] for r in c["rows"]], np.float32)
         labels = np.asarray([r[0] for r in c["rows"]], np.int32)
-        c["X"] = rows
+        c["X"] = expand_quads(rows, quad_pairs) if quad_pairs else rows
         c["y"] = labels
     return header, cases
 
@@ -105,7 +114,7 @@ def fit_logistic(D):
     return w, losses
 
 
-def sim_metrics(cases, bucket_w, lam_by_bucket, rerank_m=128):
+def sim_metrics(cases, bucket_w, lam_by_bucket, rerank_m=128, m_by_bucket=None):
     """Offline re-rank simulation -> per-case r@10/ap, aggregated per
     category and per bucket. Cases whose bucket has no model keep base order."""
     per_cat = defaultdict(lambda: {"r10": [], "ap": []})
@@ -117,7 +126,8 @@ def sim_metrics(cases, bucket_w, lam_by_bucket, rerank_m=128):
         scores = X[:, FINAL_N_COL].astype(np.float64).copy()
         if spec is not None and lam > 0.0:
             w, b = spec
-            m = min(rerank_m, len(scores))
+            bm = (m_by_bucket or {}).get(c["bucket"], rerank_m)
+            m = min(bm, len(scores))
             z = X[:m] @ w + b
             p = 1.0 / (1.0 + np.exp(-z))
             scores[:m] = (1.0 - lam) * scores[:m] + lam * p
@@ -154,16 +164,43 @@ def main() -> int:
         help="store domain the dump was exported from (the engine applies "
         "the artifact only to stores whose majority doc class matches)",
     )
+    ap.add_argument(
+        "--quad", default="",
+        help="comma-separated base feature names; all pairwise products "
+        "are appended as interaction features (fit + artifact + inference)",
+    )
+    ap.add_argument(
+        "--m-sweep", action="store_true",
+        help="after lam selection, CV-sweep per-bucket rerank depth m over "
+        "(64, 128, 192, 256) at lam* and ship the winner per bucket",
+    )
     args = ap.parse_args()
 
-    header, cases = load_dump(args.dump)
-    names = header["feature_names"]
+    # resolve quad pairs against the dump's base feature map
+    head_probe = json.loads(Path(args.dump).read_text().splitlines()[0])
+    base_names = head_probe["feature_names"]
+    quad_pairs = []
+    if args.quad:
+        sel = [n.strip() for n in args.quad.split(",") if n.strip()]
+        missing = [n for n in sel if n not in base_names]
+        if missing:
+            raise SystemExit(f"--quad names not in dump: {missing}")
+        idx = [base_names.index(n) for n in sel]
+        quad_pairs = [[i, j] for a, i in enumerate(idx) for j in idx[a + 1:]]
+        print(f"{len(quad_pairs)} interaction pairs from {sel}")
+
+    header, cases = load_dump(args.dump, quad_pairs)
+    names = list(header["feature_names"]) + [
+        f"{base_names[i]}*{base_names[j]}" for i, j in quad_pairs
+    ]
     fit, hold = split_cases(cases)
     buckets = sorted({c["bucket"] for c in cases})
     print(f"{len(cases)} cases -> fit {len(fit)} / holdout {len(hold)}; buckets {buckets}")
 
-    report = {"feature_names": names, "buckets": {}, "curves": {}}
+    report = {"feature_names": names, "quad_pairs": quad_pairs,
+              "buckets": {}, "curves": {}}
     bucket_w, lam_by_bucket = {}, {}
+    m_by_bucket_fit: dict[str, int] = {}
 
     for bucket in buckets:
         bcases = [c for c in fit if c["bucket"] == bucket]
@@ -200,6 +237,37 @@ def main() -> int:
         b = -float(np.mean(Xall @ w))
         bucket_w[bucket] = (w, b)
         lam_by_bucket[bucket] = lam_star
+        # optional per-bucket rerank-depth sweep at lam* (same CV folds)
+        m_star = args.rerank_m
+        if args.m_sweep:
+            m_cv = {}
+            for m_try in (64, 128, 192, 256):
+                vals = []
+                for tr, va in folds:
+                    D2 = pairs_matrix(tr, bucket)
+                    if D2 is None:
+                        continue
+                    w2, _ = fit_logistic(D2)
+                    b2 = -float(np.mean(np.concatenate([c["X"] for c in tr], 0) @ w2))
+                    pc, _pb = sim_metrics(
+                        va, {bucket: (w2, b2)}, {bucket: lam_star},
+                        m_by_bucket={bucket: m_try},
+                    )
+                    tot = sum(mm["n"] for mm in pc.values()) or 1
+                    vals.append((
+                        sum(mm["r@10"] * mm["n"] for mm in pc.values()) / tot,
+                        sum(mm["map"] * mm["n"] for mm in pc.values()) / tot,
+                    ))
+                if vals:
+                    m_cv[m_try] = (
+                        float(np.mean([v[0] for v in vals])),
+                        float(np.mean([v[1] for v in vals])),
+                    )
+            if m_cv:
+                m_star = max(
+                    m_cv, key=lambda m: (round(m_cv[m][0], 4), round(m_cv[m][1], 4), -m)
+                )
+        m_by_bucket_fit[bucket] = m_star
         stds = Xall.std(0)
         importances = sorted(
             zip(names, (w * stds).tolist()), key=lambda kv: -abs(kv[1])
@@ -209,6 +277,7 @@ def main() -> int:
             "n_pairs": int(D.shape[0]),
             "lam_cv": {str(l): v for l, v in mean_cv.items()},
             "lam_star": lam_star,
+            "m_star": m_star,
             "final_loss": losses[-1],
             "w": w.tolist(),
             "b": b,
@@ -228,7 +297,8 @@ def main() -> int:
             bs = -float(np.mean(np.concatenate([c["X"] for c in sub], 0) @ ws))
             pc, _ = sim_metrics(
                 [c for c in hold if c["bucket"] == bucket],
-                {bucket: (ws, bs)}, {bucket: lam_star}, args.rerank_m,
+                {bucket: (ws, bs)}, {bucket: lam_star},
+                m_by_bucket={bucket: m_star},
             )
             tot_n = sum(m["n"] for m in pc.values()) or 1
             curve[str(frac)] = {
@@ -239,13 +309,16 @@ def main() -> int:
 
     # -- holdout evaluation: base vs learned
     base_cat, base_bucket = sim_metrics(hold, {}, {}, args.rerank_m)
-    new_cat, new_bucket = sim_metrics(hold, bucket_w, lam_by_bucket, args.rerank_m)
+    new_cat, new_bucket = sim_metrics(
+        hold, bucket_w, lam_by_bucket, args.rerank_m, m_by_bucket=m_by_bucket_fit
+    )
     report["holdout"] = {
         "base_per_category": base_cat,
         "learned_per_category": new_cat,
         "base_per_bucket": base_bucket,
         "learned_per_bucket": new_bucket,
         "lam": {k: v for k, v in lam_by_bucket.items()},
+        "m": dict(m_by_bucket_fit),
     }
     print("\nholdout per-category (base -> learned):")
     for cat in sorted(base_cat):
@@ -253,14 +326,17 @@ def main() -> int:
         print(f"  {cat:12s} r@10 {b_['r@10']:.4f} -> {n_['r@10']:.4f}   "
               f"map {b_['map']:.4f} -> {n_['map']:.4f}   (n={b_['n']})")
 
-    # -- ship buckets with lam>0
+    # -- ship buckets with lam>0 (artifact stores the BASE feature map +
+    # quad index pairs; inference expands products the same way fit did)
     out = {
-        "feature_names": names,
+        "feature_names": base_names,
+        "quad_pairs": quad_pairs,
         "domain": args.domain,
         "rerank_m": args.rerank_m,
         "buckets": {
             bkt: {"w": bucket_w[bkt][0].tolist(), "b": bucket_w[bkt][1],
-                   "lam": lam_by_bucket[bkt]}
+                   "lam": lam_by_bucket[bkt],
+                   "m": m_by_bucket_fit.get(bkt, args.rerank_m)}
             for bkt in bucket_w if lam_by_bucket.get(bkt, 0.0) > 0.0
         },
     }
